@@ -1,0 +1,145 @@
+"""Per-key max-version dedup + salted-skew handling (SURVEY.md §2.6 A5, §2.3 C2).
+
+Reference seed: DynamoDB tracking rows are last-writer-wins by
+``put_item`` on ``(CorrelationId, Stage)`` (``Phase3-Data-Extraction.py:123-136``);
+the reference has **no** skew handling — a hot chunk just runs long
+(``prototype-etl.json:28-39``).  Here dedup is an aggregate so Spark's partial
+(map-side) aggregation combines hot keys before the shuffle, and an explicit
+salted two-level variant bounds any single reducer's share of a hot key.
+
+Scale notes (100 TB / 10^10 events):
+* ``dedup_latest`` is ONE shuffle: ``groupBy(key).agg(max(struct(version,
+  payload)))``.  Because the struct buffer is variable-width Spark plans a
+  SortAggregate, but crucially it keeps the PARTIAL aggregate — each map task
+  locally combines all rows per key before the shuffle, so a hot key's 10^7
+  updates shrink to one row per map task.  The window formulation
+  (``row_number() over (partition by key order by version desc)``) has NO
+  partial step — every raw row crosses the shuffle and is sorted on the
+  reducer; that is the plan that dies on a hot conversation.
+* the salted variant adds a pre-reduce keyed on ``(key, salt)`` — the
+  explicit salted-hash repartition of the north rule — bounding any single
+  reducer's share of a hot key to ``1/salt_buckets``.
+* ``dedup_latest_argmax`` is a pure-HashAggregate alternative (encode
+  (ts,lsn) as one ``decimal(38,0)``, hash-max per key, broadcast-join the
+  winners back) — it avoids the local sort at the cost of a second pass;
+  ``bench.py`` measures both and the engine default follows the measurement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _ordered_struct(df: DataFrame, version_cols: list[str], key_cols: list[str]):
+    """Struct whose lexicographic order is the version order: version columns
+    first, then every payload column (never compared — version is unique)."""
+    rest = [c for c in df.columns if c not in key_cols and c not in version_cols]
+    return F.struct(*[F.col(c) for c in version_cols], *[F.col(c) for c in rest])
+
+
+def dedup_latest(
+    df: DataFrame,
+    key_cols: list[str],
+    version_cols: list[str],
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """Keep, per key, the row with the maximum ``version_cols`` tuple.
+
+    Implemented as ``groupBy(key).agg(max(struct(version..., payload...)))`` —
+    struct comparison is lexicographic, so the (ts, lsn) prefix decides and
+    payload columns ride along.  With ``salt_buckets > 0`` a two-level
+    aggregate runs first per ``(key, salt)`` then per key (explicit
+    salted-hash repartition per the north rule; the salt is derived from the
+    version column so it is deterministic and spreads a hot key's rows).
+    Output columns: key_cols + version_cols + payload (original order lost;
+    names preserved).
+    """
+    s = _ordered_struct(df, version_cols, key_cols)
+    inner = [f"_v.{c}" for c in _struct_field_names(df, version_cols, key_cols)]
+    if salt_buckets and salt_buckets > 1:
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in version_cols]), F.lit(salt_buckets))
+        partial = (
+            df.withColumn("_salt", salt)
+            .groupBy(*key_cols, "_salt")
+            .agg(F.max(s).alias("_v"))
+        )
+        out = partial.groupBy(*key_cols).agg(F.max("_v").alias("_v"))
+    else:
+        out = df.groupBy(*key_cols).agg(F.max(s).alias("_v"))
+    return out.select(*key_cols, *[F.col(c).alias(c.split(".", 1)[1]) for c in inner])
+
+
+def _struct_field_names(
+    df: DataFrame, version_cols: list[str], key_cols: list[str]
+) -> list[str]:
+    rest = [c for c in df.columns if c not in key_cols and c not in version_cols]
+    return version_cols + rest
+
+
+def dedup_latest_window(
+    df: DataFrame, key_cols: list[str], version_cols: list[str]
+) -> DataFrame:
+    """Window-function formulation of A5 (kept for cross-checking in tests;
+    the aggregate form above is the production path — see module docstring)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.desc(c) for c in version_cols]
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def dedup_latest_argmax(
+    df: DataFrame,
+    key_cols: list[str],
+    version_cols: list[str],
+    broadcast_winners: bool = True,
+) -> DataFrame:
+    """Pure-HashAggregate argmax formulation of A5.
+
+    Encodes ``(ts, lsn)`` into one ``decimal(38,0)`` (fixed-width → mutable
+    aggregation buffer → true HashAggregate with map-side combine, no sort),
+    takes the per-key max, then joins winners back (broadcast when the key
+    set is small — the micro-batch case).  Exact duplicate deliveries of the
+    winning event are collapsed by a final tiny dedup over winners only.
+    """
+    ts_col, lsn_col = version_cols
+    ts_num = (
+        F.unix_micros(F.col(ts_col))
+        if dict(df.dtypes).get(ts_col) == "timestamp"
+        else F.col(ts_col)
+    )
+    # unix_micros (16 digits) * 10^18 + lsn (< 10^18) fits decimal(38,0)
+    ver = (
+        ts_num.cast("decimal(18,0)") * F.lit(10**18)
+        + F.col(lsn_col).cast("decimal(18,0)")
+    ).alias("_ver")
+    dfv = df.select("*", ver)
+    winners = dfv.groupBy(*key_cols).agg(F.max("_ver").alias("_ver"))
+    if broadcast_winners:
+        winners = F.broadcast(winners)
+    out = dfv.join(winners, [*key_cols, "_ver"], "inner").drop("_ver")
+    # exact re-deliveries of the winning event tie on _ver: collapse them
+    return out.dropDuplicates(key_cols)
+
+
+def salted_repartition(
+    df: DataFrame, num_partitions: int, key_cols: list[str], salt_buckets: int = 16
+) -> DataFrame:
+    """Explicit salted-hash repartition (north rule C2).
+
+    ``repartition(N, pmod(xxhash64(key..., salt), N))`` where the salt is a
+    deterministic hash of the whole row's version — spreads a hot key over
+    ``salt_buckets`` partitions instead of one.  Use before per-key work that
+    is NOT an aggregate (aggregates already get map-side combine).
+    """
+    salt = F.pmod(F.xxhash64(*df.columns), F.lit(salt_buckets))
+    expr = F.pmod(
+        F.xxhash64(*[F.col(c) for c in key_cols], salt), F.lit(num_partitions)
+    )
+    return df.repartition(num_partitions, expr)

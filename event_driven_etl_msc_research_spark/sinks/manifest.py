@@ -1,0 +1,512 @@
+"""ManifestTable — Iceberg-style snapshot table over Parquet + JSON manifests.
+
+Replaces the reference's warehouse layer end-to-end:
+
+* Athena ``CREATE EXTERNAL TABLE`` + CSV SerDe (``Phase3-DataLoad.py:99-124``)
+  → typed Parquet data files tracked by commit manifests;
+* ``MSCK REPAIR TABLE`` partition discovery per chunk
+  (``Phase3-DataLoad.py:169-175``) → manifests list data files directly, no
+  discovery step ever;
+* per-stage DynamoDB tracking rows + compensation-delete lambdas
+  (``Phase3-Data-Extraction.py:123-136``, ``RevertDataFromLoadErrorLambda.py:44-74``)
+  → write-audit-publish: data lands in an unreferenced staging dir, a single
+  atomic manifest rename publishes it; a failed epoch simply never publishes
+  (orphans are vacuumed lazily) — no compensating deletes;
+* completion-marker row (``Backup_03072024/.../DataLoading.py:154-165``)
+  → the manifest itself, keyed by ``epoch_id`` for idempotent re-delivery;
+* final-backup object copies (``Phase3-BackupData.py:18-39``) → snapshot
+  time travel: every manifest version remains readable (``read(version=k)``).
+
+Scale design (10^10 events / 100 TB):
+* the table is hash-bucketed on ``conv_id`` (``n_buckets`` fixed at create);
+  a MERGE rewrites ONLY the buckets touched by the batch — copy-on-write at
+  bucket granularity, so per-batch cost is O(touched data), not O(table);
+* the MERGE itself is a single hash aggregate (union of target-touched +
+  deduped changes, then per-key max-version) — map-side partial aggregation
+  absorbs hot-key skew; no sort, no window;
+* readers resolve state ONLY through manifests (never directory listing),
+  so commits are atomic and concurrent readers see consistent snapshots.
+
+When an Iceberg runtime jar is on the classpath, ``sinks/iceberg.py``
+provides the same interface over real ``MERGE INTO`` (not available in this
+sandbox — no network; SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.dedup import dedup_latest
+from ..schemas import KEY_COLS
+
+_MANIFEST_DIR = "_manifest"
+_DATA_DIR = "data"
+
+
+class SchemaEvolutionError(ValueError):
+    pass
+
+
+def _bucket_expr(n_buckets: int):
+    # deterministic hash bucket of the conversation key — the physical
+    # partition and the MERGE rewrite unit (co-locates a conversation).
+    return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
+
+
+class ManifestTable:
+    """A snapshot-versioned, bucket-partitioned Parquet table with
+    exactly-once MERGE, additive schema evolution, and time travel."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._manifest: dict[str, Any] | None = None
+
+    # ---------- bootstrap ----------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        key_cols: list[str] | None = None,
+        n_buckets: int = 16,
+        tenant_id: str | None = None,
+    ) -> "ManifestTable":
+        """Idempotent create (cf. ``IF NOT EXISTS`` DDL, ``Phase3-DataLoad.py:86,104``)."""
+        t = cls(spark, root)
+        if t.exists():
+            return t
+        os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
+        os.makedirs(os.path.join(root, _DATA_DIR), exist_ok=True)
+        manifest = {
+            "version": 0,
+            "parent": None,
+            "epoch_id": None,
+            "schema": schema.jsonValue(),
+            "key_cols": key_cols or KEY_COLS,
+            "n_buckets": n_buckets,
+            "tenant_id": tenant_id,
+            "files": {},
+            "applied_epochs": [],
+            "total_rows": 0,
+            "committed_at": time.time(),
+        }
+        t._publish(manifest)
+        return t
+
+    def exists(self) -> bool:
+        return self.current_version() is not None
+
+    # ---------- manifest plumbing ----------
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, _MANIFEST_DIR, f"v{version:012d}.json")
+
+    def current_version(self) -> int | None:
+        mdir = os.path.join(self.root, _MANIFEST_DIR)
+        if not os.path.isdir(mdir):
+            return None
+        versions = [
+            int(f[1:-5])
+            for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(versions) if versions else None
+
+    def manifest(self, version: int | None = None) -> dict[str, Any]:
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no manifest at {self.root}")
+        with open(self._manifest_path(v)) as f:
+            return json.load(f)
+
+    def _publish(self, manifest: dict[str, Any]) -> None:
+        """Atomic publish: write tmp in the same dir, fsync, single rename.
+        Readers can never observe a partial manifest; the rename IS the
+        commit point (SURVEY.md §7 hard parts)."""
+        final = self._manifest_path(manifest["version"])
+        if os.path.exists(final):
+            raise RuntimeError(
+                f"manifest v{manifest['version']} already exists — concurrent writer?"
+            )
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, final)
+        self._manifest = manifest
+
+    # ---------- schema ----------
+
+    def schema(self, version: int | None = None) -> T.StructType:
+        """User-facing schema (no internal columns)."""
+        return T.StructType.fromJson(self.manifest(version)["schema"])
+
+    def _internal_schema(self, version: int | None = None) -> T.StructType:
+        s = self.schema(version)
+        return T.StructType(
+            s.fields
+            + [
+                T.StructField("_lsn", T.LongType(), True),
+                T.StructField("_deleted", T.BooleanType(), True),
+                T.StructField("_bucket", T.IntegerType(), True),
+            ]
+        )
+
+    def _evolve_schema(
+        self, current: T.StructType, incoming_payload: T.StructType
+    ) -> tuple[T.StructType, list[str]]:
+        """Additive evolution: new nullable columns are appended; type changes
+        are rejected (cf. Iceberg schema-update transactions; the detection /
+        diff is ours, SURVEY.md §4.3)."""
+        cur = {f.name: f for f in current.fields}
+        added: list[str] = []
+        out = list(current.fields)
+        for f in incoming_payload.fields:
+            if f.name in cur:
+                if f.dataType != cur[f.name].dataType:
+                    raise SchemaEvolutionError(
+                        f"type conflict on {f.name}: table={cur[f.name].dataType} "
+                        f"incoming={f.dataType} (only additive evolution supported)"
+                    )
+            else:
+                out.append(T.StructField(f.name, f.dataType, True))
+                added.append(f.name)
+        return T.StructType(out), added
+
+    # ---------- read ----------
+
+    def _all_files(self, manifest: dict[str, Any]) -> list[str]:
+        return [
+            os.path.join(self.root, p)
+            for paths in manifest["files"].values()
+            for p in paths
+        ]
+
+    def _read_files(
+        self, files: list[str], schema: T.StructType
+    ) -> DataFrame:
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        # explicit schema: files written before an additive evolution simply
+        # lack the new column → Spark fills null (verified in tests)
+        return self.spark.read.schema(schema).parquet(*files)
+
+    def read(
+        self, version: int | None = None, include_internal: bool = False
+    ) -> DataFrame:
+        """Snapshot read.  ``version`` gives time travel (replaces the
+        reference's final-backup copies, ``Phase3-BackupData.py:23-27``)."""
+        m = self.manifest(version)
+        ischema = self._internal_schema(version)
+        df = self._read_files(self._all_files(m), ischema)
+        df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        if not include_internal:
+            df = df.select(*[f.name for f in self.schema(version).fields])
+        return df
+
+    def applied_epochs(self) -> set:
+        return set(self.manifest()["applied_epochs"])
+
+    # ---------- MERGE (the one join-shaped op; SURVEY.md §2.4) ----------
+
+    def merge(
+        self,
+        changes: DataFrame,
+        epoch_id: int,
+        salt_buckets: int = 16,
+        files_per_bucket: int = 1,
+        audit: str = "counts",
+        strategy: str = "auto",
+        broadcast_threshold: int = 1_000_000,
+        epoch_scope: str = "batch",
+        before_publish=None,
+    ) -> dict[str, Any]:
+        """Exactly-once upsert of a change batch.
+
+        Equivalent of ``MERGE INTO t USING c ON t.key = c.key WHEN MATCHED
+        [AND c.version > t.version] UPDATE ... WHEN NOT MATCHED INSERT``
+        plus delete tombstones — expressed as union + per-key max-version
+        aggregate over ONLY the touched buckets (copy-on-write).
+
+        Idempotence: an ``epoch_id`` already in ``applied_epochs`` is a no-op
+        (exactly-once under streaming re-delivery / restart).
+        Late data: target rows carry their applied ``(ts, _lsn)``; an
+        out-of-order older change loses the max-version comparison, and a
+        delete tombstone persists so an older update cannot resurrect a key.
+        """
+        t0 = time.monotonic()
+        m = self.manifest()
+        # idempotence scope: Structured Streaming epoch ids restart at 0 for
+        # every NEW checkpoint, so re-delivery detection is keyed by
+        # (checkpoint lineage, epoch) — the exactly-once contract is
+        # per-checkpoint, cross-restart
+        epoch_key = f"{epoch_scope}:{epoch_id}"
+        if epoch_key in m["applied_epochs"]:
+            return {
+                "status": "Skipped",
+                "epoch_id": epoch_id,
+                "version": m["version"],
+                "reason": "epoch already committed",
+                "duration_s": time.monotonic() - t0,
+            }
+        n_buckets = m["n_buckets"]
+        key_cols = m["key_cols"]
+        cur_schema = self.schema()
+
+        # 1. schema evolution (additive) BEFORE touching data
+        payload_fields = [
+            f for f in changes.schema.fields if f.name not in ("op", "lsn")
+        ]
+        new_schema, added_cols = self._evolve_schema(
+            cur_schema, T.StructType(payload_fields)
+        )
+
+        # 2. within-batch dedup: salted two-level max-version aggregate
+        deduped = dedup_latest(
+            changes, key_cols, ["ts", "lsn"], salt_buckets=salt_buckets
+        )
+
+        # 3. normalize to internal row shape; cache — used by count + join(s)
+        payload_names = [f.name for f in new_schema.fields]
+        change_rows = deduped.select(
+            *[
+                F.col(c) if c in deduped.columns else F.lit(None).cast(
+                    dict((f.name, f.dataType) for f in new_schema.fields)[c]
+                )
+                for c in payload_names
+            ],
+            F.col("lsn").alias("_lsn"),
+            (F.col("op") == F.lit("D")).alias("_deleted"),
+        ).withColumn("_bucket", _bucket_expr(n_buckets))
+        change_rows.persist()
+
+        # 4. touched buckets + batch size in ONE job → read ONLY their files
+        bucket_counts = change_rows.groupBy("_bucket").count().collect()
+        touched = sorted(int(r["_bucket"]) for r in bucket_counts)
+        n_change_keys = sum(int(r["count"]) for r in bucket_counts)
+        ischema = T.StructType(
+            new_schema.fields
+            + [
+                T.StructField("_lsn", T.LongType(), True),
+                T.StructField("_deleted", T.BooleanType(), True),
+                T.StructField("_bucket", T.IntegerType(), True),
+            ]
+        )
+        old_files = {
+            int(b): paths for b, paths in m["files"].items()
+        }
+        touched_files = [
+            os.path.join(self.root, p)
+            for b in touched
+            for p in old_files.get(b, [])
+        ]
+        target = self._read_files(touched_files, ischema)
+
+        # 5. merge the deduped batch into the touched buckets.
+        #    Fast path (the common micro-batch case): the deduped batch is
+        #    small → broadcast it; target data flows scan→write with ZERO
+        #    shuffle.  General path: union + per-key max-version aggregate
+        #    (single shuffle with map-side partial combine).
+        use_broadcast = strategy == "broadcast" or (
+            strategy == "auto" and n_change_keys <= broadcast_threshold
+        )
+        if not touched_files:
+            merged = change_rows  # empty target: batch is already one row/key
+            merge_path = "initial"
+        elif use_broadcast:
+            merged = self._merge_broadcast(target, change_rows, key_cols, ischema)
+            merge_path = "broadcast"
+        else:
+            unified = target.unionByName(change_rows, allowMissingColumns=True)
+            merged = dedup_latest(unified, key_cols, ["ts", "_lsn"])
+            merge_path = "shuffle"
+
+        # 6. stage: write under an unreferenced dir; publish only via manifest
+        version = m["version"] + 1
+        stage_rel = self._staging_relpath(version, epoch_id)
+        stage_dir = os.path.join(self.root, stage_rel)
+        writer = merged.withColumn("_pb", F.col("_bucket"))
+        if files_per_bucket > 1:
+            writer = writer.repartition(
+                len(touched) * files_per_bucket,
+                F.col("_bucket"),
+                F.pmod(F.xxhash64(*key_cols), F.lit(files_per_bucket)),
+            )
+        else:
+            writer = writer.repartition(max(len(touched), 1), F.col("_bucket"))
+        writer.write.mode("overwrite").partitionBy("_pb").parquet(stage_dir)
+
+        # 7. audit (write-audit-publish; cf. record counts the reference logs
+        #    per chunk, DataSplit.py:133)
+        staged_files: dict[int, list[str]] = {b: [] for b in touched}
+        staged_rows = 0
+        for b in touched:
+            bdir = os.path.join(stage_dir, f"_pb={b}")
+            if os.path.isdir(bdir):
+                staged_files[b] = [
+                    os.path.join(stage_rel, f"_pb={b}", f)
+                    for f in sorted(os.listdir(bdir))
+                    if f.endswith(".parquet")
+                ]
+        staged_paths = [
+            os.path.join(self.root, p) for ps in staged_files.values() for p in ps
+        ]
+        rows_by_bucket: dict[str, int] = {str(b): 0 for b in touched}
+        if staged_paths:
+            staged_df = self.spark.read.schema(ischema).parquet(*staged_paths)
+            for r in staged_df.groupBy("_bucket").count().collect():
+                rows_by_bucket[str(r["_bucket"])] = r["count"]
+            staged_rows = sum(rows_by_bucket.values())
+            if audit == "keys":
+                dups = (
+                    staged_df.groupBy(*key_cols)
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .limit(1)
+                    .count()
+                )
+                if dups:
+                    raise RuntimeError(
+                        f"audit failed: duplicate keys staged for epoch {epoch_id}"
+                    )
+
+        # 8. publish: untouched buckets keep old files; touched swap to staged
+        files = dict(old_files)
+        for b in touched:
+            files[b] = staged_files.get(b, [])
+        untouched_rows = m["total_rows"] - self._rows_in(m, touched)
+        new_manifest = {
+            "version": version,
+            "parent": m["version"],
+            "epoch_id": epoch_key,
+            "schema": new_schema.jsonValue(),
+            "key_cols": key_cols,
+            "n_buckets": n_buckets,
+            "tenant_id": m.get("tenant_id"),
+            "files": {str(b): p for b, p in files.items()},
+            "bucket_rows": {
+                **{
+                    str(b): r
+                    for b, r in (m.get("bucket_rows") or {}).items()
+                    if int(b) not in touched
+                },
+                **rows_by_bucket,
+            },
+            "applied_epochs": m["applied_epochs"] + [epoch_key],
+            "added_cols": added_cols,
+            "total_rows": untouched_rows + staged_rows,
+            "committed_at": time.time(),
+        }
+        try:
+            if before_publish is not None:
+                # test/chaos hook: crash after staging, before the commit
+                # point — the staged dir stays unreferenced; replay re-runs
+                before_publish(new_manifest)
+            self._publish(new_manifest)
+        finally:
+            change_rows.unpersist()
+        return {
+            "status": "Success",
+            "epoch_id": epoch_id,
+            "version": version,
+            "merge_path": merge_path,
+            "touched_buckets": touched,
+            "staged_rows": staged_rows,
+            "n_change_keys": n_change_keys,
+            "rows_by_bucket": {int(b): n for b, n in rows_by_bucket.items()},
+            "added_cols": added_cols,
+            "duration_s": time.monotonic() - t0,
+        }
+
+    def _merge_broadcast(
+        self,
+        target: DataFrame,
+        change_rows: DataFrame,
+        key_cols: list[str],
+        ischema: T.StructType,
+    ) -> DataFrame:
+        """Broadcast MERGE: the deduped change batch joins against the target
+        with NO shuffle of target data.
+
+        * updates: broadcast LEFT join target←changes; per row keep whichever
+          side has the greater (ts, _lsn) — a late out-of-order change loses;
+        * inserts: change keys not present in the target, found via a
+          broadcast semi-scan of the target's key columns only (parquet
+          column pruning makes this second scan cheap) and a broadcast
+          anti-join on the (small) matched-key set.
+
+        Target rows stream scan→(narrow ops)→write; the only shuffled data is
+        the change batch itself.  This is the path that keeps per-epoch cost
+        O(touched buckets) + O(batch) at 10^10-event scale.
+        """
+        non_key = [c for c in (f.name for f in ischema.fields) if c not in key_cols]
+        c_ren = change_rows.select(
+            *key_cols, *[F.col(c).alias(f"_c_{c}") for c in non_key]
+        )
+        joined = target.join(F.broadcast(c_ren), key_cols, "left")
+        newer = F.col("_c_ts").isNotNull() & (
+            F.struct(F.col("_c_ts"), F.col("_c__lsn"))
+            > F.struct(F.col("ts"), F.col("_lsn"))
+        )
+        updated = joined.select(
+            *key_cols,
+            *[
+                F.when(newer, F.col(f"_c_{c}")).otherwise(F.col(c)).alias(c)
+                for c in non_key
+            ],
+        )
+        matched = (
+            target.select(*key_cols)
+            .join(F.broadcast(change_rows.select(*key_cols)), key_cols, "left_semi")
+        )
+        inserts = change_rows.join(F.broadcast(matched), key_cols, "left_anti")
+        cols = [f.name for f in ischema.fields]
+        return updated.select(*cols).unionByName(inserts.select(*cols))
+
+    def _rows_in(self, manifest: dict[str, Any], buckets: list[int]) -> int:
+        br = manifest.get("bucket_rows") or {}
+        return sum(int(br.get(str(b), 0)) for b in buckets)
+
+    def _staging_relpath(self, version: int, epoch_id: int) -> str:
+        # unique per attempt: a crashed attempt's dir is never referenced and
+        # never collides with the retry (vacuum removes orphans)
+        base = os.path.join(_DATA_DIR, f"v{version:012d}-e{epoch_id}")
+        attempt = 0
+        while os.path.exists(os.path.join(self.root, f"{base}-a{attempt}")):
+            attempt += 1
+        return f"{base}-a{attempt}"
+
+    # ---------- maintenance ----------
+
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Remove data dirs unreferenced by the newest ``keep_versions``
+        manifests (the lazy cleanup that replaces the reference's eager
+        compensation deletes, ``HandleDataExtractionErrorLambda.py:49-62``)."""
+        import shutil
+
+        cur = self.current_version()
+        keep = range(max(0, cur - keep_versions + 1), cur + 1)
+        referenced: set[str] = set()
+        for v in keep:
+            m = self.manifest(v)
+            for ps in m["files"].values():
+                for p in ps:
+                    referenced.add(p.split("/")[1])  # data/<dir>/...
+        removed = []
+        ddir = os.path.join(self.root, _DATA_DIR)
+        for d in os.listdir(ddir):
+            if d not in referenced:
+                shutil.rmtree(os.path.join(ddir, d))
+                removed.append(d)
+        return removed

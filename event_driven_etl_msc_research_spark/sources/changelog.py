@@ -1,0 +1,56 @@
+"""Change-log (binlog/WAL) source readers.
+
+The reference's source chain — whole-file ``json.load`` into driver memory
+(``DataSplit.py:98-104``), re-materialized chunk objects (``DataSplit.py:116-129``),
+per-chunk ``get_object`` reads (``Phase3-Transformation.py:106-110``) — collapses
+into a single declarative scan: Spark streams the segment files directly, the
+checkpointed source offset replaces the chunk registry's delivery bookkeeping,
+and ``maxFilesPerTrigger`` replaces ``chunk_size`` as the batch-sizing knob.
+
+Schema is ALWAYS supplied, never inferred (the reference's positional/implicit
+schema, ``Phase3-Transformation.py:115-121``, is the anti-pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..schemas import CHANGE_EVENT_SCHEMA
+
+
+def read_changelog_batch(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = CHANGE_EVENT_SCHEMA,
+    fmt: str = "json",
+) -> DataFrame:
+    """Batch read of the whole change log (replay-from-zero)."""
+    if fmt == "json":
+        return spark.read.schema(schema).json(path)
+    if fmt == "parquet":
+        return spark.read.schema(schema).parquet(path)
+    raise ValueError(f"unsupported changelog format: {fmt}")
+
+
+def read_changelog_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = CHANGE_EVENT_SCHEMA,
+    fmt: str = "json",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming tail of the change-log directory.
+
+    ``max_files_per_trigger`` bounds the micro-batch (the reference's
+    ``chunk_size``, ``DataSplit.py:149``); with ``Trigger.AvailableNow`` the
+    stream drains everything present and stops (replay mode, SURVEY.md §2.9).
+    """
+    rdr = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        rdr = rdr.option("maxFilesPerTrigger", max_files_per_trigger)
+    if fmt == "json":
+        return rdr.json(path)
+    if fmt == "parquet":
+        return rdr.parquet(path)
+    raise ValueError(f"unsupported changelog format: {fmt}")

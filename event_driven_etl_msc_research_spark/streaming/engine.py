@@ -1,0 +1,179 @@
+"""CDCEngine — the Structured Streaming shell around the MERGE sink.
+
+Replaces the reference's entire orchestration layer:
+
+* Step Functions state machine + ``Map`` fan-out with ``MaxConcurrency: 4``
+  (``AWS-Step-function/prototype-etl.json:3-209``) → ONE streaming query;
+  micro-batches are the chunks, Spark's task scheduler is the fan-out;
+* per-stage Lambdas chained by JSON payload (``prototype-etl.json:40-159``)
+  → a single ``foreachBatch`` function; the Catalyst plan is the
+  inter-stage IR;
+* Retry/Catch/compensation blocks (``prototype-etl.json:15-24,61-69``)
+  → checkpoint restart + idempotent epoch commit: a failed epoch re-runs
+  from the checkpoint and either commits once or is skipped as already
+  applied — no compensating deletes (SURVEY.md §2.8 E3/E4);
+* ``correlation_id = uuid.uuid4()`` per run (``DataSplit.py:160``)
+  → the deterministic streaming ``epoch_id``.
+
+Resumability: kill the query at ANY point; restarting with the same
+checkpoint dir replays the in-flight epoch; ``Trigger.AvailableNow`` drains
+all pending segments and stops (full replay mode).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..lineage import LineageLog
+from ..schemas import CHANGE_EVENT_SCHEMA, KEY_COLS
+from ..sinks.manifest import ManifestTable
+from ..sources.changelog import read_changelog_batch, read_changelog_stream
+
+
+def _payload_schema(change_schema: T.StructType) -> T.StructType:
+    return T.StructType(
+        [f for f in change_schema.fields if f.name not in ("op", "lsn")]
+    )
+
+
+class CDCEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_root: str,
+        change_schema: T.StructType = CHANGE_EVENT_SCHEMA,
+        key_cols: list[str] | None = None,
+        n_buckets: int = 16,
+        tenant_id: str | None = None,
+        salt_buckets: int = 16,
+        files_per_bucket: int = 1,
+        audit: str = "counts",
+        fail_after_stage_write: bool = False,  # chaos hook (cf. the reference's
+        # live 'Intentional exception', Phase3-Data-Extraction-Async.py:44)
+    ):
+        self.spark = spark
+        self.change_schema = change_schema
+        self.salt_buckets = salt_buckets
+        self.files_per_bucket = files_per_bucket
+        self.audit = audit
+        self.fail_after_stage_write = fail_after_stage_write
+        self.table = ManifestTable.create(
+            spark,
+            table_root,
+            _payload_schema(change_schema),
+            key_cols=key_cols or KEY_COLS,
+            n_buckets=n_buckets,
+            tenant_id=tenant_id,
+        )
+        self.lineage = LineageLog(spark, table_root, tenant_id=tenant_id)
+        # idempotence scope for epoch ids; replay() pins it to the checkpoint
+        # dir so restarts of the SAME checkpoint dedup, while a new
+        # checkpoint (whose epoch ids restart at 0) never collides
+        self._epoch_scope = "batch"
+
+    # ---------- the foreachBatch body ----------
+
+    def apply_batch(self, batch_df: DataFrame, epoch_id: int) -> dict:
+        """Dedup + MERGE + lineage for one micro-batch (one 'chunk chain'
+        of the reference: Extraction→Transformation→Load→Backup collapses
+        into dedup→merge→commit; Backup is implicit in snapshot retention)."""
+        t0 = time.monotonic()
+        try:
+            before_publish = None
+            if self.fail_after_stage_write:
+                # chaos: fail between staging write and manifest publish —
+                # the next run must re-run the epoch and converge to the
+                # identical final state (E5; cf. the reference's live
+                # 'Intentional exception', Phase3-Data-Extraction-Async.py:44)
+                def before_publish(_m):
+                    raise RuntimeError("Intentional exception (chaos hook)")
+
+            stats = self.table.merge(
+                batch_df,
+                epoch_id,
+                salt_buckets=self.salt_buckets,
+                files_per_bucket=self.files_per_bucket,
+                audit=self.audit,
+                epoch_scope=self._epoch_scope,
+                before_publish=before_publish,
+            )
+            self.lineage.record_stage(
+                epoch_id,
+                "merge",
+                stats["status"],
+                detail=str({k: v for k, v in stats.items() if k != "rows_by_bucket"}),
+                duration_s=stats["duration_s"],
+            )
+            if stats["status"] == "Success":
+                self.lineage.record_partitions(
+                    epoch_id, "merge", stats.get("rows_by_bucket", {})
+                )
+            return stats
+        except Exception as e:  # E2: error payload → lineage, then propagate
+            self.lineage.record_stage(
+                epoch_id,
+                "merge",
+                "Failed",
+                detail=repr(e)[:2000],
+                duration_s=time.monotonic() - t0,
+            )
+            raise
+
+    # ---------- replay / tail ----------
+
+    def replay(
+        self,
+        changelog_dir: str,
+        checkpoint_dir: str,
+        fmt: str = "json",
+        max_files_per_trigger: int | None = None,
+        available_now: bool = True,
+        processing_time: str = "1 seconds",
+        timeout_s: float | None = None,
+    ):
+        """Run the streaming query. ``available_now=True`` = drain-and-stop
+        replay; otherwise a continuous tail with ``processing_time`` trigger."""
+        import os
+
+        self._epoch_scope = os.path.abspath(checkpoint_dir)
+        stream = read_changelog_stream(
+            self.spark,
+            changelog_dir,
+            schema=self.change_schema,
+            fmt=fmt,
+            max_files_per_trigger=max_files_per_trigger,
+        )
+        writer = (
+            stream.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .queryName("cdc_replay")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=processing_time)
+        q = writer.start()
+        if available_now:
+            q.awaitTermination(timeout_s)
+        return q
+
+    def apply_batch_once(
+        self, changelog_dir: str, epoch_id: int = 0, fmt: str = "json"
+    ) -> dict:
+        """Batch-mode apply of a whole changelog dir as one epoch (the
+        'single-chunk ad-hoc re-run' path, SURVEY.md §3.2 — idempotent here)."""
+        df = read_changelog_batch(
+            self.spark, changelog_dir, schema=self.change_schema, fmt=fmt
+        )
+        return self.apply_batch(df, epoch_id)
+
+    # ---------- reads ----------
+
+    def read_table(self, version: int | None = None) -> DataFrame:
+        return self.table.read(version=version)
+
+    def metrics_report(self) -> DataFrame:
+        return self.lineage.stage_report()

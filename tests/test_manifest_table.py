@@ -1,0 +1,212 @@
+"""ManifestTable: MERGE semantics, exactly-once, evolution, time travel.
+
+Covers the transaction layer that replaces the reference's tracking rows +
+compensation lambdas (SURVEY.md §2.8 E1-E6).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+from event_driven_etl_msc_research_spark.schemas import TRANSCRIPT_SCHEMA
+from event_driven_etl_msc_research_spark.sinks.manifest import (
+    ManifestTable,
+    SchemaEvolutionError,
+)
+
+
+def _changes_df(spark, rows, extra_cols=None):
+    cols = ["op", "lsn", "ts", "conv_id", "turn_idx", "role", "text", "tool"]
+    if extra_cols:
+        cols += extra_cols
+    pdf = pd.DataFrame(rows, columns=cols)
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s", utc=True)
+    fields = [
+        T.StructField("op", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+    ] + [T.StructField(c, T.StringType()) for c in (extra_cols or [])]
+    return spark.createDataFrame(pdf, T.StructType(fields))
+
+
+def _state(table, version=None):
+    df = table.read(version=version).orderBy("conv_id", "turn_idx")
+    return {
+        (r["conv_id"], r["turn_idx"]): r["text"] for r in df.collect()
+    }
+
+
+@pytest.fixture()
+def table(spark, tmp_root):
+    return ManifestTable.create(
+        spark, os.path.join(tmp_root, "t"), TRANSCRIPT_SCHEMA, n_buckets=4
+    )
+
+
+def test_create_is_idempotent(spark, tmp_root, table):
+    t2 = ManifestTable.create(
+        spark, os.path.join(tmp_root, "t"), TRANSCRIPT_SCHEMA, n_buckets=4
+    )
+    assert t2.current_version() == 0
+
+
+def test_merge_upsert_and_delete(spark, table):
+    table.merge(
+        _changes_df(
+            spark,
+            [
+                ("I", 0, 100, "a", 0, "user", "hello", None),
+                ("I", 1, 100, "a", 1, "assistant", "hi", None),
+                ("I", 2, 100, "b", 0, "user", "x", None),
+            ],
+        ),
+        epoch_id=0,
+    )
+    assert _state(table) == {("a", 0): "hello", ("a", 1): "hi", ("b", 0): "x"}
+    table.merge(
+        _changes_df(
+            spark,
+            [
+                ("U", 3, 200, "a", 0, "user", "hello-edited", None),
+                ("D", 4, 200, "b", 0, None, None, None),
+                ("I", 5, 200, "c", 0, "user", "new", None),
+            ],
+        ),
+        epoch_id=1,
+    )
+    assert _state(table) == {
+        ("a", 0): "hello-edited",
+        ("a", 1): "hi",
+        ("c", 0): "new",
+    }
+
+
+def test_late_older_update_loses(spark, table):
+    table.merge(
+        _changes_df(spark, [("I", 10, 500, "a", 0, "user", "newest", None)]), 0
+    )
+    # an older change arriving in a LATER batch must not overwrite
+    table.merge(
+        _changes_df(spark, [("U", 5, 400, "a", 0, "user", "stale", None)]), 1
+    )
+    assert _state(table) == {("a", 0): "newest"}
+
+
+def test_tombstone_blocks_resurrection(spark, table):
+    table.merge(_changes_df(spark, [("I", 1, 100, "a", 0, "user", "v1", None)]), 0)
+    table.merge(_changes_df(spark, [("D", 9, 900, "a", 0, None, None, None)]), 1)
+    # late out-of-order update OLDER than the delete must not resurrect
+    table.merge(_changes_df(spark, [("U", 5, 500, "a", 0, "user", "zombie", None)]), 2)
+    assert _state(table) == {}
+    # but a genuinely NEWER insert after the delete must win
+    table.merge(_changes_df(spark, [("I", 12, 1200, "a", 0, "user", "reborn", None)]), 3)
+    assert _state(table) == {("a", 0): "reborn"}
+
+
+def test_epoch_idempotence(spark, table):
+    df = _changes_df(spark, [("I", 0, 100, "a", 0, "user", "once", None)])
+    r1 = table.merge(df, epoch_id=7)
+    v = table.current_version()
+    r2 = table.merge(df, epoch_id=7)  # re-delivery of a committed epoch
+    assert r1["status"] == "Success" and r2["status"] == "Skipped"
+    assert table.current_version() == v  # no new snapshot
+    assert _state(table) == {("a", 0): "once"}
+
+
+def test_time_travel(spark, table):
+    table.merge(_changes_df(spark, [("I", 0, 100, "a", 0, "user", "v1", None)]), 0)
+    v1 = table.current_version()
+    table.merge(_changes_df(spark, [("U", 1, 200, "a", 0, "user", "v2", None)]), 1)
+    assert _state(table, version=v1) == {("a", 0): "v1"}
+    assert _state(table) == {("a", 0): "v2"}
+
+
+def test_additive_schema_evolution(spark, table):
+    table.merge(_changes_df(spark, [("I", 0, 100, "a", 0, "user", "old", None)]), 0)
+    r = table.merge(
+        _changes_df(
+            spark,
+            [("I", 1, 200, "b", 0, "tool", "new", "bash", "meta1")],
+            extra_cols=["tool_meta"],
+        ),
+        1,
+    )
+    assert r["added_cols"] == ["tool_meta"]
+    assert "tool_meta" in [f.name for f in table.schema().fields]
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["tool_meta"]
+        for r in table.read().collect()
+    }
+    # pre-evolution row (possibly in an untouched, unrewritten file) → null
+    assert got == {("a", 0): None, ("b", 0): "meta1"}
+
+
+def test_type_conflict_rejected(spark, table):
+    pdf = pd.DataFrame(
+        [("I", 0, pd.Timestamp(100, unit="s", tz="UTC"), "a", 0, 123)],
+        columns=["op", "lsn", "ts", "conv_id", "turn_idx", "role"],
+    )
+    schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.LongType()),  # was string
+        ]
+    )
+    with pytest.raises(SchemaEvolutionError):
+        table.merge(spark.createDataFrame(pdf, schema), 0)
+
+
+def test_crash_before_publish_then_retry(spark, table):
+    """Write-audit-publish: a crash after staging leaves table state
+    untouched; the retry converges (replaces compensation deletes E3)."""
+    df = _changes_df(spark, [("I", 0, 100, "a", 0, "user", "hello", None)])
+    with pytest.raises(RuntimeError, match="Intentional"):
+        table.merge(
+            df,
+            epoch_id=0,
+            before_publish=lambda m: (_ for _ in ()).throw(
+                RuntimeError("Intentional exception")
+            ),
+        )
+    assert table.current_version() == 0  # nothing published
+    assert _state(table) == {}
+    r = table.merge(df, epoch_id=0)  # retry of the same epoch
+    assert r["status"] == "Success"
+    assert _state(table) == {("a", 0): "hello"}
+    # the orphaned staging dir from the crashed attempt is vacuumable
+    removed = table.vacuum(keep_versions=1)
+    assert any("-a0" in d for d in removed)
+    assert _state(table) == {("a", 0): "hello"}
+
+
+def test_audit_keys_mode(spark, table):
+    df = _changes_df(spark, [("I", 0, 100, "a", 0, "user", "x", None)])
+    r = table.merge(df, epoch_id=0, audit="keys")
+    assert r["status"] == "Success"
+
+
+def test_merge_touches_only_affected_buckets(spark, table):
+    """Copy-on-write at bucket granularity: a merge must not rewrite
+    buckets its batch does not touch (the 100 TB property)."""
+    rows = [("I", i, 100, f"c{i}", 0, "user", f"t{i}", None) for i in range(20)]
+    table.merge(_changes_df(spark, rows), 0)
+    m0 = table.manifest()
+    r = table.merge(_changes_df(spark, [("U", 99, 999, "c0", 0, "user", "upd", None)]), 1)
+    m1 = table.manifest()
+    assert len(r["touched_buckets"]) == 1
+    for b, files in m1["files"].items():
+        if int(b) not in r["touched_buckets"]:
+            assert files == m0["files"].get(b, [])

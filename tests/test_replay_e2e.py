@@ -1,0 +1,78 @@
+"""Golden end-to-end replay: deterministic CDC stream → engine → oracle
+(SURVEY.md §5.2).  The per-row invariant is per-turn text equality under
+stable (conv_id, turn_idx) ordering (BASELINE.json input_hint)."""
+
+from __future__ import annotations
+
+import os
+
+from conftest import assert_pdf_equal
+
+from event_driven_etl_msc_research_spark import CDCEngine
+from event_driven_etl_msc_research_spark.datagen import (
+    ChangeStreamSpec,
+    generate_change_stream,
+)
+from event_driven_etl_msc_research_spark.oracle import oracle_final_state
+from event_driven_etl_msc_research_spark.schemas import CHANGE_EVENT_SCHEMA_EVOLVED
+
+COLS = ["conv_id", "turn_idx", "role", "text", "tool", "tool_meta", "ts"]
+
+
+def test_golden_replay_matches_oracle(spark, tmp_root):
+    spec = ChangeStreamSpec(
+        n_events=10_000,
+        n_convs=200,
+        segment_size=1_000,
+        seed=42,
+        dup_segments=(1, 4),  # whole-segment duplicate deliveries
+    )
+    gen = generate_change_stream(os.path.join(tmp_root, "log"), spec)
+    assert len(gen.segment_paths) == 12  # 10 segments + 2 duplicates
+
+    eng = CDCEngine(
+        spark,
+        os.path.join(tmp_root, "table"),
+        change_schema=CHANGE_EVENT_SCHEMA_EVOLVED,
+        n_buckets=8,
+    )
+    eng.replay(
+        os.path.join(tmp_root, "log"),
+        os.path.join(tmp_root, "cp"),
+        max_files_per_trigger=3,
+    )
+    got = eng.read_table().orderBy("conv_id", "turn_idx").toPandas()
+    exp = oracle_final_state(spec)
+    assert_pdf_equal(got, exp, COLS)
+
+    # replaying the ENTIRE log again as a fresh batch epoch is a no-op on
+    # state (max-version idempotence, not just epoch-id dedup)
+    r = eng.apply_batch_once(os.path.join(tmp_root, "log"), epoch_id=10_001)
+    assert r["status"] == "Success"
+    got2 = eng.read_table().orderBy("conv_id", "turn_idx").toPandas()
+    assert_pdf_equal(got2, exp, COLS)
+
+
+def test_lineage_and_metrics_recorded(spark, tmp_root):
+    spec = ChangeStreamSpec(n_events=2_000, n_convs=50, segment_size=500, seed=1)
+    generate_change_stream(os.path.join(tmp_root, "log"), spec)
+    eng = CDCEngine(
+        spark,
+        os.path.join(tmp_root, "table"),
+        change_schema=CHANGE_EVENT_SCHEMA_EVOLVED,
+        n_buckets=4,
+    )
+    eng.replay(
+        os.path.join(tmp_root, "log"),
+        os.path.join(tmp_root, "cp"),
+        max_files_per_trigger=2,
+    )
+    lin = eng.lineage.lineage().toPandas()
+    assert (lin["status"] == "Success").all()
+    assert lin["epoch_id"].nunique() >= 3  # 5 segments / 2 per trigger
+    rep = eng.metrics_report().toPandas()
+    assert rep.loc[rep["stage"] == "merge", "n_epochs"].iloc[0] >= 3
+    # chunk-registry rows: per-(epoch, bucket) counts, all positive
+    reg = eng.lineage.chunk_registry().toPandas()
+    assert (reg["n_records"] > 0).all()
+    assert set(reg["stage"]) == {"merge"}

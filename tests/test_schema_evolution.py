@@ -1,0 +1,79 @@
+"""Mid-stream additive schema evolution (SURVEY.md §5.4, FIXTURES.md F2):
+``tool_meta`` appears partway through the change log; old rows read null,
+new rows populated, table schema version bumped."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from conftest import assert_pdf_equal
+
+from event_driven_etl_msc_research_spark import CDCEngine
+from event_driven_etl_msc_research_spark.datagen import (
+    ChangeStreamSpec,
+    generate_change_stream,
+)
+from event_driven_etl_msc_research_spark.oracle import oracle_final_state
+from event_driven_etl_msc_research_spark.schemas import (
+    CHANGE_EVENT_SCHEMA,
+    CHANGE_EVENT_SCHEMA_EVOLVED,
+)
+
+COLS = ["conv_id", "turn_idx", "role", "text", "tool", "tool_meta", "ts"]
+
+# evolve boundary aligned to segment AND shuffle-window boundaries so
+# pre-evolution segments contain only pre-evolution events (see datagen)
+SPEC = ChangeStreamSpec(
+    n_events=4_000,
+    n_convs=80,
+    segment_size=500,
+    ooo_window=250,
+    evolve_at_frac=0.5,
+    dup_segments=(),
+    seed=5,
+)
+
+
+def test_mid_stream_evolution(spark, tmp_root):
+    log = os.path.join(tmp_root, "log")
+    gen = generate_change_stream(log, SPEC)
+    # segments 0-3 = pre-evolution (no tool_meta key anywhere in the file)
+    for p in gen.segment_paths[:4]:
+        with open(p) as f:
+            assert all("tool_meta" not in json.loads(line) for line in f)
+
+    early, late = os.path.join(tmp_root, "early"), os.path.join(tmp_root, "late")
+    os.makedirs(early), os.makedirs(late)
+    for p in gen.segment_paths[:4]:
+        shutil.copy(p, early)
+    for p in gen.segment_paths[4:]:
+        shutil.copy(p, late)
+
+    tbl = os.path.join(tmp_root, "table")
+    # phase 1: engine runs with the ORIGINAL schema
+    eng1 = CDCEngine(spark, tbl, change_schema=CHANGE_EVENT_SCHEMA, n_buckets=8)
+    eng1.replay(early, os.path.join(tmp_root, "cp1"))
+    assert "tool_meta" not in [f.name for f in eng1.table.schema().fields]
+    v_pre = eng1.table.current_version()
+
+    # phase 2: source DDL added tool_meta → engine restarts with evolved schema
+    eng2 = CDCEngine(
+        spark, tbl, change_schema=CHANGE_EVENT_SCHEMA_EVOLVED, n_buckets=8
+    )
+    eng2.replay(late, os.path.join(tmp_root, "cp2"))
+    assert "tool_meta" in [f.name for f in eng2.table.schema().fields]
+    assert eng2.table.current_version() > v_pre
+
+    # full equality incl. nulls for pre-evolution winners
+    got = eng2.read_table().orderBy("conv_id", "turn_idx").toPandas()
+    exp = oracle_final_state(SPEC)
+    assert_pdf_equal(got, exp, COLS)
+    # sanity: both populated and null tool_meta exist
+    assert got["tool_meta"].notna().any() and got["tool_meta"].isna().any()
+
+    # time travel to the pre-evolution snapshot still reads the OLD schema
+    assert "tool_meta" not in [
+        f.name for f in eng2.table.schema(version=v_pre).fields
+    ]
