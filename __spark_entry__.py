@@ -1,38 +1,41 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the engine's full CDC path (change-stream →
+salted max-version dedup → exactly-once MERGE into a manifest table →
+snapshot read) applied to the sf0.001 ``events`` table.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 plus the training-data-pipeline operators (dedup family,
+similarity search, text analysis, multimodal plumbing).  Definitions live in
+``event_driven_etl_msc_research_spark/plans/driver_queries.py``; entries
+whose oracle is None (engine-specific hashing / approximate results) get the
+driver's rows-only check and are cross-validated in tests/ instead.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from event_driven_etl_msc_research_spark.plans.driver_queries import (  # noqa: E402
+    QUERIES,
+    cdc_merge_events,
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return cdc_merge_events(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}

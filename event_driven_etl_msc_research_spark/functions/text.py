@@ -1,0 +1,122 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All pure Column expressions (JVM-side, whole-stage codegen) — no Python in
+the hot path.  Every function here has an exact ANSI-SQL twin used as the
+DuckDB oracle in ``__spark_entry__.py``, so the semantics are pinned by the
+driver's correctness gate, not just unit tests.
+
+These extend the reference's transform repertoire (SURVEY.md §2.2 — filters,
+imputation, string splits) with the text ops a 100 TB document pipeline
+needs: token counting, quality scoring, language ID, fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# shared with the SQL oracles — keep sorted, lowercase
+STOPWORDS = ["a", "an", "and", "in", "of", "the", "to"]
+
+# tiny per-language marker sets for the n-gram/stopword language-ID heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of"],
+    "de": ["der", "die", "das", "und"],
+    "es": ["el", "los", "las", "y"],
+    "fr": ["le", "les", "des", "et"],
+}
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks
+BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def ws_tokens(col: Column) -> Column:
+    """Whitespace tokens of trimmed text."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(ws_tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Token count under the BPE-ish regex pre-tokenizer."""
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(BPE_ISH_PATTERN), 0))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are not [a-z0-9 ] (lowercased)."""
+    lower = F.lower(col)
+    n = F.length(lower)
+    punct = F.length(F.regexp_replace(lower, "[a-z0-9 ]", ""))
+    return F.when(n > 0, punct.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column) -> Column:
+    """Fraction of whitespace tokens that are stopwords."""
+    toks = ws_tokens(F.lower(col))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic document quality score in [0, 1]:
+
+    ``0.5*min(tokens/200, 1) + 0.3*(1 - punct_ratio) + 0.2*(1 - stopword_ratio)``
+
+    (length favors substance, punctuation noise and stopword stuffing
+    penalized — the usual cheap pre-filter before expensive dedup.)
+    """
+    len_term = F.least(token_count(col).cast("double") / F.lit(200.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.5) * len_term
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio(col))
+        + F.lit(0.2) * (F.lit(1.0) - stopword_ratio(col)),
+        4,
+    )
+
+
+def lang_marker_hits(col: Column, lang: str) -> Column:
+    toks = ws_tokens(F.lower(col))
+    return F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS[lang])))
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: argmax of per-language marker-token hits,
+    ties broken by language code order, 'und' (undetermined) when no
+    marker hits at all."""
+    pairs = [
+        F.struct(
+            lang_marker_hits(col, lang).alias("hits"),
+            # negated index: on tied hits, greatest picks the alphabetically
+            # FIRST language code (matches the SQL oracle's CASE order)
+            F.lit(-idx).alias("rank"),
+            F.lit(lang).alias("lang"),
+        )
+        for idx, lang in enumerate(sorted(LANG_MARKERS))
+    ]
+    best = F.greatest(*pairs) if len(pairs) > 1 else pairs[0]
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (space-joined) of lowercased text.
+    Texts shorter than n tokens yield an EMPTY array (guarded: Spark's
+    ``sequence(1, 0)`` would count DOWN, not return empty)."""
+    toks = ws_tokens(F.lower(col))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def doc_fingerprint(col: Column, n: int = 3) -> Column:
+    """Document fingerprint: lexicographic min of md5 over word n-gram
+    shingles (a 1-hash MinHash / winnowing-style rolling fingerprint).
+    md5 is bit-identical across Spark and DuckDB → oracle-checkable."""
+    return F.array_min(F.transform(shingles(col, n), lambda s: F.md5(s)))

@@ -1,0 +1,266 @@
+"""Document deduplication operators for training-data pipelines.
+
+Five dedup families, each designed for 100 TB document corpora:
+
+* exact           — hash group-by, keep the lowest doc_id (1 shuffle)
+* n-gram Jaccard  — exact token-set similarity via a token-inverted-index
+                    self-join (the verify step after any candidate pass)
+* MinHash + LSH   — shingle → k md5-min signature → band-bucket join; the
+                    scale path: candidate pairs come from equi-joins on band
+                    hashes, never from an O(n²) comparison
+* SimHash         — 64-bit sign-aggregated token hash, hamming buckets
+* embedding cosine— near-dup pairs over an embedding column
+
+Hash choice: md5 (bit-identical in Spark and DuckDB) for everything the
+driver oracle-checks; xxhash64 (faster, JVM-native) for SimHash, which is
+rows-only checked.  MinHash with a *string-lexicographic min* of md5 hex
+digests is unconventional but correct (a uniform hash order statistic) and
+makes the whole pipeline engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, ws_tokens
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: one row per distinct text, keeping the smallest id.
+    Single hash aggregate on md5(text) — never shuffles full text twice."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def token_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact token-SET Jaccard similar pairs via inverted index.
+
+    Plan: explode distinct tokens → self-join on token (the inverted index;
+    co-partitioned equi-join, no cross product) → per-pair intersection
+    count → Jaccard with per-doc set sizes.  At scale, prune super-common
+    tokens (df-cut) before the join; here the vocabulary is tiny so the
+    full index is used.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("did"),
+        F.explode(F.array_distinct(ws_tokens(F.lower(F.col(text_col))))).alias("tok"),
+    )
+    sizes = toks.groupBy("did").agg(F.count("*").alias("set_size"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.did") < F.col("b.did")))
+        .groupBy(F.col("a.did").alias("id_a"), F.col("b.did").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("did").alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("did").alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signature(
+    docs: DataFrame,
+    num_hashes: int = 12,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """k-min-hash signature: for seed s, ``min(md5(shingle || '#' || s))``.
+
+    One explode + one grouped aggregate with k min() columns — map-side
+    combine keeps the shuffle at k hex strings per doc regardless of
+    document length.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("did"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{s}")))).alias(f"mh{s}")
+        for s in range(num_hashes)
+    ]
+    return sh.groupBy("did").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: signature → ``bands`` band hashes →
+    self-join docs sharing any band bucket.  Distinct (id_a < id_b) pairs.
+
+    This is the 10^10-doc path: candidates come from equi-joins on band
+    hash (shuffle keyed by band value — hot buckets are bounded by band
+    width), and only candidates ever reach the exact-verify step
+    (``token_jaccard_pairs`` on the candidate set).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signature(docs, num_hashes, shingle_n, id_col, text_col)
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.md5(F.concat_ws("|", *[F.col(f"mh{j * r + i}") for i in range(r)])).alias(
+                "bh"
+            ),
+        )
+        for j in range(bands)
+    ]
+    banded = sig.select(
+        "did", F.explode(F.array(*band_structs)).alias("b")
+    ).select("did", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.did") < F.col("b.did")),
+        )
+        .select(F.col("a.did").alias("id_a"), F.col("b.did").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over whitespace tokens (xxhash64-based, Spark-native).
+
+    Per doc: for each bit position, sum +1/-1 over tokens by that bit of
+    xxhash64(token); the sign vector packs into one long.  Implemented as
+    explode + single aggregate of 64 sums — no Python, no UDF.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("did"),
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy("did").agg(*bit_sums)
+    packed = None
+    for b in range(64):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        packed = term if packed is None else packed.bitwiseXOR(term)
+    return agg.select("did", packed.alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs: block on 16-bit quarters (a pair within
+    hamming ≤ 3·16 shares ≥1 exact quarter — pigeonhole), then verify
+    hamming distance on candidates only."""
+    sh = simhash(docs, id_col, text_col)
+    quarters = sh.select(
+        "did",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftright(F.col("simhash"), q * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("qh"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("did", "simhash", "b.q", "b.qh")
+    a, b = quarters.alias("a"), quarters.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.qh") == F.col("b.qh"))
+            & (F.col("a.did") < F.col("b.did")),
+        )
+        .select(
+            F.col("a.did").alias("id_a"),
+            F.col("b.did").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def _cosine(a, b):
+    """Deterministic cosine: sequential left-fold dot products (same
+    association order as the DuckDB oracle's list_reduce)."""
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ threshold.
+
+    Brute-force O(n²) self-join — correct baseline for verification and
+    small corpora.  The scale path is ``similarity.knn_lsh_bucketed``:
+    bucket by random-hyperplane signs first, compare within buckets.
+    """
+    v = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.round(_cosine(F.col("a.v"), F.col("b.v")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

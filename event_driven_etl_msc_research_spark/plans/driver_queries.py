@@ -1,0 +1,708 @@
+"""Driver-contract query registry: name → (spark_fn, oracle_sql | None).
+
+Every implemented operator from SURVEY.md §2 (plus the training-data
+pipeline operators) gets a ``(spark, sf_dir) -> DataFrame`` callable and,
+where ANSI-SQL-expressible, a DuckDB oracle string computing the identical
+result over the same parquet files.
+
+Cross-engine determinism rules used throughout (so value-hashes match):
+* money/quantity aggregates: sum in DECIMAL(18,4) (exact), cast the final
+  result to DOUBLE — bit-identical in both engines;
+* float folds (cosine): identical sequential left-fold association order on
+  both sides (Spark ``aggregate`` ≡ DuckDB ``list_reduce``), then round(4);
+* hashes: md5 / sha256 (hex output identical in both engines);
+* timestamps in result sets are formatted to strings (Spark session TZ is
+  pinned UTC; DuckDB is UTC-naive);
+* Spark ``size()`` (int32) is cast to long to match DuckDB ``len()``.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TXT
+from ..operators import docops, similarity
+from ..operators.dedup import dedup_latest
+from ..operators.multimodal import (
+    extract_binary_features,
+    frame_sample_stub,
+    with_binary_payload,
+)
+from ..operators.transform import impute_missing, strip_author_prefix
+from ..sinks.manifest import ManifestTable
+from pyspark.sql import types as T
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,4)")
+
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+# DuckDB twins of the shared tokenizer / shingler (functions/text.py)
+_D_TOKS = "string_split_regex(lower(trim({c})), '\\s+')"
+_D_SHINGLES = (
+    "list_transform(generate_series(1, len({t}) - 2), "
+    "i -> array_to_string({t}[i:i+2], ' '))"
+)
+
+
+# --------------------------------------------------------------------------
+# TPC-H-ish relational queries (scan / filter / agg / join / window / top-k)
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan+filter+groupBy+8 aggregates.  Exercises
+    predicate pushdown and partial aggregation (SURVEY.md §2.5 A1)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(18,4)") + _dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(_dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10.  The
+    customer dim is broadcast (small side)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    ).cast("double")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT o_orderkey, o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way star join; dims broadcast, fact never
+    shuffled before aggregation."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    ).cast("double")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(revenue.alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+Q5_SQL = """
+SELECT r_name, n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 users per event_type by exact total value (window top-k)."""
+    ev = _t(spark, sf_dir, "events")
+    totals = ev.groupBy("event_type", "user_id").agg(
+        F.sum(_dec("value")).cast("double").alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("total_value"), F.asc("user_id")
+    )
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "user_id", "total_value", "rank")
+    )
+
+
+TOP_USERS_SQL = """
+WITH totals AS (
+  SELECT event_type, user_id,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+  FROM events GROUP BY event_type, user_id
+)
+SELECT event_type, user_id, total_value, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY total_value DESC, user_id ASC) AS rank
+  FROM totals
+) WHERE rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# CDC / engine queries over the events stream table
+# --------------------------------------------------------------------------
+
+def cdc_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A5 max-version dedup on driver data: latest event per user by
+    (ts, event_id) — the engine's core operator, oracle-checked."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    out = dedup_latest(ev, ["user_id"], ["ts", "event_id"], salt_buckets=8)
+    return out.select(
+        "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+
+
+CDC_LATEST_SQL = f"""
+SELECT user_id, strftime(ts, '{_TS_FMT_DUCK}') AS ts, event_id, event_type, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def cdc_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL engine path on driver data: events → change stream
+    (event_type 'error' = delete op, event_id = lsn, user = key) → MERGE
+    into a fresh ManifestTable → final snapshot.  Oracle: latest event per
+    user, minus users whose latest event is an error."""
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("event_id").alias("lsn"),
+        # parquet NTZ timestamps → session-TZ timestamps (UTC-pinned)
+        F.col("ts").cast("timestamp"),
+        F.col("user_id").cast("string").alias("user_key"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_key", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_merge_events_")
+    table = ManifestTable.create(
+        spark, root, payload, key_cols=["user_key"], n_buckets=8
+    )
+    table.merge(changes, epoch_id=0, epoch_scope="driver")
+    return table.read().select(
+        "user_key",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        "event_type",
+        "value",
+    )
+
+
+CDC_MERGE_SQL = f"""
+SELECT CAST(user_id AS VARCHAR) AS user_key,
+       strftime(ts, '{_TS_FMT_DUCK}') AS ts, event_type, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type != 'error'
+"""
+
+
+def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 30 min starts a new session (lag + cumsum —
+    SURVEY.md §2.9; the reference has no streaming/session concept)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+SESSION_SQL = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN (epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) IS NULL
+                OR (epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (batch form of the streaming windowed agg)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
+HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def metrics_stage_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's metrics aggregation semantics (CloudsMatricsByQ2.py:
+    45-73: group per stage, sum durations, min/max window) over events."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(_dec("value")).cast("double").alias("total_duration_s"),
+        F.count("*").alias("n_execs"),
+        F.date_format(F.min("ts"), _TS_FMT_SPARK).alias("first_ts"),
+        F.date_format(F.max("ts"), _TS_FMT_SPARK).alias("last_ts"),
+    )
+
+
+METRICS_SQL = f"""
+SELECT event_type,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_duration_s,
+       COUNT(*) AS n_execs,
+       strftime(MIN(ts), '{_TS_FMT_DUCK}') AS first_ts,
+       strftime(MAX(ts), '{_TS_FMT_DUCK}') AS last_ts
+FROM events GROUP BY event_type
+"""
+
+
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSON field extraction (P10 — the reference parses Step
+    Functions error payloads, HandleDataExtractionErrorLambda.py:24-37)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("k").alias("n_k"))
+    )
+
+
+PROPS_SQL = """
+SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       COUNT(json_extract_string(props, '$.k')) AS n_k
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Reference-semantics transform (P1-P7) over documents-derived arrays
+# --------------------------------------------------------------------------
+
+def news_transform_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P7 on positional arrays built from documents (variable arity:
+    every 10th row is short → dropped by the arity filter P1)."""
+    docs = _t(spark, sf_dir, "documents")
+    arr = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.array(F.col("source"), F.lit("More"), F.substring("text", 1, 20)),
+    ).otherwise(
+        F.array(
+            F.col("source"),
+            F.lit("More"),
+            F.substring("text", 1, 20),
+            F.col("n_chars").cast("string"),
+            F.concat(F.lit("By "), F.col("lang")),
+            F.concat(F.lit("http://"), F.col("source")),
+        )
+    )
+    raw = docs.select(F.col("doc_id"), arr.alias("arr"))
+    a = F.col("arr")
+    return raw.filter(F.size(a) > 5).select(
+        "doc_id",
+        impute_missing(a[2]).alias("Title"),
+        impute_missing(a[0]).alias("Source"),
+        impute_missing(a[3]).alias("Time"),
+        impute_missing(strip_author_prefix(a[4])).alias("Author"),
+        impute_missing(a[5]).alias("Link"),
+        F.lit("epoch-0").alias("CorrelationId"),
+        F.sha2(
+            F.concat_ws("\x1f", a[0], a[2], a[3], a[4], a[5], F.lit("epoch-0")), 256
+        ).alias("Key"),
+    )
+
+
+NEWS_SQL = """
+WITH raw AS (
+  SELECT doc_id, source, substr(text, 1, 20) AS title,
+         CAST(n_chars AS VARCHAR) AS time_s, 'By ' || lang AS author,
+         'http://' || source AS link
+  FROM documents WHERE doc_id % 10 != 0
+)
+SELECT doc_id,
+  CASE WHEN length(title) > 0 THEN title ELSE 'Missing' END AS Title,
+  CASE WHEN length(source) > 0 THEN source ELSE 'Missing' END AS Source,
+  CASE WHEN length(time_s) > 0 THEN time_s ELSE 'Missing' END AS Time,
+  CASE WHEN length(string_split(author, 'By ')[-1]) > 0
+       THEN string_split(author, 'By ')[-1] ELSE 'Missing' END AS Author,
+  CASE WHEN length(link) > 0 THEN link ELSE 'Missing' END AS Link,
+  'epoch-0' AS CorrelationId,
+  sha256(concat_ws(chr(31), source, title, time_s, author, link, 'epoch-0')) AS Key
+FROM raw
+"""
+
+
+# --------------------------------------------------------------------------
+# Deduplication family over documents
+# --------------------------------------------------------------------------
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return docops.dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return docops.token_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.95)
+
+
+JACCARD_SQL = f"""
+WITH toks AS (
+  SELECT doc_id AS did, unnest(list_distinct({_D_TOKS.format(c='text')})) AS tok
+  FROM documents
+),
+sizes AS (SELECT did, COUNT(*) AS set_size FROM toks GROUP BY did),
+inter AS (
+  SELECT a.did AS id_a, b.did AS id_b, COUNT(*) AS inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.did < b.did
+  GROUP BY a.did, b.did
+)
+SELECT id_a, id_b,
+       ROUND(CAST(inter AS DOUBLE) / CAST(sa.set_size + sb.set_size - inter AS DOUBLE), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.did = id_a
+JOIN sizes sb ON sb.did = id_b
+WHERE CAST(inter AS DOUBLE) / CAST(sa.set_size + sb.set_size - inter AS DOUBLE) >= 0.95
+"""
+
+
+_MINHASH_K = 12
+_MINHASH_BANDS = 4
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return docops.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=_MINHASH_K,
+        bands=_MINHASH_BANDS,
+    )
+
+
+def _minhash_sql() -> str:
+    r = _MINHASH_K // _MINHASH_BANDS
+    mins = ",\n    ".join(
+        f"MIN(md5(sh || '#{s}')) AS mh{s}" for s in range(_MINHASH_K)
+    )
+    bands = "\n  UNION ALL\n".join(
+        "SELECT did, {j} AS band, md5(concat_ws('|', {cols})) AS bh FROM sig".format(
+            j=j, cols=", ".join(f"mh{j * r + i}" for i in range(r))
+        )
+        for j in range(_MINHASH_BANDS)
+    )
+    toks = _D_TOKS.format(c="text")
+    sh = _D_SHINGLES.format(t="t")
+    return f"""
+WITH toks AS (SELECT doc_id AS did, {toks} AS t FROM documents),
+sh AS (SELECT did, unnest({sh}) AS sh FROM toks),
+sig AS (SELECT did, {mins} FROM sh GROUP BY did),
+bands AS ({bands})
+SELECT DISTINCT a.did AS id_a, b.did AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bh = b.bh AND a.did < b.did
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # xxhash64-based; no cross-engine hash → rows-only driver check
+    return docops.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=12)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # synthetic embeddings top out at cosine ≈ 0.51 — 0.4 captures the
+    # near-dup tail while keeping the result set small
+    return docops.embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+_D_DOT = (
+    "list_reduce(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]),"
+    " (x, y) -> x + y)"
+)
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"({_D_DOT.format(a=a, b=b)}) / "
+        f"(sqrt({_D_DOT.format(a=a, b=a)}) * sqrt({_D_DOT.format(a=b, b=b)}))"
+    )
+
+
+EMB_COSINE_SQL = f"""
+WITH v AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vid AS id_a, b.vid AS id_b,
+       ROUND({_cosine_sql('a.v', 'b.v')}, 4) AS cosine
+FROM v a JOIN v b ON a.vid < b.vid
+WHERE ROUND({_cosine_sql('a.v', 'b.v')}, 4) >= 0.4
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+_KNN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.knn_bruteforce(
+        _t(spark, sf_dir, "embeddings"), _KNN_QUERY_IDS, k=10
+    )
+
+
+KNN_SQL = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id IN (0,1,2,3,4)),
+scored AS (
+  SELECT q.qid, n.vec_id AS nid, ROUND({_cosine_sql('q.qv', 'n.v')}, 4) AS cosine
+  FROM q JOIN v n ON q.qid != n.vec_id
+)
+SELECT qid, nid, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate (bucketed); rows-only driver check — recall vs exact is
+    # asserted in tests/test_docops.py instead
+    return similarity.knn_lsh_bucketed(
+        _t(spark, sf_dir, "embeddings"), _KNN_QUERY_IDS, k=10, n_planes=4, dim=64
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        TXT.token_count(c).cast("long").alias("n_tokens"),
+        TXT.bpe_ish_token_count(c).cast("long").alias("n_bpe_tokens"),
+        F.round(TXT.punct_ratio(c), 4).alias("punct_ratio"),
+        F.round(TXT.stopword_ratio(c), 4).alias("stopword_ratio"),
+        TXT.quality_score(c).alias("quality_score"),
+    )
+
+
+_D_STOPS = ", ".join(f"'{w}'" for w in TXT.STOPWORDS)
+TEXT_QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lower(text) AS lt, {_D_TOKS.format(c='text')} AS toks,
+         {_D_TOKS.format(c='lower(text)')} AS ltoks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(len(regexp_extract_all(lt, '{TXT.BPE_ISH_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+    CASE WHEN length(lt) > 0
+         THEN CAST(length(regexp_replace(lt, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(lt)
+         ELSE 0.0 END AS praw,
+    CASE WHEN len(ltoks) > 0
+         THEN CAST(len(list_filter(ltoks, t -> t IN ({_D_STOPS}))) AS DOUBLE) / len(ltoks)
+         ELSE 0.0 END AS sraw
+  FROM base
+)
+SELECT doc_id, n_tokens, n_bpe_tokens,
+  ROUND(praw, 4) AS punct_ratio,
+  ROUND(sraw, 4) AS stopword_ratio,
+  ROUND(0.5 * least(CAST(n_tokens AS DOUBLE) / 200.0, 1.0)
+        + 0.3 * (1.0 - praw) + 0.2 * (1.0 - sraw), 4) AS quality_score
+FROM m
+"""
+
+
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TXT.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _lang_sql() -> str:
+    hits = ",\n    ".join(
+        "CAST(len(list_filter(ltoks, t -> t IN ({m}))) AS BIGINT) AS h_{lang}".format(
+            m=", ".join(f"'{w}'" for w in TXT.LANG_MARKERS[lang]), lang=lang
+        )
+        for lang in sorted(TXT.LANG_MARKERS)
+    )
+    langs = sorted(TXT.LANG_MARKERS)  # de, en, es, fr
+    case = "CASE WHEN greatest(" + ", ".join(f"h_{la}" for la in langs) + ") = 0 THEN 'und'"
+    for i, la in enumerate(langs):
+        conds = " AND ".join(f"h_{la} >= h_{lb}" for lb in langs[i + 1 :])
+        case += f" WHEN {conds} THEN '{la}'" if conds else f" ELSE '{la}' END"
+    return f"""
+WITH base AS (SELECT doc_id, {_D_TOKS.format(c='lower(text)')} AS ltoks FROM documents),
+h AS (SELECT doc_id, {hits} FROM base)
+SELECT doc_id, {case} AS lang_pred FROM h
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TXT.doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+FINGERPRINT_SQL = f"""
+WITH toks AS (SELECT doc_id, {_D_TOKS.format(c='text')} AS t FROM documents)
+SELECT doc_id,
+  list_aggregate(list_transform({_D_SHINGLES.format(t='t')}, s -> md5(s)), 'min') AS fingerprint
+FROM toks
+"""
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (binary payload + Arrow-batched feature extraction)
+# --------------------------------------------------------------------------
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_binary_payload(_t(spark, sf_dir, "documents"))
+    return extract_binary_features(docs)
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+  CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+  md5(text) AS content_md5
+FROM documents
+"""
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_binary_payload(_t(spark, sf_dir, "documents"))
+    return frame_sample_stub(docs, every_n=10)
+
+
+FRAME_SQL = """
+SELECT doc_id,
+  CAST(unnest(range(0, greatest(CAST(floor(octet_length(encode(text)) / 64) AS INT) - 1, 0) + 1, 10)) AS INT) AS frame_idx
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_top_orders": (q3_top_orders, Q3_SQL),
+    "q5_nation_revenue": (q5_nation_revenue, Q5_SQL),
+    "top_users_by_value": (top_users_by_value, TOP_USERS_SQL),
+    "cdc_latest_event_per_user": (cdc_latest_event_per_user, CDC_LATEST_SQL),
+    "cdc_merge_events": (cdc_merge_events, CDC_MERGE_SQL),
+    "events_sessionized": (events_sessionized, SESSION_SQL),
+    "events_hourly_rollup": (events_hourly_rollup, HOURLY_SQL),
+    "metrics_stage_rollup": (metrics_stage_rollup, METRICS_SQL),
+    "events_props_extract": (events_props_extract, PROPS_SQL),
+    "news_transform_docs": (news_transform_docs, NEWS_SQL),
+    "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
+    "dedup_token_jaccard": (dedup_token_jaccard, JACCARD_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
+    "dedup_simhash": (dedup_simhash, None),
+    "dedup_embedding_cosine": (dedup_embedding_cosine, EMB_COSINE_SQL),
+    "knn_bruteforce": (knn_bruteforce, KNN_SQL),
+    "knn_lsh": (knn_lsh, None),
+    "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "lang_id_docs": (lang_id_docs, _lang_sql()),
+    "doc_fingerprints": (doc_fingerprints, FINGERPRINT_SQL),
+    "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
+    "multimodal_frame_sample": (multimodal_frame_sample, FRAME_SQL),
+}

@@ -54,10 +54,10 @@ class SchemaEvolutionError(ValueError):
     pass
 
 
-def _bucket_expr(n_buckets: int):
-    # deterministic hash bucket of the conversation key — the physical
+def _bucket_expr(n_buckets: int, bucket_col: str = "conv_id"):
+    # deterministic hash bucket of the first key column — the physical
     # partition and the MERGE rewrite unit (co-locates a conversation).
-    return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
+    return F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets)).cast("int")
 
 
 class ManifestTable:
@@ -288,7 +288,7 @@ class ManifestTable:
             ],
             F.col("lsn").alias("_lsn"),
             (F.col("op") == F.lit("D")).alias("_deleted"),
-        ).withColumn("_bucket", _bucket_expr(n_buckets))
+        ).withColumn("_bucket", _bucket_expr(n_buckets, key_cols[0]))
         change_rows.persist()
 
         # 4. touched buckets + batch size in ONE job → read ONLY their files
