@@ -1,0 +1,174 @@
+"""Headline benchmark for the PySpark CDC/analytics engine.
+
+Runs the engine's flagship queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and
+prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys: ``cdc_events_per_sec`` (the north-star metric — change-events/sec
+replayed through the full dedup→MERGE→manifest-commit path) and ``cpus``.
+
+Each query is forced end-to-end with a ``noop``-format write so projection
+columns are actually computed (a bare ``count()`` would let Catalyst prune
+them).  The CDC replay benchmarks the real streaming path: a deterministic
+generated change stream (generation time excluded) drained by
+``Trigger.AvailableNow`` through ``foreachBatch`` MERGE commits.
+
+CLI (used by tools/scaling_bench.py):
+    python bench.py [--only name1,name2] [--events N] [--json-out PATH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from event_driven_etl_msc_research_spark.datagen import (  # noqa: E402
+    ChangeStreamSpec,
+    generate_change_stream,
+)
+from event_driven_etl_msc_research_spark.plans.driver_queries import QUERIES  # noqa: E402
+from event_driven_etl_msc_research_spark.session import get_spark  # noqa: E402
+from event_driven_etl_msc_research_spark.streaming.engine import CDCEngine  # noqa: E402
+
+# Headline set: relational (scan/filter/agg/join/window/top-k), the engine's
+# core dedup, streaming-shaped rollups, and the scale-path training-data ops.
+# The O(n²) pairwise ops (token_jaccard, embedding_cosine) are deliberately
+# NOT headline — their scalable counterparts (minhash_lsh, knn_lsh) are.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "top_users_by_value",
+    "cdc_latest_event_per_user",
+    "events_sessionized",
+    "events_hourly_rollup",
+    "news_transform_docs",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "knn_bruteforce",
+    "knn_lsh",
+    "text_quality",
+    "lang_id_docs",
+    "doc_fingerprints",
+    "multimodal_features",
+]
+
+CDC_REPLAY = "cdc_replay"
+
+
+def _force(df) -> None:
+    """Execute the full plan including projections (noop sink)."""
+    df.write.mode("overwrite").format("noop").save()
+
+
+def bench_cdc_replay(spark, n_events: int, cpus: int) -> tuple[float, float]:
+    """Generate a change stream, replay it through the full engine path.
+
+    Returns (replay_seconds, events_per_sec).  Generation is excluded from
+    the timing.  ``n_buckets``/``salt_buckets`` scale with cores so the
+    MERGE parallelism isn't artificially capped at low core counts.
+    """
+    work = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        stream_dir = os.path.join(work, "stream")
+        spec = ChangeStreamSpec(
+            n_events=n_events,
+            n_convs=max(200, n_events // 50),
+            segment_size=max(1, n_events // 32),
+            ooo_window=200,
+            text_pad=200,
+            dup_segments=(1,),
+        )
+        gen = generate_change_stream(stream_dir, spec)
+        # delivered events = all segment lines (duplicate redeliveries included)
+        n_delivered = 0
+        for p in gen.segment_paths:
+            with open(p, "rb") as f:
+                n_delivered += sum(1 for _ in f)
+
+        engine = CDCEngine(
+            spark,
+            os.path.join(work, "table"),
+            n_buckets=max(2 * cpus, 16),
+            salt_buckets=max(2 * cpus, 16),
+            audit="counts",
+        )
+        t0 = time.monotonic()
+        engine.replay(
+            stream_dir,
+            os.path.join(work, "ckpt"),
+            available_now=True,
+            timeout_s=3600,
+        )
+        dt = time.monotonic() - t0
+        return dt, n_delivered / dt
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None, help="comma-separated query subset")
+    ap.add_argument("--events", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "400000")))
+    ap.add_argument("--json-out", default=None)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    names = args.only.split(",") if args.only else HEADLINE + [CDC_REPLAY]
+
+    spark = get_spark(app_name=f"bench_local{cpus}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # estimate sf from lineitem row count (~600k/0.1sf for this generator)
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+        sf = round(li / 6_000_000, 4)
+    except Exception:
+        sf = None
+
+    timings: dict[str, float] = {}
+    events_per_sec = None
+    for name in names:
+        if name == CDC_REPLAY:
+            dt, eps = bench_cdc_replay(spark, args.events, cpus)
+            timings[name] = round(dt, 3)
+            events_per_sec = round(eps, 1)
+            continue
+        fn = QUERIES[name][0]
+        # warm nothing: each timing includes plan + execution (cold path)
+        t0 = time.monotonic()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_queries_total_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "cdc_events_per_sec": events_per_sec,
+        "cdc_replay_events": args.events if CDC_REPLAY in names else None,
+    }
+    line = json.dumps(out)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            f.write(line + "\n")
+    print(line)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
