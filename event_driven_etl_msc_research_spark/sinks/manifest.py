@@ -24,6 +24,14 @@ Scale design (10^10 events / 100 TB):
 * the MERGE itself is a single hash aggregate (union of target-touched +
   deduped changes, then per-key max-version) — map-side partial aggregation
   absorbs hot-key skew; no sort, no window;
+* ``mode="delta"`` (merge-on-read, Iceberg-MOR/Paimon-style): the epoch
+  commit writes ONLY the deduped change batch as bucket-partitioned delta
+  files — per-epoch cost O(batch) regardless of table size; readers fold
+  base+delta by the same per-key max-version rule; ``compact()`` folds
+  deltas back into base files at bucket granularity.  A high-frequency
+  binlog tail at 10^10-event scale needs this: with random key spread,
+  copy-on-write touches every bucket every epoch and degrades to O(table)
+  per commit;
 * readers resolve state ONLY through manifests (never directory listing),
   so commits are atomic and concurrent readers see consistent snapshots.
 
@@ -39,7 +47,7 @@ import os
 import time
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -191,6 +199,13 @@ class ManifestTable:
             os.path.join(self.root, p)
             for paths in manifest["files"].values()
             for p in paths
+        ] + self._all_delta_files(manifest)
+
+    def _all_delta_files(self, manifest: dict[str, Any]) -> list[str]:
+        return [
+            os.path.join(self.root, p)
+            for paths in (manifest.get("delta_files") or {}).values()
+            for p in paths
         ]
 
     def _read_files(
@@ -206,10 +221,17 @@ class ManifestTable:
         self, version: int | None = None, include_internal: bool = False
     ) -> DataFrame:
         """Snapshot read.  ``version`` gives time travel (replaces the
-        reference's final-backup copies, ``Phase3-BackupData.py:23-27``)."""
+        reference's final-backup copies, ``Phase3-BackupData.py:23-27``).
+
+        Merge-on-read: when the snapshot carries delta files, base+delta are
+        folded by the same per-key max-version rule as the write path.  Base
+        files are one-row-per-key, so the fold cost is O(live rows + delta
+        rows) — and it disappears entirely after ``compact()``."""
         m = self.manifest(version)
         ischema = self._internal_schema(version)
         df = self._read_files(self._all_files(m), ischema)
+        if self._all_delta_files(m):
+            df = dedup_latest(df, m["key_cols"], ["ts", "_lsn"])
         df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
         if not include_internal:
             df = df.select(*[f.name for f in self.schema(version).fields])
@@ -231,13 +253,29 @@ class ManifestTable:
         broadcast_threshold: int = 1_000_000,
         epoch_scope: str = "batch",
         before_publish=None,
+        mode: str = "cow",
     ) -> dict[str, Any]:
         """Exactly-once upsert of a change batch.
 
         Equivalent of ``MERGE INTO t USING c ON t.key = c.key WHEN MATCHED
         [AND c.version > t.version] UPDATE ... WHEN NOT MATCHED INSERT``
-        plus delete tombstones — expressed as union + per-key max-version
-        aggregate over ONLY the touched buckets (copy-on-write).
+        plus delete tombstones.
+
+        ``mode="cow"`` (copy-on-write): union of target-touched buckets +
+        deduped changes, per-key max-version aggregate, touched buckets
+        rewritten.  Reads stay one-row-per-key cheap; writes are O(touched
+        data).
+
+        ``mode="delta"`` (merge-on-read): the deduped change batch itself is
+        committed as bucket-partitioned delta files — ONE Spark job per
+        epoch, O(batch) cost, no target read.  Readers fold base+delta;
+        ``compact()`` folds deltas into base.  This is the high-frequency
+        binlog-tail path at 10^10-event scale.
+
+        Audit (write-audit-publish): expected row count is observed inside
+        the write job (``Observation``); actual is summed from staged parquet
+        footers driver-side — no extra Spark job.  ``audit="keys"`` adds a
+        staged duplicate-key scan.
 
         Idempotence: an ``epoch_id`` already in ``applied_epochs`` is a no-op
         (exactly-once under streaming re-delivery / restart).
@@ -289,12 +327,7 @@ class ManifestTable:
             F.col("lsn").alias("_lsn"),
             (F.col("op") == F.lit("D")).alias("_deleted"),
         ).withColumn("_bucket", _bucket_expr(n_buckets, key_cols[0]))
-        change_rows.persist()
 
-        # 4. touched buckets + batch size in ONE job → read ONLY their files
-        bucket_counts = change_rows.groupBy("_bucket").count().collect()
-        touched = sorted(int(r["_bucket"]) for r in bucket_counts)
-        n_change_keys = sum(int(r["count"]) for r in bucket_counts)
         ischema = T.StructType(
             new_schema.fields
             + [
@@ -303,89 +336,150 @@ class ManifestTable:
                 T.StructField("_bucket", T.IntegerType(), True),
             ]
         )
-        old_files = {
-            int(b): paths for b, paths in m["files"].items()
+        old_files = {int(b): paths for b, paths in m["files"].items()}
+        old_delta = {
+            int(b): paths for b, paths in (m.get("delta_files") or {}).items()
         }
-        touched_files = [
-            os.path.join(self.root, p)
-            for b in touched
-            for p in old_files.get(b, [])
-        ]
-        target = self._read_files(touched_files, ischema)
-
-        # 5. merge the deduped batch into the touched buckets.
-        #    Fast path (the common micro-batch case): the deduped batch is
-        #    small → broadcast it; target data flows scan→write with ZERO
-        #    shuffle.  General path: union + per-key max-version aggregate
-        #    (single shuffle with map-side partial combine).
-        use_broadcast = strategy == "broadcast" or (
-            strategy == "auto" and n_change_keys <= broadcast_threshold
-        )
-        if not touched_files:
-            merged = change_rows  # empty target: batch is already one row/key
-            merge_path = "initial"
-        elif use_broadcast:
-            merged = self._merge_broadcast(target, change_rows, key_cols, ischema)
-            merge_path = "broadcast"
-        else:
-            unified = target.unionByName(change_rows, allowMissingColumns=True)
-            merged = dedup_latest(unified, key_cols, ["ts", "_lsn"])
-            merge_path = "shuffle"
-
-        # 6. stage: write under an unreferenced dir; publish only via manifest
         version = m["version"] + 1
         stage_rel = self._staging_relpath(version, epoch_id)
         stage_dir = os.path.join(self.root, stage_rel)
-        writer = merged.withColumn("_pb", F.col("_bucket"))
-        if files_per_bucket > 1:
-            writer = writer.repartition(
-                len(touched) * files_per_bucket,
-                F.col("_bucket"),
-                F.pmod(F.xxhash64(*key_cols), F.lit(files_per_bucket)),
+        obs = Observation()
+
+        if mode == "delta":
+            # ---- delta path: ONE Spark job (dedup → bucket-partitioned write)
+            n_change_keys = None  # known after the job via the observation
+            writer = (
+                change_rows.observe(obs, F.count(F.lit(1)).alias("rows"))
+                .withColumn("_pb", F.col("_bucket"))
+                .repartition(max(n_buckets, 1), F.col("_bucket"))
             )
+            writer.write.mode("overwrite").partitionBy("_pb").parquet(stage_dir)
+            staged_files, rows_by_bucket, staged_rows = self._scan_staging(
+                stage_dir, stage_rel
+            )
+            touched = sorted(staged_files)
+            n_change_keys = staged_rows
+            merge_path = "delta"
         else:
-            writer = writer.repartition(max(len(touched), 1), F.col("_bucket"))
-        writer.write.mode("overwrite").partitionBy("_pb").parquet(stage_dir)
+            # ---- copy-on-write path
+            change_rows.persist()
+            # touched buckets + batch size in ONE job → read ONLY their files
+            bucket_counts = change_rows.groupBy("_bucket").count().collect()
+            touched = sorted(int(r["_bucket"]) for r in bucket_counts)
+            n_change_keys = sum(int(r["count"]) for r in bucket_counts)
+            touched_files = [
+                os.path.join(self.root, p)
+                for b in touched
+                for p in old_files.get(b, []) + old_delta.get(b, [])
+            ]
+            target = self._read_files(touched_files, ischema)
 
-        # 7. audit (write-audit-publish; cf. record counts the reference logs
-        #    per chunk, DataSplit.py:133)
-        staged_files: dict[int, list[str]] = {b: [] for b in touched}
-        staged_rows = 0
-        for b in touched:
-            bdir = os.path.join(stage_dir, f"_pb={b}")
-            if os.path.isdir(bdir):
-                staged_files[b] = [
-                    os.path.join(stage_rel, f"_pb={b}", f)
-                    for f in sorted(os.listdir(bdir))
-                    if f.endswith(".parquet")
-                ]
-        staged_paths = [
-            os.path.join(self.root, p) for ps in staged_files.values() for p in ps
-        ]
-        rows_by_bucket: dict[str, int] = {str(b): 0 for b in touched}
-        if staged_paths:
-            staged_df = self.spark.read.schema(ischema).parquet(*staged_paths)
-            for r in staged_df.groupBy("_bucket").count().collect():
-                rows_by_bucket[str(r["_bucket"])] = r["count"]
-            staged_rows = sum(rows_by_bucket.values())
-            if audit == "keys":
-                dups = (
-                    staged_df.groupBy(*key_cols)
-                    .count()
-                    .filter(F.col("count") > 1)
-                    .limit(1)
-                    .count()
+            # Fast path (the common micro-batch case): the deduped batch is
+            # small → broadcast it; target data flows scan→write with ZERO
+            # shuffle.  General path: union + per-key max-version aggregate
+            # (single shuffle with map-side partial combine).
+            use_broadcast = strategy == "broadcast" or (
+                strategy == "auto" and n_change_keys <= broadcast_threshold
+            )
+            has_delta = any(old_delta.get(b) for b in touched)
+            if not touched_files:
+                merged = change_rows  # empty target: batch already one row/key
+                merge_path = "initial"
+            elif use_broadcast and not has_delta:
+                merged = self._merge_broadcast(target, change_rows, key_cols, ischema)
+                merge_path = "broadcast"
+            else:
+                # (a CoW merge over a delta-carrying bucket must also fold the
+                # deltas, so it takes the aggregate path)
+                unified = target.unionByName(change_rows, allowMissingColumns=True)
+                merged = dedup_latest(unified, key_cols, ["ts", "_lsn"])
+                merge_path = "shuffle"
+
+            # stage: write under an unreferenced dir; publish via manifest only
+            writer = merged.observe(obs, F.count(F.lit(1)).alias("rows"))
+            writer = writer.withColumn("_pb", F.col("_bucket"))
+            if files_per_bucket > 1:
+                writer = writer.repartition(
+                    len(touched) * files_per_bucket,
+                    F.col("_bucket"),
+                    F.pmod(F.xxhash64(*key_cols), F.lit(files_per_bucket)),
                 )
-                if dups:
-                    raise RuntimeError(
-                        f"audit failed: duplicate keys staged for epoch {epoch_id}"
-                    )
+            else:
+                writer = writer.repartition(max(len(touched), 1), F.col("_bucket"))
+            writer.write.mode("overwrite").partitionBy("_pb").parquet(stage_dir)
+            staged_files, rows_by_bucket, staged_rows = self._scan_staging(
+                stage_dir, stage_rel, buckets=touched
+            )
 
-        # 8. publish: untouched buckets keep old files; touched swap to staged
-        files = dict(old_files)
-        for b in touched:
-            files[b] = staged_files.get(b, [])
-        untouched_rows = m["total_rows"] - self._rows_in(m, touched)
+        # ---- audit (write-audit-publish; cf. the per-chunk record counts the
+        # reference logs, DataSplit.py:133): rows observed flowing through the
+        # write job must equal rows readable from the staged parquet footers
+        observed = int(obs.get["rows"])
+        if staged_rows != observed:
+            raise RuntimeError(
+                f"audit failed for epoch {epoch_id}: observed {observed} rows "
+                f"in write job but staged footers total {staged_rows}"
+            )
+        if audit == "keys" and staged_rows:
+            staged_paths = [
+                os.path.join(self.root, p)
+                for ps in staged_files.values()
+                for p in ps
+            ]
+            dups = (
+                self.spark.read.schema(ischema)
+                .parquet(*staged_paths)
+                .groupBy(*key_cols)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dups:
+                raise RuntimeError(
+                    f"audit failed: duplicate keys staged for epoch {epoch_id}"
+                )
+
+        # ---- publish
+        if mode == "delta":
+            files = old_files
+            delta_files = {
+                b: old_delta.get(b, []) + staged_files.get(b, [])
+                for b in set(old_delta) | set(staged_files)
+            }
+            bucket_rows = m.get("bucket_rows") or {}
+            total_rows = m["total_rows"]
+            old_dr = {k: int(v) for k, v in (m.get("delta_rows") or {}).items()}
+            delta_rows = {
+                str(b): old_dr.get(str(b), 0) + rows_by_bucket.get(str(b), 0)
+                for b in set(int(k) for k in old_dr) | set(touched)
+            }
+            delta_rows_total = sum(delta_rows.values())
+        else:
+            # untouched buckets keep old files; touched swap to staged and
+            # their deltas (now folded in) are dropped
+            files = dict(old_files)
+            for b in touched:
+                files[b] = staged_files.get(b, [])
+            delta_files = {
+                b: ps for b, ps in old_delta.items() if b not in touched
+            }
+            bucket_rows = {
+                **{
+                    str(b): r
+                    for b, r in (m.get("bucket_rows") or {}).items()
+                    if int(b) not in touched
+                },
+                **rows_by_bucket,
+            }
+            total_rows = m["total_rows"] - self._rows_in(m, touched) + staged_rows
+            delta_rows = {
+                k: int(v)
+                for k, v in (m.get("delta_rows") or {}).items()
+                if int(k) not in touched
+            }
+            delta_rows_total = sum(delta_rows.values())
+
         new_manifest = {
             "version": version,
             "parent": m["version"],
@@ -395,17 +489,13 @@ class ManifestTable:
             "n_buckets": n_buckets,
             "tenant_id": m.get("tenant_id"),
             "files": {str(b): p for b, p in files.items()},
-            "bucket_rows": {
-                **{
-                    str(b): r
-                    for b, r in (m.get("bucket_rows") or {}).items()
-                    if int(b) not in touched
-                },
-                **rows_by_bucket,
-            },
+            "delta_files": {str(b): p for b, p in delta_files.items() if p},
+            "bucket_rows": bucket_rows,
             "applied_epochs": m["applied_epochs"] + [epoch_key],
             "added_cols": added_cols,
-            "total_rows": untouched_rows + staged_rows,
+            "total_rows": total_rows,  # base rows; under MOR live count needs read()
+            "delta_rows": delta_rows,
+            "delta_rows_total": delta_rows_total,
             "committed_at": time.time(),
         }
         try:
@@ -415,7 +505,8 @@ class ManifestTable:
                 before_publish(new_manifest)
             self._publish(new_manifest)
         finally:
-            change_rows.unpersist()
+            if mode != "delta":
+                change_rows.unpersist()
         return {
             "status": "Success",
             "epoch_id": epoch_id,
@@ -426,6 +517,149 @@ class ManifestTable:
             "n_change_keys": n_change_keys,
             "rows_by_bucket": {int(b): n for b, n in rows_by_bucket.items()},
             "added_cols": added_cols,
+            "duration_s": time.monotonic() - t0,
+        }
+
+    def _scan_staging(
+        self, stage_dir: str, stage_rel: str, buckets: list[int] | None = None
+    ) -> tuple[dict[int, list[str]], dict[str, int], int]:
+        """Driver-side footer audit of a staged write: list ``_pb=*`` dirs,
+        read each parquet footer (pyarrow — no Spark job), return
+        (files_by_bucket, rows_by_bucket, total_rows).  A truncated or
+        unreadable file fails here, before publish."""
+        import pyarrow.parquet as pq
+
+        files_by_bucket: dict[int, list[str]] = {}
+        rows_by_bucket: dict[str, int] = {}
+        total = 0
+        if buckets is not None:
+            files_by_bucket = {b: [] for b in buckets}
+            rows_by_bucket = {str(b): 0 for b in buckets}
+        if os.path.isdir(stage_dir):
+            for d in sorted(os.listdir(stage_dir)):
+                if not d.startswith("_pb="):
+                    continue
+                b = int(d.split("=", 1)[1])
+                if buckets is not None and b not in files_by_bucket:
+                    continue
+                rel, rows = [], 0
+                for f in sorted(os.listdir(os.path.join(stage_dir, d))):
+                    if f.endswith(".parquet"):
+                        fp = os.path.join(stage_dir, d, f)
+                        rows += pq.ParquetFile(fp).metadata.num_rows
+                        rel.append(os.path.join(stage_rel, d, f))
+                files_by_bucket[b] = rel
+                rows_by_bucket[str(b)] = rows
+                total += rows
+        return files_by_bucket, rows_by_bucket, total
+
+    # ---------- compaction (MOR maintenance) ----------
+
+    def compact(
+        self,
+        buckets: list[int] | None = None,
+        min_delta_files: int = 1,
+        before_publish=None,
+    ) -> dict[str, Any]:
+        """Fold delta files into base files at bucket granularity.
+
+        Reads base+delta of each candidate bucket, applies the per-key
+        max-version rule, rewrites the bucket, clears its delta list.
+        Tombstones are RETAINED (a late out-of-order older update must still
+        lose against a delete — dropping tombstones would resurrect keys).
+        Compaction is maintenance, not an epoch: ``applied_epochs`` is
+        carried through unchanged, so exactly-once bookkeeping is unaffected.
+        """
+        t0 = time.monotonic()
+        m = self.manifest()
+        old_delta = {
+            int(b): ps for b, ps in (m.get("delta_files") or {}).items() if ps
+        }
+        cand = sorted(
+            b for b, ps in old_delta.items() if len(ps) >= min_delta_files
+        )
+        if buckets is not None:
+            cand = [b for b in cand if b in buckets]
+        if not cand:
+            return {
+                "status": "Skipped",
+                "reason": "no delta files to compact",
+                "version": m["version"],
+                "duration_s": time.monotonic() - t0,
+            }
+        key_cols = m["key_cols"]
+        ischema = self._internal_schema()
+        old_files = {int(b): ps for b, ps in m["files"].items()}
+        inputs = [
+            os.path.join(self.root, p)
+            for b in cand
+            for p in old_files.get(b, []) + old_delta[b]
+        ]
+        merged = dedup_latest(
+            self._read_files(inputs, ischema), key_cols, ["ts", "_lsn"]
+        )
+        version = m["version"] + 1
+        stage_rel = self._staging_relpath(version, f"compact{version}")
+        stage_dir = os.path.join(self.root, stage_rel)
+        obs = Observation()
+        (
+            merged.observe(obs, F.count(F.lit(1)).alias("rows"))
+            .withColumn("_pb", F.col("_bucket"))
+            .repartition(max(len(cand), 1), F.col("_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("_pb")
+            .parquet(stage_dir)
+        )
+        staged_files, rows_by_bucket, staged_rows = self._scan_staging(
+            stage_dir, stage_rel, buckets=cand
+        )
+        if staged_rows != int(obs.get["rows"]):
+            raise RuntimeError(
+                f"compact audit failed: observed {int(obs.get['rows'])} vs "
+                f"staged {staged_rows}"
+            )
+        files = dict(old_files)
+        for b in cand:
+            files[b] = staged_files.get(b, [])
+        delta_files = {b: ps for b, ps in old_delta.items() if b not in cand}
+        delta_rows = {
+            k: int(v)
+            for k, v in (m.get("delta_rows") or {}).items()
+            if int(k) not in cand
+        }
+        new_manifest = {
+            "version": version,
+            "parent": m["version"],
+            "epoch_id": f"compact:{version}",
+            "schema": m["schema"],
+            "key_cols": key_cols,
+            "n_buckets": m["n_buckets"],
+            "tenant_id": m.get("tenant_id"),
+            "files": {str(b): p for b, p in files.items()},
+            "delta_files": {str(b): p for b, p in delta_files.items()},
+            "bucket_rows": {
+                **{
+                    str(b): r
+                    for b, r in (m.get("bucket_rows") or {}).items()
+                    if int(b) not in cand
+                },
+                **rows_by_bucket,
+            },
+            "applied_epochs": m["applied_epochs"],
+            "added_cols": [],
+            "total_rows": m["total_rows"] - self._rows_in(m, cand) + staged_rows,
+            "delta_rows": delta_rows,
+            "delta_rows_total": sum(delta_rows.values()),
+            "committed_at": time.time(),
+        }
+        if before_publish is not None:
+            before_publish(new_manifest)
+        self._publish(new_manifest)
+        return {
+            "status": "Success",
+            "version": version,
+            "compacted_buckets": cand,
+            "staged_rows": staged_rows,
             "duration_s": time.monotonic() - t0,
         }
 
@@ -478,7 +712,7 @@ class ManifestTable:
         br = manifest.get("bucket_rows") or {}
         return sum(int(br.get(str(b), 0)) for b in buckets)
 
-    def _staging_relpath(self, version: int, epoch_id: int) -> str:
+    def _staging_relpath(self, version: int, epoch_id) -> str:
         # unique per attempt: a crashed attempt's dir is never referenced and
         # never collides with the retry (vacuum removes orphans)
         base = os.path.join(_DATA_DIR, f"v{version:012d}-e{epoch_id}")
@@ -500,9 +734,10 @@ class ManifestTable:
         referenced: set[str] = set()
         for v in keep:
             m = self.manifest(v)
-            for ps in m["files"].values():
-                for p in ps:
-                    referenced.add(p.split("/")[1])  # data/<dir>/...
+            for d in (m["files"], m.get("delta_files") or {}):
+                for ps in d.values():
+                    for p in ps:
+                        referenced.add(p.split("/")[1])  # data/<dir>/...
         removed = []
         ddir = os.path.join(self.root, _DATA_DIR)
         for d in os.listdir(ddir):

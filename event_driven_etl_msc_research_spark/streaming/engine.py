@@ -51,6 +51,8 @@ class CDCEngine:
         salt_buckets: int = 16,
         files_per_bucket: int = 1,
         audit: str = "counts",
+        merge_mode: str = "cow",  # "cow" | "delta" (merge-on-read tail path)
+        compact_every: int = 0,   # delta mode: fold deltas→base every N epochs
         fail_after_stage_write: bool = False,  # chaos hook (cf. the reference's
         # live 'Intentional exception', Phase3-Data-Extraction-Async.py:44)
     ):
@@ -58,6 +60,9 @@ class CDCEngine:
         self.change_schema = change_schema
         self.salt_buckets = salt_buckets
         self.files_per_bucket = files_per_bucket
+        self.merge_mode = merge_mode
+        self.compact_every = compact_every
+        self._epochs_since_compact = 0
         self.audit = audit
         self.fail_after_stage_write = fail_after_stage_write
         self.table = ManifestTable.create(
@@ -99,6 +104,7 @@ class CDCEngine:
                 audit=self.audit,
                 epoch_scope=self._epoch_scope,
                 before_publish=before_publish,
+                mode=self.merge_mode,
             )
             self.lineage.record_stage(
                 epoch_id,
@@ -111,6 +117,24 @@ class CDCEngine:
                 self.lineage.record_partitions(
                     epoch_id, "merge", stats.get("rows_by_bucket", {})
                 )
+            if (
+                stats["status"] == "Success"
+                and self.merge_mode == "delta"
+                and self.compact_every > 0
+            ):
+                self._epochs_since_compact += 1
+                if self._epochs_since_compact >= self.compact_every:
+                    cst = self.table.compact()
+                    self.lineage.record_stage(
+                        epoch_id,
+                        "compact",
+                        cst["status"],
+                        detail=str(
+                            {k: v for k, v in cst.items() if k != "rows_by_bucket"}
+                        ),
+                        duration_s=cst["duration_s"],
+                    )
+                    self._epochs_since_compact = 0
             return stats
         except Exception as e:  # E2: error payload → lineage, then propagate
             self.lineage.record_stage(
