@@ -19,10 +19,16 @@ Scale notes (100 TB / 10^10 events):
 * the salted variant adds a pre-reduce keyed on ``(key, salt)`` — the
   explicit salted-hash repartition of the north rule — bounding any single
   reducer's share of a hot key to ``1/salt_buckets``.
-* ``dedup_latest_argmax`` is a pure-HashAggregate alternative (encode
-  (ts,lsn) as one ``decimal(38,0)``, hash-max per key, broadcast-join the
-  winners back) — it avoids the local sort at the cost of a second pass;
-  ``bench.py`` measures both and the engine default follows the measurement.
+* ``dedup_latest_argmax`` is a pure-HashAggregate formulation (encode
+  (ts,lsn) as one ``decimal(38,0)``, hash-max per key, join the winners
+  back; AQE picks broadcast when the winner set is small) — it avoids the
+  local sort at the cost of a second pass.  MEASURED (8.25M-event stream,
+  this host): argmax 10.5s at local[32] vs 71-90s for the struct-max
+  SortAggregate, which anti-scales with thread count (concurrent wide-row
+  sorts); argmax also needs no salting — the fixed-width decimal buffer
+  gets true map-side hash combine on hot keys.  ``dedup_latest`` therefore
+  DELEGATES to argmax (the production path); the struct-max and window
+  forms are kept for cross-checking.
 """
 
 from __future__ import annotations
@@ -43,18 +49,36 @@ def dedup_latest(
     key_cols: list[str],
     version_cols: list[str],
     salt_buckets: int = 0,
+    impl: str = "argmax",
 ) -> DataFrame:
     """Keep, per key, the row with the maximum ``version_cols`` tuple.
 
-    Implemented as ``groupBy(key).agg(max(struct(version..., payload...)))`` —
-    struct comparison is lexicographic, so the (ts, lsn) prefix decides and
-    payload columns ride along.  With ``salt_buckets > 0`` a two-level
-    aggregate runs first per ``(key, salt)`` then per key (explicit
-    salted-hash repartition per the north rule; the salt is derived from the
-    version column so it is deterministic and spreads a hot key's rows).
-    Output columns: key_cols + version_cols + payload (original order lost;
-    names preserved).
+    Production ``impl="argmax"``: decimal-packed version → pure HashAggregate
+    with map-side combine (hot keys collapse before the shuffle; no salting
+    needed — ``salt_buckets`` is accepted for API compatibility and ignored).
+    ``impl="maxstruct"``: ``groupBy(key).agg(max(struct(version...,
+    payload...)))``, optionally salted two-level; kept for cross-checking —
+    it plans a SortAggregate whose concurrent wide-row sorts anti-scale at
+    high thread counts (see module docstring measurement).
     """
+    if impl == "argmax" and len(version_cols) == 2:
+        return dedup_latest_argmax(
+            df, key_cols, version_cols, broadcast_winners=False
+        )
+    return dedup_latest_maxstruct(df, key_cols, version_cols, salt_buckets)
+
+
+def dedup_latest_maxstruct(
+    df: DataFrame,
+    key_cols: list[str],
+    version_cols: list[str],
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """Struct-max formulation: single aggregate, lexicographic struct
+    comparison ((ts, lsn) prefix decides, payload rides along).  With
+    ``salt_buckets > 0`` a two-level aggregate runs first per ``(key, salt)``
+    then per key.  Output columns: key_cols + version_cols + payload
+    (original order lost; names preserved)."""
     s = _ordered_struct(df, version_cols, key_cols)
     inner = [f"_v.{c}" for c in _struct_field_names(df, version_cols, key_cols)]
     if salt_buckets and salt_buckets > 1:
@@ -98,20 +122,24 @@ def dedup_latest_argmax(
     df: DataFrame,
     key_cols: list[str],
     version_cols: list[str],
-    broadcast_winners: bool = True,
+    broadcast_winners: bool = False,
 ) -> DataFrame:
     """Pure-HashAggregate argmax formulation of A5.
 
     Encodes ``(ts, lsn)`` into one ``decimal(38,0)`` (fixed-width → mutable
     aggregation buffer → true HashAggregate with map-side combine, no sort),
-    takes the per-key max, then joins winners back (broadcast when the key
-    set is small — the micro-batch case).  Exact duplicate deliveries of the
-    winning event are collapsed by a final tiny dedup over winners only.
+    takes the per-key max, then joins winners back (``broadcast_winners``
+    forces a broadcast; default lets AQE pick broadcast at runtime when the
+    winner set is small).  Exact duplicate deliveries of the winning event
+    are collapsed by a final tiny dedup over winners only.  Assumes
+    non-negative versions (a WAL position) and unique ``lsn`` per key at a
+    given ``ts`` (a real binlog guarantees both).
     """
     ts_col, lsn_col = version_cols
+    ts_dt = dict(df.dtypes).get(ts_col, "")
     ts_num = (
-        F.unix_micros(F.col(ts_col))
-        if dict(df.dtypes).get(ts_col) == "timestamp"
+        F.unix_micros(F.col(ts_col).cast("timestamp"))  # ntz → session-TZ first
+        if ts_dt.startswith("timestamp")
         else F.col(ts_col)
     )
     # unix_micros (16 digits) * 10^18 + lsn (< 10^18) fits decimal(38,0)

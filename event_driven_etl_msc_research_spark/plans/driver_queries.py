@@ -269,6 +269,44 @@ FROM (
 """
 
 
+def cdc_merge_events_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge-on-read tail path on driver data: the same change stream as
+    ``cdc_merge_events`` applied as TWO delta epochs (split by event_id),
+    compacted between them — the snapshot read must fold base+delta to the
+    identical final state, so it shares the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("event_id").alias("lsn"),
+        F.col("ts").cast("timestamp"),
+        F.col("user_id").cast("string").alias("user_key"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_key", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    mid = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).first()[0]
+    root = tempfile.mkdtemp(prefix="cdc_merge_events_delta_")
+    table = ManifestTable.create(
+        spark, root, payload, key_cols=["user_key"], n_buckets=8
+    )
+    table.merge(changes.filter(F.col("lsn") <= mid), 0, mode="delta", epoch_scope="d")
+    table.compact()
+    table.merge(changes.filter(F.col("lsn") > mid), 1, mode="delta", epoch_scope="d")
+    return table.read().select(
+        "user_key",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        "event_type",
+        "value",
+    )
+
+
 def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: gap > 30 min starts a new session (lag + cumsum —
     SURVEY.md §2.9; the reference has no streaming/session concept)."""
@@ -688,6 +726,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "top_users_by_value": (top_users_by_value, TOP_USERS_SQL),
     "cdc_latest_event_per_user": (cdc_latest_event_per_user, CDC_LATEST_SQL),
     "cdc_merge_events": (cdc_merge_events, CDC_MERGE_SQL),
+    "cdc_merge_events_delta": (cdc_merge_events_delta, CDC_MERGE_SQL),
     "events_sessionized": (events_sessionized, SESSION_SQL),
     "events_hourly_rollup": (events_hourly_rollup, HOURLY_SQL),
     "metrics_stage_rollup": (metrics_stage_rollup, METRICS_SQL),

@@ -46,11 +46,22 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # measured on this engine's merge shapes: shuffled hash join beats
+        # sort-merge (the argmax winners join has unique keys, no sort
+        # needed; AQE still guards skew) — see BENCH.md
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # heap scales with core count (1.5 GiB/core, min 8 GiB): a local[4N]
+        # run models a 4N-executor cluster, which has 4N× aggregate memory —
+        # fixed total heap would instead model executors shrinking as the
+        # cluster grows, inverting scaling results via per-task spill
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", f"{max(8, (3 * cpus) // 2)}g"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from event_driven_etl_msc_research_spark.operators.dedup import (
     dedup_latest,
+    dedup_latest_maxstruct,
     dedup_latest_window,
     salted_repartition,
 )
@@ -41,9 +42,15 @@ def test_dedup_hash_agg(spark, changes):
     _check(dedup_latest(changes, ["conv_id", "turn_idx"], ["ts", "lsn"]))
 
 
+def test_dedup_maxstruct_agrees(spark, changes):
+    _check(dedup_latest_maxstruct(changes, ["conv_id", "turn_idx"], ["ts", "lsn"]))
+
+
 def test_dedup_salted_two_level(spark, changes):
     _check(
-        dedup_latest(changes, ["conv_id", "turn_idx"], ["ts", "lsn"], salt_buckets=4)
+        dedup_latest_maxstruct(
+            changes, ["conv_id", "turn_idx"], ["ts", "lsn"], salt_buckets=4
+        )
     )
 
 
@@ -89,7 +96,7 @@ def test_dedup_equals_pandas_fold_random(spark):
 def test_dedup_plan_has_partial_agg_no_window(spark, changes):
     """The production path must be an aggregate WITH a partial (map-side
     combine) step and no window sort-the-world — SURVEY.md §2.6 scale note.
-    (struct-max buffers are variable-width → Spark picks SortAggregate, but
+    (argmax's decimal version buffer is fixed-width → true HashAggregate;
     the partial_max step is what defuses hot keys before the shuffle)."""
     plan = dedup_latest(
         changes, ["conv_id", "turn_idx"], ["ts", "lsn"]

@@ -47,11 +47,15 @@ def test_hot_conversation_replay_correct_and_registered(spark, tmp_root):
 
 
 def test_salted_dedup_two_level_plan(spark):
-    """The salted path must show TWO aggregate exchanges: one keyed on
-    (key, salt), one on key — the explicit salted-hash repartition."""
+    """The maxstruct salted path must show TWO aggregate exchanges: one
+    keyed on (key, salt), one on key — the explicit salted-hash
+    repartition.  (The production argmax path defuses hot keys with
+    map-side hash combine instead; its plan is checked in test_dedup.)"""
     import pandas as pd
 
-    from event_driven_etl_msc_research_spark.operators.dedup import dedup_latest
+    from event_driven_etl_msc_research_spark.operators.dedup import (
+        dedup_latest_maxstruct as dedup_latest,
+    )
 
     pdf = pd.DataFrame(
         {
