@@ -360,6 +360,15 @@ FROM events GROUP BY 1, 2
 """
 
 
+def streaming_hourly_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_hourly_rollup through the REAL Structured Streaming path
+    (readStream → tumbling window → memory sink, AvailableNow) — shares the
+    batch rollup's oracle (SURVEY.md §2.9; the reference has no streaming)."""
+    from ..streaming.windows import streaming_hourly_rollup
+
+    return streaming_hourly_rollup(spark, sf_dir)
+
+
 def metrics_stage_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's metrics aggregation semantics (CloudsMatricsByQ2.py:
     45-73: group per stage, sum durations, min/max window) over events."""
@@ -729,6 +738,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_merge_events_delta": (cdc_merge_events_delta, CDC_MERGE_SQL),
     "events_sessionized": (events_sessionized, SESSION_SQL),
     "events_hourly_rollup": (events_hourly_rollup, HOURLY_SQL),
+    "streaming_hourly_rollup": (streaming_hourly_rollup_q, HOURLY_SQL),
     "metrics_stage_rollup": (metrics_stage_rollup, METRICS_SQL),
     "events_props_extract": (events_props_extract, PROPS_SQL),
     "news_transform_docs": (news_transform_docs, NEWS_SQL),
