@@ -307,6 +307,39 @@ def cdc_merge_events_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): for every non-error event, the user's
+    most recent error event at-or-before it.  Oracle: DuckDB's native ASOF
+    JOIN — an independent implementation of the same semantics."""
+    from ..operators.asof import asof_join_backward
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") != "error").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    right = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("error_event_id")
+    )
+    out = asof_join_backward(left, right, ["user_id"])
+    return out.select(
+        "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        "event_id",
+        "event_type",
+        F.date_format("ts_asof", _TS_FMT_SPARK).alias("error_ts"),
+        F.col("error_event_id_asof").alias("error_event_id"),
+    )
+
+
+ASOF_SQL = f"""
+SELECT l.user_id, strftime(l.ts, '{_TS_FMT_DUCK}') AS ts, l.event_id, l.event_type,
+       strftime(r.ts, '{_TS_FMT_DUCK}') AS error_ts, r.event_id AS error_event_id
+FROM (SELECT * FROM events WHERE event_type != 'error') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: gap > 30 min starts a new session (lag + cumsum —
     SURVEY.md §2.9; the reference has no streaming/session concept)."""
@@ -409,6 +442,60 @@ PROPS_SQL = """
 SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
        COUNT(json_extract_string(props, '$.k')) AS n_k
 FROM events GROUP BY event_type
+"""
+
+
+def users_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti-join coverage (SURVEY.md §2.7: the reference's compensation
+    delete is an anti-semijoin by key prefix): purchases in (user, hour)
+    buckets with no error for that user in the same hour — an anti-join on a
+    composite derived key, then a per-user rollup."""
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts")).alias("h")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id", hour)
+    erring = (
+        ev.filter(F.col("event_type") == "error").select("user_id", hour).distinct()
+    )
+    return (
+        buyers.join(erring, ["user_id", "h"], "left_anti")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_clean_purchases"))
+    )
+
+
+SEMI_ANTI_SQL = """
+SELECT user_id, COUNT(*) AS n_clean_purchases
+FROM (SELECT user_id, date_trunc('hour', ts) AS h FROM events
+      WHERE event_type = 'purchase') b
+WHERE NOT EXISTS (SELECT 1 FROM events e
+                  WHERE e.event_type = 'error' AND e.user_id = b.user_id
+                    AND date_trunc('hour', e.ts) = b.h)
+GROUP BY user_id
+"""
+
+
+def event_type_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation coverage (§2.7 — absent in the reference): per-user
+    event-type sets via INTERSECT/EXCEPT between the first and second half
+    of the timeline, unioned with a tag column."""
+    ev = _t(spark, sf_dir, "events")
+    mid = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).first()[0]
+    early = ev.filter(F.col("event_id") <= mid).select("user_id", "event_type")
+    late = ev.filter(F.col("event_id") > mid).select("user_id", "event_type")
+    both = early.intersect(late).withColumn("tag", F.lit("both_halves"))
+    only_early = early.exceptAll(early).unionByName(  # stable empty frame
+        early.distinct().exceptAll(late.distinct())
+    ).withColumn("tag", F.lit("early_only"))
+    return both.unionByName(only_early)
+
+
+SET_OPS_SQL = """
+WITH mid AS (SELECT quantile_cont(event_id, 0.5) AS m FROM events),
+early AS (SELECT DISTINCT user_id, event_type FROM events, mid WHERE event_id <= m),
+late  AS (SELECT DISTINCT user_id, event_type FROM events, mid WHERE event_id > m)
+SELECT user_id, event_type, 'both_halves' AS tag FROM (SELECT * FROM early INTERSECT SELECT * FROM late)
+UNION ALL
+SELECT user_id, event_type, 'early_only' AS tag FROM (SELECT * FROM early EXCEPT SELECT * FROM late)
 """
 
 
@@ -736,6 +823,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_latest_event_per_user": (cdc_latest_event_per_user, CDC_LATEST_SQL),
     "cdc_merge_events": (cdc_merge_events, CDC_MERGE_SQL),
     "cdc_merge_events_delta": (cdc_merge_events_delta, CDC_MERGE_SQL),
+    "events_asof_last_error": (events_asof_last_error, ASOF_SQL),
+    "users_semi_anti": (users_semi_anti, SEMI_ANTI_SQL),
+    "event_type_set_ops": (event_type_set_ops, SET_OPS_SQL),
     "events_sessionized": (events_sessionized, SESSION_SQL),
     "events_hourly_rollup": (events_hourly_rollup, HOURLY_SQL),
     "streaming_hourly_rollup": (streaming_hourly_rollup_q, HOURLY_SQL),

@@ -1,0 +1,54 @@
+"""As-of join operator (operators/asof.py) — edge semantics pinned here;
+full-scale parity vs DuckDB's native ASOF JOIN runs in the driver contract
+(events_asof_last_error)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from event_driven_etl_msc_research_spark.operators.asof import asof_join_backward
+
+
+def test_asof_backward_semantics(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "a", "a", "b"],
+                "ts": [5, 10, 20, 7],
+                "ev": ["l1", "l2", "l3", "l4"],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "a", "b"],
+                "ts": [10, 15, 99],
+                "price": [1.0, 2.0, 9.9],
+            }
+        )
+    )
+    got = {
+        r["ev"]: (r["ts_asof"], r["price_asof"])
+        for r in asof_join_backward(left, right, ["k"]).collect()
+    }
+    assert got["l1"] == (None, None)      # before any right row
+    assert got["l2"] == (10, 1.0)         # tie at ts=10 is inclusive
+    assert got["l3"] == (15, 2.0)         # latest at-or-before 20
+    assert got["l4"] == (None, None)      # right row for b is in the future
+
+
+def test_asof_plan_single_shuffle_window(spark):
+    import pandas as pd
+
+    left = spark.createDataFrame(pd.DataFrame({"k": ["a"], "ts": [1], "ev": ["x"]}))
+    right = spark.createDataFrame(pd.DataFrame({"k": ["a"], "ts": [1], "p": [1.0]}))
+    plan = (
+        asof_join_backward(left, right, ["k"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # composition is union + ONE keyed window — no join node, no cross product
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
