@@ -36,7 +36,11 @@ SPEC = ChangeStreamSpec(
 )
 
 
-def test_mid_stream_evolution(spark, tmp_root):
+import pytest
+
+
+@pytest.mark.parametrize("mode", ["cow", "delta"])
+def test_mid_stream_evolution(spark, tmp_root, mode):
     log = os.path.join(tmp_root, "log")
     gen = generate_change_stream(log, SPEC)
     # segments 0-3 = pre-evolution (no tool_meta key anywhere in the file)
@@ -53,14 +57,18 @@ def test_mid_stream_evolution(spark, tmp_root):
 
     tbl = os.path.join(tmp_root, "table")
     # phase 1: engine runs with the ORIGINAL schema
-    eng1 = CDCEngine(spark, tbl, change_schema=CHANGE_EVENT_SCHEMA, n_buckets=8)
+    eng1 = CDCEngine(
+        spark, tbl, change_schema=CHANGE_EVENT_SCHEMA, n_buckets=8,
+        merge_mode=mode,
+    )
     eng1.replay(early, os.path.join(tmp_root, "cp1"))
     assert "tool_meta" not in [f.name for f in eng1.table.schema().fields]
     v_pre = eng1.table.current_version()
 
     # phase 2: source DDL added tool_meta → engine restarts with evolved schema
     eng2 = CDCEngine(
-        spark, tbl, change_schema=CHANGE_EVENT_SCHEMA_EVOLVED, n_buckets=8
+        spark, tbl, change_schema=CHANGE_EVENT_SCHEMA_EVOLVED, n_buckets=8,
+        merge_mode=mode,
     )
     eng2.replay(late, os.path.join(tmp_root, "cp2"))
     assert "tool_meta" in [f.name for f in eng2.table.schema().fields]
