@@ -134,17 +134,27 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "did", F.explode(F.array(*band_structs)).alias("b")
     ).select("did", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.did") < F.col("b.did")),
-        )
-        .select(F.col("a.did").alias("id_a"), F.col("b.did").alias("id_b"))
-        .distinct()
+    # Pairs via ONE grouped pass (a self-join would recompute the whole
+    # signature pipeline — all the md5s — once per side): bucket members are
+    # collected sorted, pairs expand inside the array.  Bucket cardinality is
+    # bounded in practice (near-dup groups); the size cap below guards the
+    # degenerate all-docs-identical bucket from quadratic blowup — beyond it,
+    # pair expansion of a single bucket belongs in a dedicated pass.
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_list("did")).alias("dids"))
+        .filter((F.size("dids") > 1) & (F.size("dids") <= 4096))
     )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(dids, (x, i) -> "
+                "transform(slice(dids, i + 2, size(dids) - i - 1), "
+                "y -> struct(x AS id_a, y AS id_b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
