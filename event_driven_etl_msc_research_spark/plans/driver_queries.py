@@ -32,7 +32,12 @@ from ..operators.multimodal import (
     frame_sample_stub,
     with_binary_payload,
 )
-from ..operators.transform import impute_missing, strip_author_prefix
+from ..operators.transform import (
+    impute_missing,
+    rewrite_article_link,
+    strip_author_prefix,
+    url_percent_encode,
+)
 from ..sinks.manifest import ManifestTable
 from pyspark.sql import types as T
 
@@ -556,6 +561,29 @@ FROM raw
 """
 
 
+def url_ops_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 (percent-encode) + P9 (article-link rewrite) from the v1 scraper
+    (extarction.py:84,102-109) over deterministic synthetic links."""
+    docs = _t(spark, sf_dir, "documents")
+    q = F.concat(F.lit("A+B &lang="), F.col("lang"), F.lit("=X "), F.col("source"))
+    href = F.concat(F.lit("./articles/doc-"), F.col("doc_id").cast("string"))
+    return docs.select(
+        "doc_id",
+        url_percent_encode(q).alias("encoded_query"),
+        rewrite_article_link(href).alias("link"),
+    )
+
+
+URL_OPS_SQL = """
+SELECT doc_id,
+  replace(replace(replace(replace(lower('A+B &lang=' || lang || '=X ' || source),
+    '&', '%26'), '=', '%3D'), '+', '%2B'), ' ', '%20') AS encoded_query,
+  replace('./articles/doc-' || CAST(doc_id AS VARCHAR),
+    './articles/', 'https://news.google.com/articles/') AS link
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # Deduplication family over documents
 # --------------------------------------------------------------------------
@@ -832,6 +860,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "metrics_stage_rollup": (metrics_stage_rollup, METRICS_SQL),
     "events_props_extract": (events_props_extract, PROPS_SQL),
     "news_transform_docs": (news_transform_docs, NEWS_SQL),
+    "url_ops_docs": (url_ops_docs, URL_OPS_SQL),
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
     "dedup_token_jaccard": (dedup_token_jaccard, JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
