@@ -49,9 +49,14 @@ HEADLINE = [
     "q5_nation_revenue",
     "top_users_by_value",
     "cdc_latest_event_per_user",
+    "events_asof_last_error",
+    "users_semi_anti",
+    "event_type_set_ops",
     "events_sessionized",
     "events_hourly_rollup",
+    "streaming_hourly_rollup",
     "news_transform_docs",
+    "url_ops_docs",
     "dedup_exact_docs",
     "dedup_minhash_lsh",
     "knn_bruteforce",
