@@ -450,6 +450,40 @@ FROM events GROUP BY event_type
 """
 
 
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/rangejoin.py): purchases falling inside the
+    10-minute window opened by each error of the same user — binned
+    equi-join, not a nested loop.  Oracle: DuckDB BETWEEN-predicate join."""
+    from ..operators.rangejoin import range_join_points_to_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    points = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    intervals = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end"),
+        F.col("event_id").alias("error_id"),
+    )
+    out = range_join_points_to_intervals(points, intervals, ["user_id"])
+    return out.select(
+        "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        "event_id",
+        "error_id",
+    )
+
+
+RANGE_JOIN_SQL = f"""
+SELECT p.user_id, strftime(p.ts, '{_TS_FMT_DUCK}') AS ts, p.event_id, e.event_id AS error_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON p.user_id = e.user_id
+ AND p.ts BETWEEN e.ts AND e.ts + INTERVAL 10 MINUTE
+"""
+
+
 def users_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti-join coverage (SURVEY.md §2.7: the reference's compensation
     delete is an anti-semijoin by key prefix): purchases in (user, hour)
@@ -852,6 +886,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_merge_events": (cdc_merge_events, CDC_MERGE_SQL),
     "cdc_merge_events_delta": (cdc_merge_events_delta, CDC_MERGE_SQL),
     "events_asof_last_error": (events_asof_last_error, ASOF_SQL),
+    "events_range_join": (events_range_join, RANGE_JOIN_SQL),
     "users_semi_anti": (users_semi_anti, SEMI_ANTI_SQL),
     "event_type_set_ops": (event_type_set_ops, SET_OPS_SQL),
     "events_sessionized": (events_sessionized, SESSION_SQL),
