@@ -50,6 +50,7 @@ HEADLINE = [
     "top_users_by_value",
     "cdc_latest_event_per_user",
     "events_asof_last_error",
+    "events_range_join",
     "users_semi_anti",
     "event_type_set_ops",
     "events_sessionized",
