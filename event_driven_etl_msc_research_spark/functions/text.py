@@ -101,11 +101,21 @@ def lang_id(col: Column) -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
-def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (space-joined) of lowercased text.
+def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (space-joined) over an ALREADY-MATERIALIZED token
+    array column (a bound attribute, not an inline ``split`` expression).
     Texts shorter than n tokens yield an EMPTY array (guarded: Spark's
-    ``sequence(1, 0)`` would count DOWN, not return empty)."""
-    toks = ws_tokens(F.lower(col))
+    ``sequence(1, 0)`` would count DOWN, not return empty).
+
+    SCALE NOTE — why the token array must be bound first: ``slice(toks, i,
+    n)`` inside the ``transform`` lambda is evaluated once PER SHINGLE INDEX.
+    If ``toks`` is the inline ``split(trim(lower(text)))`` expression,
+    Catalyst re-executes the regex split for every index — O(tokens²) work
+    per row (measured 10× slowdown on 300-char docs at sf0.1).  With ``toks``
+    projected in a preceding ``select``/``withColumn``, CollapseProject will
+    NOT inline it (non-cheap expression consumed more than once) and the
+    split runs once per row.
+    """
     return F.when(
         F.size(toks) >= n,
         F.transform(
@@ -115,8 +125,22 @@ def shingles(col: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of lowercased text.  Convenience form for small
+    inputs and oracles — HOT PATHS must materialize the token array first and
+    use :func:`shingles_of_tokens` (see its scale note)."""
+    return shingles_of_tokens(ws_tokens(F.lower(col)), n)
+
+
+def doc_fingerprint_of_tokens(toks: Column, n: int = 3) -> Column:
+    """Document fingerprint over a pre-materialized token array: lexicographic
+    min of md5 over word n-gram shingles (a 1-hash MinHash / winnowing-style
+    rolling fingerprint).  md5 is bit-identical across Spark and DuckDB →
+    oracle-checkable."""
+    return F.array_min(F.transform(shingles_of_tokens(toks, n), lambda s: F.md5(s)))
+
+
 def doc_fingerprint(col: Column, n: int = 3) -> Column:
-    """Document fingerprint: lexicographic min of md5 over word n-gram
-    shingles (a 1-hash MinHash / winnowing-style rolling fingerprint).
-    md5 is bit-identical across Spark and DuckDB → oracle-checkable."""
-    return F.array_min(F.transform(shingles(col, n), lambda s: F.md5(s)))
+    """Convenience form of :func:`doc_fingerprint_of_tokens`; hot paths must
+    bind the token array first (see :func:`shingles_of_tokens`)."""
+    return doc_fingerprint_of_tokens(ws_tokens(F.lower(col)), n)

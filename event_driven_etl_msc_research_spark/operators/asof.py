@@ -5,10 +5,15 @@ a composition of built-in ops per the custom-operator policy (compose before
 Pandas-UDF before mapPartitions).
 
 Implementation (backward as-of, inclusive): union the two sides with a side
-tag, then one window pass per key ordered by ``(ts, side)`` carrying the
-most recent right-side payload forward (``last(..., ignorenulls=True)``),
-and keep left rows.  ONE shuffle + one per-partition sort — same cost shape
-as a window dedup; no range-explosion, no cross product.
+tag, then one window pass per key ordered by ``(ts, side)`` carrying the most
+recent right-side row forward, and keep left rows.  ONE shuffle + one
+per-partition sort — same cost shape as a window dedup; no range-explosion,
+no cross product.
+
+The carried right row is ONE struct ``(ts, payload...)`` under a single
+``last(..., ignorenulls=True)`` — never per-column ``last`` calls, which
+would mix values from DIFFERENT right rows whenever a matched right row has
+a null payload column (torn row).
 
 Scale notes (10^10 rows):
 * the window partitions by the join key — a hot key concentrates on one
@@ -16,13 +21,18 @@ Scale notes (10^10 rows):
   usually the small event/quote stream) and, for pathological keys, split
   by time range before joining;
 * ties: a right row AT the left row's timestamp is visible (inclusive) —
-  the side tag orders right(0) before left(1) at equal ``ts``.
+  the side tag orders right(0) before left(1) at equal ``ts``.  Multiple
+  right rows at the SAME (key, ts) are resolved deterministically: the
+  window additionally orders by the carried struct itself, so the row with
+  the greatest payload tuple wins (document/choose a tie-break column —
+  e.g. a sequence number — as the first payload column to control this).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join_backward(
@@ -34,40 +44,46 @@ def asof_join_backward(
     right_suffix: str = "_asof",
 ) -> DataFrame:
     """For each left row, attach the latest right row with
-    ``right.ts <= left.ts`` for the same key (null if none).
+    ``right.ts <= left.ts`` for the same key (null columns if none).
 
     Right payload columns (everything except keys and timestamp) come back
     suffixed with ``right_suffix``; the matched right timestamp comes back
-    as ``ts<right_suffix>``.
+    as ``ts<right_suffix>``.  All right-side output columns come from the
+    SAME matched right row (carried as one struct).
     """
-    r_payload = [
-        c for c in right.columns if c not in key_cols and c != right_ts
-    ]
+    r_payload = [c for c in right.columns if c not in key_cols and c != right_ts]
     l_cols = [c for c in left.columns if c not in key_cols and c != left_ts]
+    r_types = dict(zip(right.schema.names, [f.dataType for f in right.schema.fields]))
 
+    rrow_type = T.StructType(
+        [T.StructField("_rts", r_types[right_ts])]
+        + [T.StructField(c, r_types[c]) for c in r_payload]
+    )
+    r_struct = F.struct(
+        F.col(right_ts).alias("_rts"), *[F.col(c) for c in r_payload]
+    )
     r_tagged = right.select(
         *key_cols,
         F.col(right_ts).alias("_ats"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in l_cols],
-        F.col(right_ts).alias(f"{right_ts}{right_suffix}"),
-        *[F.col(c).alias(f"{c}{right_suffix}") for c in r_payload],
+        r_struct.alias("_rrow"),
     )
     l_tagged = left.select(
         *key_cols,
         F.col(left_ts).alias("_ats"),
         F.lit(1).alias("_side"),
         *l_cols,
-        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias(f"{right_ts}{right_suffix}"),
-        *[
-            F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{c}{right_suffix}")
-            for c in r_payload
-        ],
+        F.lit(None).cast(rrow_type).alias("_rrow"),
     )
     unioned = r_tagged.unionByName(l_tagged)
+    # order ties on (_ats, _side) by the struct itself: deterministic winner
+    # among same-timestamp right rows (greatest payload tuple carried last);
+    # left rows have a null struct — asc_nulls_first keeps them after no
+    # right row they could shadow, and last(ignorenulls) skips them anyway
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy("_ats", "_side")
+        .orderBy(F.col("_ats").asc(), F.col("_side").asc(), F.col("_rrow").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
@@ -75,15 +91,12 @@ def asof_join_backward(
         "_ats",
         "_side",
         *l_cols,
-        *[
-            F.last(f"{c}{right_suffix}", ignorenulls=True)
-            .over(w)
-            .alias(f"{c}{right_suffix}")
-            for c in [right_ts, *r_payload]
-        ],
+        F.last("_rrow", ignorenulls=True).over(w).alias("_rrow"),
     )
-    return (
-        carried.filter(F.col("_side") == 1)
-        .drop("_side")
-        .withColumnRenamed("_ats", left_ts)
+    return carried.filter(F.col("_side") == 1).select(
+        *key_cols,
+        F.col("_ats").alias(left_ts),
+        *l_cols,
+        F.col("_rrow._rts").alias(f"{right_ts}{right_suffix}"),
+        *[F.col(f"_rrow.{c}").alias(f"{c}{right_suffix}") for c in r_payload],
     )

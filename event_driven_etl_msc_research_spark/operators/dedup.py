@@ -134,6 +134,12 @@ def dedup_latest_argmax(
     are collapsed by a final tiny dedup over winners only.  Assumes
     non-negative versions (a WAL position) and unique ``lsn`` per key at a
     given ``ts`` (a real binlog guarantees both).
+
+    NULL versions (schema-on-read corrupt records: unparseable ts/lsn) are
+    coalesced to a ``-1`` sentinel so they sort BELOW every real version but
+    are never silently dropped: a key whose rows are ALL null-versioned still
+    surfaces (one arbitrary row of it — there is no order to pick by), same
+    keep-the-key contract as the maxstruct form.
     """
     ts_col, lsn_col = version_cols
     ts_dt = dict(df.dtypes).get(ts_col, "")
@@ -142,10 +148,14 @@ def dedup_latest_argmax(
         if ts_dt.startswith("timestamp")
         else F.col(ts_col)
     )
-    # unix_micros (16 digits) * 10^18 + lsn (< 10^18) fits decimal(38,0)
+    # unix_micros (16 digits) * 10^18 + lsn (< 10^18) fits decimal(38,0);
+    # nulls → -1 sentinel (below any real non-negative WAL version)
     ver = (
-        ts_num.cast("decimal(18,0)") * F.lit(10**18)
-        + F.col(lsn_col).cast("decimal(18,0)")
+        F.coalesce(ts_num.cast("decimal(18,0)"), F.lit(-1).cast("decimal(18,0)"))
+        * F.lit(10**18)
+        + F.coalesce(
+            F.col(lsn_col).cast("decimal(18,0)"), F.lit(-1).cast("decimal(18,0)")
+        )
     ).alias("_ver")
     dfv = df.select("*", ver)
     winners = dfv.groupBy(*key_cols).agg(F.max("_ver").alias("_ver"))

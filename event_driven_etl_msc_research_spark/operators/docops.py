@@ -23,7 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles, ws_tokens
+from ..functions.text import shingles_of_tokens, ws_tokens
+from ..util import spread_small_input
 
 
 def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -90,11 +91,16 @@ def minhash_signature(
 
     One explode + one grouped aggregate with k min() columns — map-side
     combine keeps the shuffle at k hex strings per doc regardless of
-    document length.
+    document length.  The token array is materialized in its own projection
+    before the shingle lambda (see ``shingles_of_tokens`` scale note: an
+    inline split would be re-executed per shingle index — quadratic).
     """
-    sh = docs.select(
+    sh = spread_small_input(docs).select(
         F.col(id_col).alias("did"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
+        ws_tokens(F.lower(F.col(text_col))).alias("_toks"),
+    ).select(
+        "did",
+        F.explode(shingles_of_tokens(F.col("_toks"), shingle_n)).alias("sh"),
     )
     aggs = [
         F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{s}")))).alias(f"mh{s}")
@@ -164,7 +170,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     xxhash64(token); the sign vector packs into one long.  Implemented as
     explode + single aggregate of 64 sums — no Python, no UDF.
     """
-    toks = docs.select(
+    toks = spread_small_input(docs).select(
         F.col(id_col).alias("did"),
         F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))

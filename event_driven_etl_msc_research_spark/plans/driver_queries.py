@@ -46,6 +46,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table spread to session parallelism: the small-SF parquet is
+    a single input split, which would serialize all per-row text hashing on
+    one core (no-op at real scale — see util.spread_small_input)."""
+    from ..util import spread_small_input
+
+    return spread_small_input(_t(spark, sf_dir, "documents"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..util import spread_small_input
+
+    return spread_small_input(_t(spark, sf_dir, "embeddings"))
+
+
 def _dec(col: str) -> F.Column:
     return F.col(col).cast("decimal(18,4)")
 
@@ -444,7 +459,10 @@ def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PROPS_SQL = """
-SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+SELECT event_type,
+       -- DuckDB SUM(BIGINT) returns HUGEINT (int128); cast back so the
+       -- driver's value-hash sees the same int64 as Spark's SUM(LONG)
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(json_extract_string(props, '$.k')) AS n_k
 FROM events GROUP BY event_type
 """
@@ -518,18 +536,22 @@ def event_type_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-type sets via INTERSECT/EXCEPT between the first and second half
     of the timeline, unioned with a tag column."""
     ev = _t(spark, sf_dir, "events")
-    mid = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).first()[0]
+    # exact, definition-matched split on both engines: floor(max(event_id)/2)
+    # (percentile_approx vs quantile_cont can disagree on boundary rows)
+    mid = ev.agg(F.floor(F.max("event_id") / 2).cast("long")).first()[0]
     early = ev.filter(F.col("event_id") <= mid).select("user_id", "event_type")
     late = ev.filter(F.col("event_id") > mid).select("user_id", "event_type")
     both = early.intersect(late).withColumn("tag", F.lit("both_halves"))
-    only_early = early.exceptAll(early).unionByName(  # stable empty frame
-        early.distinct().exceptAll(late.distinct())
-    ).withColumn("tag", F.lit("early_only"))
+    only_early = (
+        early.distinct()
+        .exceptAll(late.distinct())
+        .withColumn("tag", F.lit("early_only"))
+    )
     return both.unionByName(only_early)
 
 
 SET_OPS_SQL = """
-WITH mid AS (SELECT quantile_cont(event_id, 0.5) AS m FROM events),
+WITH mid AS (SELECT CAST(floor(MAX(event_id) / 2) AS BIGINT) AS m FROM events),
 early AS (SELECT DISTINCT user_id, event_type FROM events, mid WHERE event_id <= m),
 late  AS (SELECT DISTINCT user_id, event_type FROM events, mid WHERE event_id > m)
 SELECT user_id, event_type, 'both_halves' AS tag FROM (SELECT * FROM early INTERSECT SELECT * FROM late)
@@ -545,7 +567,7 @@ SELECT user_id, event_type, 'early_only' AS tag FROM (SELECT * FROM early EXCEPT
 def news_transform_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1-P7 on positional arrays built from documents (variable arity:
     every 10th row is short → dropped by the arity filter P1)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     arr = F.when(
         F.col("doc_id") % 10 == 0,
         F.array(F.col("source"), F.lit("More"), F.substring("text", 1, 20)),
@@ -598,7 +620,7 @@ FROM raw
 def url_ops_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 (percent-encode) + P9 (article-link rewrite) from the v1 scraper
     (extarction.py:84,102-109) over deterministic synthetic links."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     q = F.concat(F.lit("A+B &lang="), F.col("lang"), F.lit("=X "), F.col("source"))
     href = F.concat(F.lit("./articles/doc-"), F.col("doc_id").cast("string"))
     return docs.select(
@@ -623,7 +645,7 @@ FROM documents
 # --------------------------------------------------------------------------
 
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return docops.dedup_exact(_t(spark, sf_dir, "documents"))
+    return docops.dedup_exact(_docs(spark, sf_dir))
 
 
 DEDUP_EXACT_SQL = """
@@ -633,7 +655,7 @@ FROM documents GROUP BY md5(text)
 
 
 def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return docops.token_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.95)
+    return docops.token_jaccard_pairs(_docs(spark, sf_dir), threshold=0.95)
 
 
 JACCARD_SQL = f"""
@@ -662,7 +684,7 @@ _MINHASH_BANDS = 4
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docops.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"),
+        _docs(spark, sf_dir),
         num_hashes=_MINHASH_K,
         bands=_MINHASH_BANDS,
     )
@@ -694,13 +716,13 @@ FROM bands a JOIN bands b
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # xxhash64-based; no cross-engine hash → rows-only driver check
-    return docops.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=12)
+    return docops.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=12)
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # synthetic embeddings top out at cosine ≈ 0.51 — 0.4 captures the
     # near-dup tail while keeping the result set small
-    return docops.embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+    return docops.embedding_cosine_pairs(_emb(spark, sf_dir), threshold=0.4)
 
 
 _D_DOT = (
@@ -734,7 +756,7 @@ _KNN_QUERY_IDS = [0, 1, 2, 3, 4]
 
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_bruteforce(
-        _t(spark, sf_dir, "embeddings"), _KNN_QUERY_IDS, k=10
+        _emb(spark, sf_dir), _KNN_QUERY_IDS, k=10
     )
 
 
@@ -756,7 +778,7 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # approximate (bucketed); rows-only driver check — recall vs exact is
     # asserted in tests/test_docops.py instead
     return similarity.knn_lsh_bucketed(
-        _t(spark, sf_dir, "embeddings"), _KNN_QUERY_IDS, k=10, n_planes=4, dim=64
+        _emb(spark, sf_dir), _KNN_QUERY_IDS, k=10, n_planes=4, dim=64
     )
 
 
@@ -765,7 +787,7 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     c = F.col("text")
     return docs.select(
         "doc_id",
@@ -805,7 +827,7 @@ FROM m
 
 
 def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", TXT.lang_id(F.col("text")).alias("lang_pred"))
 
 
@@ -829,9 +851,13 @@ SELECT doc_id, {case} AS lang_pred FROM h
 
 
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
+    # token array bound in its OWN projection so the shingle lambda reads an
+    # attribute, not an inline split (quadratic otherwise — text.py scale note)
     return docs.select(
-        "doc_id", TXT.doc_fingerprint(F.col("text")).alias("fingerprint")
+        "doc_id", TXT.ws_tokens(F.lower(F.col("text"))).alias("_toks")
+    ).select(
+        "doc_id", TXT.doc_fingerprint_of_tokens(F.col("_toks")).alias("fingerprint")
     )
 
 
@@ -848,7 +874,7 @@ FROM toks
 # --------------------------------------------------------------------------
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = with_binary_payload(_t(spark, sf_dir, "documents"))
+    docs = with_binary_payload(_docs(spark, sf_dir))
     return extract_binary_features(docs)
 
 
@@ -862,7 +888,7 @@ FROM documents
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = with_binary_payload(_t(spark, sf_dir, "documents"))
+    docs = with_binary_payload(_docs(spark, sf_dir))
     return frame_sample_stub(docs, every_n=10)
 
 

@@ -38,6 +38,43 @@ def test_asof_backward_semantics(spark):
     assert got["l4"] == (None, None)      # right row for b is in the future
 
 
+def test_asof_no_torn_rows_with_null_payload(spark):
+    """A matched right row with a NULL payload column must NOT inherit that
+    column from an OLDER right row: the whole right row is carried as one
+    struct (regression for per-column last(ignorenulls) tearing)."""
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"], "ts": [20], "ev": ["l1"]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "a"],
+                "ts": [10, 15],
+                "price": [1.0, None],   # newest matched row has null price
+                "qty": [7, 8],
+            }
+        )
+    )
+    row = asof_join_backward(left, right, ["k"]).collect()[0]
+    assert row["ts_asof"] == 15
+    assert row["qty_asof"] == 8
+    assert row["price_asof"] is None  # NOT 1.0 from the older row
+
+
+def test_asof_right_ts_tie_deterministic(spark):
+    """Two right rows at the same (key, ts): the greatest payload tuple wins,
+    deterministically, run after run."""
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"], "ts": [10], "ev": ["l1"]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "a"], "ts": [10, 10], "seq": [1, 2], "p": [5.0, 6.0]})
+    )
+    for _ in range(3):
+        row = asof_join_backward(left, right, ["k"]).collect()[0]
+        assert (row["seq_asof"], row["p_asof"]) == (2, 6.0)
+
+
 def test_asof_plan_single_shuffle_window(spark):
     import pandas as pd
 

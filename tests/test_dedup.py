@@ -116,6 +116,29 @@ def test_dedup_argmax_agrees_and_is_hash_agg(spark, changes):
     assert "HashAggregate" in plan  # decimal-encoded version → true hash agg
 
 
+def test_dedup_null_versions_not_dropped(spark):
+    """Corrupt changelog records (schema-on-read NULL ts/lsn) must not make a
+    key vanish: null versions sort below real ones via the -1 sentinel, and a
+    key whose rows are ALL null-versioned still surfaces."""
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "corrupt", "corrupt"],
+            "turn_idx": [0, 0, 0, 0],
+            "ts": pd.array([100, None, None, None], dtype="Int64"),
+            "lsn": pd.array([1, 2, None, None], dtype="Int64"),
+            "text": ["good", "null-ts-loses", "c1", "c2"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in dedup_latest(df, ["conv_id", "turn_idx"], ["ts", "lsn"]).collect()
+    }
+    assert got[("a", 0)] == "good"          # real version beats null version
+    assert ("corrupt", 0) in got            # all-null key kept, not dropped
+    assert got[("corrupt", 0)] in ("c1", "c2")
+
+
 def test_salted_repartition_spreads_hot_key(spark):
     pdf = pd.DataFrame(
         {
