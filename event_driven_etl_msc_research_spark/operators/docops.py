@@ -42,36 +42,56 @@ def token_jaccard_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact token-SET Jaccard similar pairs via inverted index.
 
-    Plan: explode distinct tokens → self-join on token (the inverted index;
-    co-partitioned equi-join, no cross product) → per-pair intersection
-    count → Jaccard with per-doc set sizes.  At scale, prune super-common
-    tokens (df-cut) before the join; here the vocabulary is tiny so the
-    full index is used.
+    Plan: explode distinct tokens → OPTIONAL document-frequency cut →
+    self-join on token (the inverted index; co-partitioned equi-join, no
+    cross product) → distinct candidate pairs → exact Jaccard recomputed on
+    the FULL token sets of each candidate (``array_intersect``), so the cut
+    affects CANDIDATE RECALL only, never the reported similarity value.
+
+    ``max_df``: drop tokens appearing in more than this many documents from
+    the index.  This is the guard the verify step needs at corpus scale — a
+    single stop-word-like token otherwise creates a quadratic join bucket
+    (df² candidate pairs from one token).  The high-df token list is tiny by
+    definition → broadcast anti-join, no extra shuffle of the index.  Recall
+    contract: a qualifying pair is found iff it shares ≥1 sub-cut token;
+    pairs similar ONLY through super-common tokens are deliberately missed
+    (documented trade — at threshold ≥ 0.5 such pairs are stop-word shells).
     """
-    toks = docs.select(
+    base = docs.select(
         F.col(id_col).alias("did"),
-        F.explode(F.array_distinct(ws_tokens(F.lower(F.col(text_col))))).alias("tok"),
+        F.array_distinct(ws_tokens(F.lower(F.col(text_col)))).alias("toks"),
     )
-    sizes = toks.groupBy("did").agg(F.count("*").alias("set_size"))
-    a, b = toks.alias("a"), toks.alias("b")
-    inter = (
+    toks = base.select("did", F.explode("toks").alias("tok"))
+    idx = toks
+    if max_df is not None:
+        hot = (
+            toks.groupBy("tok")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("tok")
+        )
+        idx = toks.join(F.broadcast(hot), "tok", "left_anti")
+    a, b = idx.alias("a"), idx.alias("b")
+    cand = (
         a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.did") < F.col("b.did")))
-        .groupBy(F.col("a.did").alias("id_a"), F.col("b.did").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+        .select(F.col("a.did").alias("id_a"), F.col("b.did").alias("id_b"))
+        .distinct()
     )
-    sa = sizes.select(F.col("did").alias("id_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col("did").alias("id_b"), F.col("set_size").alias("size_b"))
+    sa = base.select(F.col("did").alias("id_a"), F.col("toks").alias("toks_a"))
+    sb = base.select(F.col("did").alias("id_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
     return (
-        inter.join(sa, "id_a")
+        cand.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.col("inter").cast("double")
-                / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
+                inter.cast("double")
+                / (F.size("toks_a") + F.size("toks_b") - inter).cast("double"),
                 4,
             ),
         )
@@ -116,14 +136,29 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bucket_cap: int = 4096,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: signature → ``bands`` band hashes →
-    self-join docs sharing any band bucket.  Distinct (id_a < id_b) pairs.
+    docs sharing any band bucket.  Distinct (id_a < id_b) pairs.
 
     This is the 10^10-doc path: candidates come from equi-joins on band
     hash (shuffle keyed by band value — hot buckets are bounded by band
     width), and only candidates ever reach the exact-verify step
     (``token_jaccard_pairs`` on the candidate set).
+
+    Pair expansion is two-path, NO pairs are ever dropped:
+
+    * buckets with ≤ ``bucket_cap`` members expand in ONE grouped pass
+      (members collected sorted, pairs expanded inside the array — a
+      self-join here would recompute the whole signature pipeline once per
+      side);
+    * degenerate buckets ABOVE the cap (e.g. an all-identical corpus slice)
+      would blow the grouped row past executor memory (cap² structs in one
+      array), so their members are re-exploded and pair-expanded by a
+      distributed self-join on (band, bh) instead — same result, the
+      quadratic work spread across tasks.  Both paths read the SAME grouped
+      aggregate, so Spark reuses the exchange rather than recomputing
+      signatures.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -140,18 +175,11 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "did", F.explode(F.array(*band_structs)).alias("b")
     ).select("did", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
-    # Pairs via ONE grouped pass (a self-join would recompute the whole
-    # signature pipeline — all the md5s — once per side): bucket members are
-    # collected sorted, pairs expand inside the array.  Bucket cardinality is
-    # bounded in practice (near-dup groups); the size cap below guards the
-    # degenerate all-docs-identical bucket from quadratic blowup — beyond it,
-    # pair expansion of a single bucket belongs in a dedicated pass.
-    buckets = (
-        banded.groupBy("band", "bh")
-        .agg(F.array_sort(F.collect_list("did")).alias("dids"))
-        .filter((F.size("dids") > 1) & (F.size("dids") <= 4096))
+    members = banded.groupBy("band", "bh").agg(
+        F.array_sort(F.collect_list("did")).alias("dids")
     )
-    pairs = buckets.select(
+    small = members.filter((F.size("dids") > 1) & (F.size("dids") <= bucket_cap))
+    small_pairs = small.select(
         F.explode(
             F.expr(
                 "flatten(transform(dids, (x, i) -> "
@@ -159,8 +187,21 @@ def minhash_lsh_pairs(
                 "y -> struct(x AS id_a, y AS id_b))))"
             )
         ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    big = members.filter(F.size("dids") > bucket_cap).select(
+        "band", "bh", F.explode("dids").alias("did")
     )
-    return pairs.select("p.id_a", "p.id_b").distinct()
+    big_pairs = (
+        big.alias("a")
+        .join(
+            big.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.did") < F.col("b.did")),
+        )
+        .select(F.col("a.did").alias("id_a"), F.col("b.did").alias("id_b"))
+    )
+    return small_pairs.unionByName(big_pairs).distinct()
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -66,11 +66,12 @@ def _hyperplane(plane: int, dim: int) -> float:
     return (h / float(1 << 32)) * 2.0 - 1.0
 
 
-def lsh_bucket_expr(vec_col, n_planes: int, dim: int):
-    """Sign-pattern bucket id of a vector under n deterministic hyperplanes."""
+def lsh_bucket_expr(vec_col, n_planes: int, dim: int, plane_offset: int = 0):
+    """Sign-pattern bucket id of a vector under n deterministic hyperplanes
+    (``plane_offset`` selects an independent plane family per hash table)."""
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        w = F.array(*[F.lit(_hyperplane(p, d)) for d in range(dim)])
+        w = F.array(*[F.lit(_hyperplane(plane_offset + p, d)) for d in range(dim)])
         dot = F.aggregate(
             F.zip_with(vec_col, w, lambda x, y: x * y),
             F.lit(0.0),
@@ -88,36 +89,75 @@ def knn_lsh_bucketed(
     k: int = 10,
     n_planes: int = 6,
     dim: int = 64,
+    multi_probe: int = 1,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: compare only within the query's LSH bucket.
+    """Approximate top-k: compare only within the query's LSH bucket(s).
 
-    2^n_planes buckets; expected bucket size n/2^p.  Recall/latency trades
-    by n_planes (and multi-probe, not implemented round 1).  Plan shape:
-    one narrow projection to compute buckets, equi-join on bucket (shuffle
-    keyed by bucket id), per-bucket scoring + window top-k.
+    2^n_planes buckets per table; expected bucket size n/2^p.  Two recall
+    knobs, composable:
+
+    * ``multi_probe`` — 0 probes only the query's own bucket; 1 (default)
+      also probes every bucket at Hamming distance 1 (flip each plane bit —
+      1 + n_planes probes per query), recovering neighbors a single
+      near-zero hyperplane margin would otherwise lose;
+    * ``n_tables`` — OR-amplification: L independent plane families; a
+      neighbor is a candidate if it collides in ANY table.  Miss probability
+      decays exponentially in L.  Cost: the corpus-side index is replicated
+      L× (the standard LSH memory/recall trade); the query side stays tiny.
+
+    Plan shape: one narrow projection computes each side's (table, bucket)
+    keys (corpus exploded L×, queries exploded L×(1+probes)× then
+    broadcast), equi-join on (table, bucket) — the only shuffle is the
+    corpus keyed by its bucket — per-bucket scoring, (qid, nid) dedup,
+    window top-k.
     """
     from pyspark.sql import Window
 
-    v = emb.select(
-        F.col(id_col).alias("nid"),
-        F.col(vec_col).cast("array<double>").alias("nv"),
-    ).withColumn("bucket", lsh_bucket_expr(F.col("nv"), n_planes, dim))
+    def _keys(vec, probe: bool):
+        """(table, bucket) struct array for a vector; query side (probe=True)
+        adds the Hamming-1 probe buckets of each table."""
+        out = []
+        for t in range(n_tables):
+            b0 = lsh_bucket_expr(vec, n_planes, dim, plane_offset=t * n_planes)
+            buckets = [b0]
+            if probe and multi_probe >= 1:
+                buckets += [
+                    b0.bitwiseXOR(F.lit(1 << p).cast("long"))
+                    for p in range(n_planes)
+                ]
+            out += [
+                F.struct(F.lit(t).alias("tbl"), b.alias("bucket")) for b in buckets
+            ]
+        return F.array(*out)
+
+    v = (
+        emb.select(
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).cast("array<double>").alias("nv"),
+        )
+        .select("nid", "nv", F.explode(_keys(F.col("nv"), probe=False)).alias("tb"))
+        .select("nid", "nv", "tb.tbl", "tb.bucket")
+    )
     q = (
         emb.filter(F.col(id_col).isin(query_ids))
         .select(
             F.col(id_col).alias("qid"),
             F.col(vec_col).cast("array<double>").alias("qv"),
         )
-        .withColumn("bucket", lsh_bucket_expr(F.col("qv"), n_planes, dim))
+        .select("qid", "qv", F.explode(_keys(F.col("qv"), probe=True)).alias("tb"))
+        .select("qid", "qv", "tb.tbl", "tb.bucket")
+        .dropDuplicates(["qid", "tbl", "bucket"])
     )
     scored = (
-        v.join(F.broadcast(q), "bucket")
+        v.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("qid") != F.col("nid"))
         .select(
             "qid", "nid", F.round(_cosine(F.col("qv"), F.col("nv")), 4).alias("cosine")
         )
+        .dropDuplicates(["qid", "nid"])
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (

@@ -46,6 +46,55 @@ def test_token_jaccard_pairs(spark, docs):
     assert (0, 3) not in pairs
 
 
+def test_token_jaccard_df_cut_guards_hot_tokens(spark):
+    """The df-cut prunes stop-word-like tokens from the inverted index
+    (quadratic-bucket guard) while exact Jaccard is still computed on FULL
+    token sets; pairs similar ONLY through super-common tokens are the
+    documented recall trade."""
+    rows = [(i, f"the unique{i} word{i}") for i in range(30)]
+    rows += [
+        (100, "the quick brown fox jumps high"),
+        (101, "the quick brown fox jumps low"),
+        (200, "the"),  # similar to 201 ONLY via the stop word
+        (201, "the"),
+    ]
+    d = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    uncut = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in docops.token_jaccard_pairs(d, threshold=0.5).collect()
+    }
+    cut = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in docops.token_jaccard_pairs(d, threshold=0.5, max_df=5).collect()
+    }
+    # the real near-dup pair survives the cut with the IDENTICAL exact value
+    assert cut[(100, 101)] == uncut[(100, 101)] == 0.7143
+    # the stop-word-only pair is found uncut, deliberately missed with cut
+    assert (200, 201) in uncut and uncut[(200, 201)] == 1.0
+    assert (200, 201) not in cut
+    # no unique-doc pair leaks in either mode
+    assert all(a >= 100 for a, _ in cut)
+
+
+def test_minhash_big_buckets_not_dropped(spark):
+    """Buckets above bucket_cap route through the join-based expansion —
+    the same pairs come back, none silently dropped (regression for the
+    cap-filters-pairs bug)."""
+    rows = [(i, "an identical degenerate document body here") for i in range(20)]
+    rows += [(100, "something else entirely unrelated to the rest of them")]
+    d = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    expected = {(a, b) for a in range(20) for b in range(a + 1, 20)}
+    via_big = {
+        (r["id_a"], r["id_b"])
+        for r in docops.minhash_lsh_pairs(d, num_hashes=12, bands=4, bucket_cap=4).collect()
+    }
+    via_small = {
+        (r["id_a"], r["id_b"])
+        for r in docops.minhash_lsh_pairs(d, num_hashes=12, bands=4).collect()
+    }
+    assert via_big == via_small == expected
+
+
 def test_minhash_lsh_finds_near_dups(spark, docs):
     cand = {
         (r["id_a"], r["id_b"])
@@ -106,7 +155,7 @@ def test_knn_bruteforce_and_lsh(spark, emb):
     assert cos == sorted(cos, reverse=True)
 
     approx = similarity.knn_lsh_bucketed(
-        emb, [0], k=5, n_planes=2, dim=16, vec_col="embedding"
+        emb, [0], k=5, n_planes=2, dim=16, n_tables=3, vec_col="embedding"
     ).collect()
     assert len(approx) > 0
     exact_set = {r["nid"] for r in exact}
@@ -117,7 +166,37 @@ def test_knn_bruteforce_and_lsh(spark, emb):
     for r in approx:
         if r["nid"] in exact_scores:
             assert r["cosine"] == exact_scores[r["nid"]]
-    assert approx_set & exact_set, "LSH recall@5 must be > 0"
+    # real recall gate: multi-probe (1 + n_planes probe buckets) must recover
+    # ≥ 0.8 of the exact top-5 — not merely a non-empty intersection
+    recall = len(approx_set & exact_set) / len(exact_set)
+    assert recall >= 0.8, f"LSH recall@5 = {recall} < 0.8"
+
+
+def test_knn_lsh_multiprobe_recall_all_queries(spark, emb):
+    """recall@5 ≥ 0.8 averaged over every vector as a query, at a plane count
+    where single-probe demonstrably loses neighbors (regression for the
+    vacuous `recall > 0` assertion)."""
+    qids = list(range(10))
+    exact = similarity.knn_bruteforce(emb, qids, k=5, vec_col="embedding").collect()
+    exact_by_q = {}
+    for r in exact:
+        exact_by_q.setdefault(r["qid"], set()).add(r["nid"])
+
+    def recall(multi_probe: int) -> float:
+        approx = similarity.knn_lsh_bucketed(
+            emb, qids, k=5, n_planes=3, dim=16, multi_probe=multi_probe,
+            n_tables=3, vec_col="embedding",
+        ).collect()
+        by_q = {}
+        for r in approx:
+            by_q.setdefault(r["qid"], set()).add(r["nid"])
+        return sum(
+            len(by_q.get(q, set()) & e) / len(e) for q, e in exact_by_q.items()
+        ) / len(exact_by_q)
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= 0.8, f"multi-probe recall@5 = {r1} < 0.8"
+    assert r1 >= r0  # probing neighbor buckets can only add candidates
 
 
 def test_multimodal_feature_plumbing(spark, docs):
