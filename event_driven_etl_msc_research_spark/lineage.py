@@ -12,19 +12,51 @@ Replaces the reference's DynamoDB tracking tables and CloudWatch metrics:
   → the same tables + ``stage_report`` (groupBy stage, the exact aggregation
   of ``CloudsMatricsByQ2.py:45-73`` / ``test2.py:104-113``).
 
-Appends are plain Parquet (metadata, not data-plane): a torn lineage write
-cannot corrupt table state, which is guarded solely by the manifest commit.
+WRITE PATH — driver-side pyarrow, never a Spark job: lineage rows are a few
+hundred bytes of metadata per epoch, but ``spark.createDataFrame(...).write``
+costs a full job submission (~100 ms of scheduler latency) PER EPOCH — at a
+100-epochs/min binlog tail that is real ingest-path overhead.  Rows are
+buffered and flushed as one small parquet file per ``flush_every`` records
+(pyarrow, microseconds); a Failed status always flushes immediately so crash
+forensics never sit in a lost buffer.  A torn lineage write still cannot
+corrupt table state, which is guarded solely by the manifest commit.
 """
 
 from __future__ import annotations
 
 import datetime as dt
+import itertools
 import os
+import time
 
-import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 
 from .schemas import CHUNK_REGISTRY_SCHEMA, LINEAGE_SCHEMA
+
+_LINEAGE_ARROW = pa.schema(
+    [
+        pa.field("epoch_id", pa.int64(), nullable=False),
+        pa.field("stage", pa.string(), nullable=False),
+        pa.field("status", pa.string(), nullable=False),
+        pa.field("detail", pa.string()),
+        pa.field("duration_s", pa.float64()),
+        pa.field("tenant_id", pa.string()),
+        pa.field("ts", pa.timestamp("us", tz="UTC"), nullable=False),
+    ]
+)
+
+_REGISTRY_ARROW = pa.schema(
+    [
+        pa.field("epoch_id", pa.int64(), nullable=False),
+        pa.field("partition_id", pa.int32(), nullable=False),
+        pa.field("n_records", pa.int64(), nullable=False),
+        pa.field("tenant_id", pa.string()),
+        pa.field("stage", pa.string(), nullable=False),
+        pa.field("ts", pa.timestamp("us", tz="UTC"), nullable=False),
+    ]
+)
 
 
 def _now() -> dt.datetime:
@@ -32,12 +64,26 @@ def _now() -> dt.datetime:
 
 
 class LineageLog:
-    def __init__(self, spark: SparkSession, root: str, tenant_id: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        tenant_id: str | None = None,
+        flush_every: int = 1,
+    ):
         self.spark = spark
         self.root = root
         self.tenant_id = tenant_id
+        self.flush_every = max(1, flush_every)
         self.lineage_dir = os.path.join(root, "_lineage")
         self.registry_dir = os.path.join(root, "_chunk_registry")
+        self._buf_lineage: list[dict] = []
+        self._buf_registry: list[dict] = []
+        self._seq = itertools.count()
+        # unique per LOG INSTANCE, not just per process: two engines over the
+        # same table root in one process (e.g. crash-recovery tests) must not
+        # overwrite each other's flushed files
+        self._tag = f"{os.getpid():x}-{time.monotonic_ns():x}"
 
     def record_stage(
         self,
@@ -47,22 +93,20 @@ class LineageLog:
         detail: str | None = None,
         duration_s: float | None = None,
     ) -> None:
-        pdf = pd.DataFrame(
-            [
-                {
-                    "epoch_id": epoch_id,
-                    "stage": stage,
-                    "status": status,
-                    "detail": detail,
-                    "duration_s": duration_s,
-                    "tenant_id": self.tenant_id,
-                    "ts": _now(),
-                }
-            ]
+        self._buf_lineage.append(
+            {
+                "epoch_id": int(epoch_id),
+                "stage": stage,
+                "status": status,
+                "detail": detail,
+                "duration_s": duration_s,
+                "tenant_id": self.tenant_id,
+                "ts": _now(),
+            }
         )
-        self.spark.createDataFrame(pdf, LINEAGE_SCHEMA).write.mode("append").parquet(
-            self.lineage_dir
-        )
+        # Failed rows flush NOW — the process may be about to die
+        if status == "Failed" or len(self._buf_lineage) >= self.flush_every:
+            self.flush()
 
     def record_partitions(
         self, epoch_id: int, stage: str, rows_by_partition: dict[int, int]
@@ -70,27 +114,43 @@ class LineageLog:
         if not rows_by_partition:
             return
         now = _now()
-        pdf = pd.DataFrame(
-            [
-                {
-                    "epoch_id": epoch_id,
-                    "partition_id": int(p),
-                    "n_records": int(n),
-                    "tenant_id": self.tenant_id,
-                    "stage": stage,
-                    "ts": now,
-                }
-                for p, n in rows_by_partition.items()
-            ]
+        self._buf_registry.extend(
+            {
+                "epoch_id": int(epoch_id),
+                "partition_id": int(p),
+                "n_records": int(n),
+                "tenant_id": self.tenant_id,
+                "stage": stage,
+                "ts": now,
+            }
+            for p, n in rows_by_partition.items()
         )
-        self.spark.createDataFrame(pdf, CHUNK_REGISTRY_SCHEMA).write.mode(
-            "append"
-        ).parquet(self.registry_dir)
+        if len(self._buf_registry) >= self.flush_every:
+            self.flush()
+
+    def flush(self) -> None:
+        """Drain both buffers to one small parquet file each (driver-side)."""
+        for buf, schema, out_dir in (
+            (self._buf_lineage, _LINEAGE_ARROW, self.lineage_dir),
+            (self._buf_registry, _REGISTRY_ARROW, self.registry_dir),
+        ):
+            if not buf:
+                continue
+            os.makedirs(out_dir, exist_ok=True)
+            table = pa.Table.from_pylist(buf, schema=schema)
+            fname = (
+                f"part-{buf[0]['epoch_id']:012d}-{self._tag}-"
+                f"{next(self._seq):06d}.parquet"
+            )
+            pq.write_table(table, os.path.join(out_dir, fname))
+            buf.clear()
 
     def lineage(self) -> DataFrame:
+        self.flush()
         return self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.lineage_dir)
 
     def chunk_registry(self) -> DataFrame:
+        self.flush()
         return self.spark.read.schema(CHUNK_REGISTRY_SCHEMA).parquet(self.registry_dir)
 
     def stage_report(self) -> DataFrame:

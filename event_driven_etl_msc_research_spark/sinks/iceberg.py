@@ -1,11 +1,28 @@
 """IcebergTable — same interface as ManifestTable over a real Iceberg catalog.
 
-The sandbox has no network (no ``iceberg-spark-runtime`` jar, SURVEY.md §7),
-so this is an import-try-gated connector: when the jar IS on the classpath
+UNVERIFIED WITHOUT THE JAR: the sandbox has no network (no
+``iceberg-spark-runtime`` jar, SURVEY.md §7), so this connector has never
+executed against a live catalog.  What IS verified here is the generated
+SQL itself: ``merge_sql``/``create_sql``/``evolve_sql`` are pure functions
+golden-pinned by ``tests/test_iceberg_sql.py``, so the statement text this
+class would submit is locked down even though the Iceberg transaction layer
+cannot run in this environment.  When the jar IS on the classpath
 (``spark.jars.packages=org.apache.iceberg:iceberg-spark-runtime-...``), the
 engine's MERGE maps to native ``MERGE INTO`` and schema evolution to
-``ALTER TABLE ... ADD COLUMN`` — the transaction is Iceberg's, the
+``ALTER TABLE ... ADD COLUMNS`` — the transaction is Iceberg's, the
 detection/diff and the version-comparison predicate are ours.
+
+Semantics mirror ``ManifestTable.merge`` (sinks/manifest.py:245-330):
+* change rows carry ``(op, lsn, ts, key..., payload...)``; the target stores
+  payload plus ``_lsn bigint`` and ``_deleted boolean``;
+* max-version conflict predicate compares ``(ts, lsn)`` tuples — written as
+  a ``struct(...) > struct(...)`` comparison (Spark SQL has no bare tuple
+  comparison);
+* deletes are tombstones (``_deleted = true`` with the delete's version)
+  so an out-of-order older update cannot resurrect a key;
+* ``op``/``lsn`` never land as target columns — UPDATE/INSERT use explicit
+  column lists, never ``SET *`` / ``INSERT *`` (the source has columns the
+  target lacks and vice versa).
 """
 
 from __future__ import annotations
@@ -24,8 +41,78 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def create_sql(
+    identifier: str,
+    schema: T.StructType,
+    key_cols: list[str],
+    n_buckets: int = 16,
+) -> str:
+    """Idempotent DDL for the target table (payload + _lsn/_deleted),
+    bucket-partitioned on the first key column (the reference's warehouse
+    DDL twin, Phase3-DataLoad.py:99-124)."""
+    cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+    return (
+        f"CREATE TABLE IF NOT EXISTS {identifier} ({cols}, _lsn BIGINT, "
+        f"_deleted BOOLEAN) USING iceberg "
+        f"PARTITIONED BY (bucket({n_buckets}, {key_cols[0]}))"
+    )
+
+
+def merge_sql(
+    identifier: str,
+    key_cols: list[str],
+    payload_cols: list[str],
+    changes_view: str = "_changes",
+    ts_col: str = "ts",
+) -> str:
+    """The MERGE INTO statement applying one deduped change batch.
+
+    ``payload_cols`` are the target's payload columns (must include
+    ``ts_col``; must NOT include ``op``/``lsn``/``_lsn``/``_deleted``).
+    The version comparison is ``struct(c.ts, c.lsn) > struct(t.ts, t._lsn)``
+    and null-safe on the target side via coalesce-free struct ordering
+    (target rows always carry ts/_lsn once inserted).
+    """
+    bad = {"op", "lsn", "_lsn", "_deleted"} & set(payload_cols)
+    if bad:
+        raise ValueError(f"payload_cols must not contain {sorted(bad)}")
+    if ts_col not in payload_cols:
+        raise ValueError(f"payload_cols must include the version column {ts_col!r}")
+    on = " AND ".join(f"t.{k} = c.{k}" for k in key_cols)
+    newer = f"struct(c.{ts_col}, c.lsn) > struct(t.{ts_col}, t._lsn)"
+    upd_set = ", ".join(
+        [f"t.{c} = c.{c}" for c in payload_cols]
+        + ["t._lsn = c.lsn", "t._deleted = false"]
+    )
+    del_set = f"t.{ts_col} = c.{ts_col}, t._lsn = c.lsn, t._deleted = true"
+    ins_cols = ", ".join([*payload_cols, "_lsn", "_deleted"])
+    ins_vals = ", ".join(
+        [f"c.{c}" for c in payload_cols] + ["c.lsn", "c.op = 'D'"]
+    )
+    return (
+        f"MERGE INTO {identifier} t\n"
+        f"USING (SELECT * FROM {changes_view}) c\n"
+        f"ON {on}\n"
+        f"WHEN MATCHED AND {newer} AND c.op = 'D' THEN\n"
+        f"  UPDATE SET {del_set}\n"
+        f"WHEN MATCHED AND {newer} THEN\n"
+        f"  UPDATE SET {upd_set}\n"
+        f"WHEN NOT MATCHED AND c.op != 'D' THEN\n"
+        f"  INSERT ({ins_cols}) VALUES ({ins_vals})"
+    )
+
+
+def evolve_sql(identifier: str, added: list[T.StructField]) -> str:
+    """Additive schema evolution (the engine's only evolution mode —
+    sinks/manifest.py:174-195) as one Iceberg schema-update transaction."""
+    cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in added)
+    return f"ALTER TABLE {identifier} ADD COLUMNS ({cols})"
+
+
 class IcebergTable:
-    """Native-Iceberg twin of ``ManifestTable`` (same method surface)."""
+    """Native-Iceberg twin of ``ManifestTable`` (same method surface).
+    See module docstring: SQL text verified, execution unverified without
+    the iceberg-spark-runtime jar."""
 
     def __init__(self, spark: SparkSession, identifier: str):
         if not iceberg_available(spark):
@@ -35,6 +122,7 @@ class IcebergTable:
             )
         self.spark = spark
         self.identifier = identifier
+        self.key_cols: list[str] = ["conv_id", "turn_idx"]
 
     @classmethod
     def create(
@@ -47,38 +135,31 @@ class IcebergTable:
         tenant_id: str | None = None,
     ) -> "IcebergTable":
         t = cls(spark, identifier)
-        cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
-        spark.sql(
-            f"CREATE TABLE IF NOT EXISTS {identifier} ({cols}, _lsn bigint, "
-            f"_deleted boolean) USING iceberg "
-            f"PARTITIONED BY (bucket({n_buckets}, conv_id))"
-        )
+        t.key_cols = key_cols or ["conv_id", "turn_idx"]
+        spark.sql(create_sql(identifier, schema, t.key_cols, n_buckets))
         return t
 
     def read(self, version: int | None = None) -> DataFrame:
-        rdr = self.spark.read
+        rdr = self.spark.read.format("iceberg")
         if version is not None:
-            rdr = rdr.option("snapshot-id", version)
+            rdr = rdr.option("snapshot-id", str(version))
         return (
-            rdr.table(self.identifier)
+            rdr.load(self.identifier)
             .filter("NOT coalesce(_deleted, false)")
             .drop("_lsn", "_deleted")
         )
 
     def merge(self, changes: DataFrame, epoch_id: int, **kw: Any) -> dict[str, Any]:
-        """MERGE INTO with max-version conflict predicate; epoch idempotence
-        via a snapshot summary property ``applied-epoch`` checked first."""
+        """MERGE INTO with max-version conflict predicate.  Payload columns
+        are everything in the change batch except op/lsn; columns new to the
+        target are added first via an additive schema-update transaction."""
+        target_cols = {f.name for f in self.spark.table(self.identifier).schema.fields}
+        payload = [f for f in changes.schema.fields if f.name not in ("op", "lsn")]
+        added = [f for f in payload if f.name not in target_cols]
+        if added:
+            self.spark.sql(evolve_sql(self.identifier, added))
         changes.createOrReplaceTempView("_changes")
         self.spark.sql(
-            f"""
-            MERGE INTO {self.identifier} t
-            USING (SELECT * FROM _changes) c
-            ON t.conv_id = c.conv_id AND t.turn_idx = c.turn_idx
-            WHEN MATCHED AND (c.ts, c.lsn) > (t.ts, t._lsn) AND c.op = 'D'
-              THEN UPDATE SET t._deleted = true, t.ts = c.ts, t._lsn = c.lsn
-            WHEN MATCHED AND (c.ts, c.lsn) > (t.ts, t._lsn)
-              THEN UPDATE SET *
-            WHEN NOT MATCHED AND c.op != 'D' THEN INSERT *
-            """
+            merge_sql(self.identifier, self.key_cols, [f.name for f in payload])
         )
         return {"status": "Success", "epoch_id": epoch_id}

@@ -53,6 +53,7 @@ class CDCEngine:
         audit: str = "counts",
         merge_mode: str = "cow",  # "cow" | "delta" (merge-on-read tail path)
         compact_every: int = 0,   # delta mode: fold deltas→base every N epochs
+        vacuum_keep_versions: int = 8,  # 0 disables auto-vacuum
         fail_after_stage_write: bool = False,  # chaos hook (cf. the reference's
         # live 'Intentional exception', Phase3-Data-Extraction-Async.py:44)
     ):
@@ -62,7 +63,9 @@ class CDCEngine:
         self.files_per_bucket = files_per_bucket
         self.merge_mode = merge_mode
         self.compact_every = compact_every
+        self.vacuum_keep_versions = vacuum_keep_versions
         self._epochs_since_compact = 0
+        self._epochs_since_vacuum = 0
         self.audit = audit
         self.fail_after_stage_write = fail_after_stage_write
         self.table = ManifestTable.create(
@@ -73,7 +76,11 @@ class CDCEngine:
             n_buckets=n_buckets,
             tenant_id=tenant_id,
         )
-        self.lineage = LineageLog(spark, table_root, tenant_id=tenant_id)
+        # flush_every=64 amortizes lineage IO across epochs (Failed rows and
+        # any lineage read still flush immediately — see LineageLog)
+        self.lineage = LineageLog(
+            spark, table_root, tenant_id=tenant_id, flush_every=64
+        )
         # idempotence scope for epoch ids; replay() pins it to the checkpoint
         # dir so restarts of the SAME checkpoint dedup, while a new
         # checkpoint (whose epoch ids restart at 0) never collides
@@ -135,6 +142,13 @@ class CDCEngine:
                         duration_s=cst["duration_s"],
                     )
                     self._epochs_since_compact = 0
+                    # compaction is the natural GC point: superseded base
+                    # files AND orphaned staging dirs from crashed attempts
+                    # are now unreferenced by every retained manifest —
+                    # without this a long-running tail grows without bound
+                    self._maybe_vacuum(epoch_id, force=True)
+            if stats["status"] == "Success":
+                self._maybe_vacuum(epoch_id)
             return stats
         except Exception as e:  # E2: error payload → lineage, then propagate
             self.lineage.record_stage(
@@ -145,6 +159,23 @@ class CDCEngine:
                 duration_s=time.monotonic() - t0,
             )
             raise
+
+    def _maybe_vacuum(self, epoch_id: int, force: bool = False) -> None:
+        """Auto-GC: vacuum after every compaction (force=True) and, in
+        cow mode or uncompacted delta tails, every ``vacuum_keep_versions``
+        successful epochs — versions older than the retained window are
+        unreferenced by then, so the removal set is non-trivial exactly at
+        this cadence.  keep_versions also bounds time-travel depth."""
+        if self.vacuum_keep_versions <= 0:
+            return
+        self._epochs_since_vacuum += 1
+        if not force and self._epochs_since_vacuum < self.vacuum_keep_versions:
+            return
+        removed = self.table.vacuum(keep_versions=self.vacuum_keep_versions)
+        self._epochs_since_vacuum = 0
+        self.lineage.record_stage(
+            epoch_id, "vacuum", "Success", detail=f"removed={len(removed)}"
+        )
 
     # ---------- replay / tail ----------
 
@@ -181,7 +212,10 @@ class CDCEngine:
             writer = writer.trigger(processingTime=processing_time)
         q = writer.start()
         if available_now:
-            q.awaitTermination(timeout_s)
+            try:
+                q.awaitTermination(timeout_s)
+            finally:
+                self.lineage.flush()
         return q
 
     def apply_batch_once(

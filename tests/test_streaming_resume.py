@@ -74,8 +74,19 @@ def test_crash_between_stage_and_publish_then_resume(spark, tmp_root):
     with pytest.raises(Exception):
         q.awaitTermination()
     assert chaos.table.current_version() == 0  # nothing ever published
+    data_dir = os.path.join(tbl, "data")
+    orphans = set(os.listdir(data_dir))
+    assert orphans  # the crashed attempt DID stage files
 
-    eng = CDCEngine(spark, tbl, change_schema=CHANGE_EVENT_SCHEMA_EVOLVED, n_buckets=8)
+    # recovery engine with an aggressive auto-vacuum cadence: the engine
+    # itself (not a manual call) must GC the crashed attempt's staging dirs
+    eng = CDCEngine(
+        spark,
+        tbl,
+        change_schema=CHANGE_EVENT_SCHEMA_EVOLVED,
+        n_buckets=8,
+        vacuum_keep_versions=1,
+    )
     eng.replay(log, cp, max_files_per_trigger=4)
     got = eng.read_table().orderBy("conv_id", "turn_idx").toPandas()
     assert_pdf_equal(got, oracle_final_state(SPEC), COLS)
@@ -83,7 +94,8 @@ def test_crash_between_stage_and_publish_then_resume(spark, tmp_root):
     lin = eng.lineage.lineage().toPandas()
     assert (lin["status"] == "Failed").any()
     assert (lin["status"] == "Success").any()
-    # orphaned staging dirs from the crashed attempt are vacuumable
-    eng.table.vacuum(keep_versions=1)
+    # auto-vacuum ran (lineage row) and removed every orphaned staging dir
+    assert (lin["stage"] == "vacuum").any()
+    assert not (orphans & set(os.listdir(data_dir)))
     got2 = eng.read_table().orderBy("conv_id", "turn_idx").toPandas()
     assert_pdf_equal(got2, oracle_final_state(SPEC), COLS)
