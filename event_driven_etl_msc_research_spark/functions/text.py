@@ -40,25 +40,68 @@ def token_count(col: Column) -> Column:
     return F.size(ws_tokens(col))
 
 
+# ---- token-bound variants -------------------------------------------------
+# Each *_of_tokens/_of_lower form computes over an ALREADY-MATERIALIZED
+# lowercased-token-array / lowercased-text column instead of re-deriving it
+# from the raw text.  The convenience forms below re-derive per call — fine
+# for one metric, but a query computing several metrics evaluates the regex
+# split once PER METRIC unless it binds the array first (see text_quality in
+# plans/driver_queries.py).
+
+def stopword_ratio_of_tokens(ltoks: Column) -> Column:
+    hits = F.size(F.filter(ltoks, lambda t: t.isin(*STOPWORDS)))
+    n = F.size(ltoks)
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def punct_ratio_of_lower(lt: Column) -> Column:
+    n = F.length(lt)
+    punct = F.length(F.regexp_replace(lt, "[a-z0-9 ]", ""))
+    return F.when(n > 0, punct.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def bpe_ish_token_count_of_lower(lt: Column) -> Column:
+    return F.size(F.regexp_extract_all(lt, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def quality_score_of(ltoks: Column, lt: Column) -> Column:
+    len_term = F.least(F.size(ltoks).cast("double") / F.lit(200.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.5) * len_term
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio_of_lower(lt))
+        + F.lit(0.2) * (F.lit(1.0) - stopword_ratio_of_tokens(ltoks)),
+        4,
+    )
+
+
+def lang_id_of_tokens(ltoks: Column) -> Column:
+    pairs = [
+        F.struct(
+            F.size(F.filter(ltoks, lambda t: t.isin(*LANG_MARKERS[lang]))).alias(
+                "hits"
+            ),
+            F.lit(-idx).alias("rank"),
+            F.lit(lang).alias("lang"),
+        )
+        for idx, lang in enumerate(sorted(LANG_MARKERS))
+    ]
+    best = F.greatest(*pairs) if len(pairs) > 1 else pairs[0]
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
 def bpe_ish_token_count(col: Column) -> Column:
     """Token count under the BPE-ish regex pre-tokenizer."""
-    return F.size(F.regexp_extract_all(F.lower(col), F.lit(BPE_ISH_PATTERN), 0))
+    return bpe_ish_token_count_of_lower(F.lower(col))
 
 
 def punct_ratio(col: Column) -> Column:
     """Fraction of characters that are not [a-z0-9 ] (lowercased)."""
-    lower = F.lower(col)
-    n = F.length(lower)
-    punct = F.length(F.regexp_replace(lower, "[a-z0-9 ]", ""))
-    return F.when(n > 0, punct.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+    return punct_ratio_of_lower(F.lower(col))
 
 
 def stopword_ratio(col: Column) -> Column:
     """Fraction of whitespace tokens that are stopwords."""
-    toks = ws_tokens(F.lower(col))
-    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    n = F.size(toks)
-    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+    return stopword_ratio_of_tokens(ws_tokens(F.lower(col)))
 
 
 def quality_score(col: Column) -> Column:
@@ -69,36 +112,15 @@ def quality_score(col: Column) -> Column:
     (length favors substance, punctuation noise and stopword stuffing
     penalized — the usual cheap pre-filter before expensive dedup.)
     """
-    len_term = F.least(token_count(col).cast("double") / F.lit(200.0), F.lit(1.0))
-    return F.round(
-        F.lit(0.5) * len_term
-        + F.lit(0.3) * (F.lit(1.0) - punct_ratio(col))
-        + F.lit(0.2) * (F.lit(1.0) - stopword_ratio(col)),
-        4,
-    )
-
-
-def lang_marker_hits(col: Column, lang: str) -> Column:
-    toks = ws_tokens(F.lower(col))
-    return F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS[lang])))
+    return quality_score_of(ws_tokens(F.lower(col)), F.lower(col))
 
 
 def lang_id(col: Column) -> Column:
     """Heuristic language ID: argmax of per-language marker-token hits,
-    ties broken by language code order, 'und' (undetermined) when no
-    marker hits at all."""
-    pairs = [
-        F.struct(
-            lang_marker_hits(col, lang).alias("hits"),
-            # negated index: on tied hits, greatest picks the alphabetically
-            # FIRST language code (matches the SQL oracle's CASE order)
-            F.lit(-idx).alias("rank"),
-            F.lit(lang).alias("lang"),
-        )
-        for idx, lang in enumerate(sorted(LANG_MARKERS))
-    ]
-    best = F.greatest(*pairs) if len(pairs) > 1 else pairs[0]
-    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    ties broken by language code order (negated index in the comparison
+    struct, matching the SQL oracle's CASE order), 'und' (undetermined)
+    when no marker hits at all."""
+    return lang_id_of_tokens(ws_tokens(F.lower(col)))
 
 
 def shingles_of_tokens(toks: Column, n: int = 3) -> Column:

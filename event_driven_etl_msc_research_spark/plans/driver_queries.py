@@ -828,14 +828,19 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    c = F.col("text")
-    return docs.select(
+    # bind lowercased text, then its token array, in their own projections:
+    # five metrics over one split/lower evaluation instead of one per metric
+    b = docs.select("doc_id", F.lower(F.col("text")).alias("_lt")).select(
+        "doc_id", "_lt", TXT.ws_tokens(F.col("_lt")).alias("_ltoks")
+    )
+    lt, ltoks = F.col("_lt"), F.col("_ltoks")
+    return b.select(
         "doc_id",
-        TXT.token_count(c).cast("long").alias("n_tokens"),
-        TXT.bpe_ish_token_count(c).cast("long").alias("n_bpe_tokens"),
-        F.round(TXT.punct_ratio(c), 4).alias("punct_ratio"),
-        F.round(TXT.stopword_ratio(c), 4).alias("stopword_ratio"),
-        TXT.quality_score(c).alias("quality_score"),
+        F.size(ltoks).cast("long").alias("n_tokens"),
+        TXT.bpe_ish_token_count_of_lower(lt).cast("long").alias("n_bpe_tokens"),
+        F.round(TXT.punct_ratio_of_lower(lt), 4).alias("punct_ratio"),
+        F.round(TXT.stopword_ratio_of_tokens(ltoks), 4).alias("stopword_ratio"),
+        TXT.quality_score_of(ltoks, lt).alias("quality_score"),
     )
 
 
@@ -868,7 +873,9 @@ FROM m
 
 def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    return docs.select("doc_id", TXT.lang_id(F.col("text")).alias("lang_pred"))
+    return docs.select(
+        "doc_id", TXT.ws_tokens(F.lower(F.col("text"))).alias("_ltoks")
+    ).select("doc_id", TXT.lang_id_of_tokens(F.col("_ltoks")).alias("lang_pred"))
 
 
 def _lang_sql() -> str:
