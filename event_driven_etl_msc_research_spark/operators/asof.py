@@ -51,6 +51,37 @@ def asof_join_backward(
     as ``ts<right_suffix>``.  All right-side output columns come from the
     SAME matched right row (carried as one struct).
     """
+    return _asof_join(
+        left, right, key_cols, left_ts, right_ts, right_suffix, forward=False
+    )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_suffix: str = "_asof",
+) -> DataFrame:
+    """Forward as-of (inclusive): for each left row, the EARLIEST right row
+    with ``right.ts >= left.ts`` for the same key.  Same single-shuffle
+    union+window plan as the backward join, with the scan order reversed;
+    right-ts ties resolve deterministically to the least payload tuple."""
+    return _asof_join(
+        left, right, key_cols, left_ts, right_ts, right_suffix, forward=True
+    )
+
+
+def _asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_suffix: str,
+    forward: bool,
+) -> DataFrame:
     r_payload = [c for c in right.columns if c not in key_cols and c != right_ts]
     l_cols = [c for c in left.columns if c not in key_cols and c != left_ts]
     r_types = dict(zip(right.schema.names, [f.dataType for f in right.schema.fields]))
@@ -78,12 +109,20 @@ def asof_join_backward(
     )
     unioned = r_tagged.unionByName(l_tagged)
     # order ties on (_ats, _side) by the struct itself: deterministic winner
-    # among same-timestamp right rows (greatest payload tuple carried last);
-    # left rows have a null struct — asc_nulls_first keeps them after no
-    # right row they could shadow, and last(ignorenulls) skips them anyway
+    # among same-timestamp right rows (backward: greatest payload tuple
+    # carried last wins; forward: least).  Left rows have a null struct —
+    # nulls_first keeps them shadowing no right row, and last(ignorenulls)
+    # skips them anyway.  Forward direction = the same scan over DESCENDING
+    # ts, so "last right seen" is the earliest right at-or-after.
+    ats = F.col("_ats").desc() if forward else F.col("_ats").asc()
+    rrow = (
+        F.col("_rrow").desc_nulls_first()
+        if forward
+        else F.col("_rrow").asc_nulls_first()
+    )
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy(F.col("_ats").asc(), F.col("_side").asc(), F.col("_rrow").asc_nulls_first())
+        .orderBy(ats, F.col("_side").asc(), rrow)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

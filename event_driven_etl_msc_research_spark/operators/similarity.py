@@ -116,12 +116,44 @@ def knn_lsh_bucketed(
     """
     from pyspark.sql import Window
 
-    def _keys(vec, probe: bool):
-        """(table, bucket) struct array for a vector; query side (probe=True)
-        adds the Hamming-1 probe buckets of each table."""
+    # ALL (n_tables × n_planes) hyperplane dots in ONE transform over a
+    # literal weight matrix: one small lambda expression instead of
+    # tables×planes independent unrolled folds (which multiply codegen /
+    # compile time 12× and repeat the 64-literal weight arrays per fold)
+    W = F.array(
+        *[
+            F.array(*[F.lit(_hyperplane(g, d)) for d in range(dim)])
+            for g in range(n_tables * n_planes)
+        ]
+    )
+
+    def _bits(vec):
+        dots = F.transform(
+            W,
+            lambda w: F.aggregate(
+                F.zip_with(vec, w, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return F.transform(
+            dots,
+            lambda d: F.when(d >= 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+
+    def _keys(bits_col, probe: bool):
+        """(table, bucket) struct array from the BOUND sign-bit array;
+        query side (probe=True) adds the Hamming-1 probe buckets."""
         out = []
         for t in range(n_tables):
-            b0 = lsh_bucket_expr(vec, n_planes, dim, plane_offset=t * n_planes)
+            b0 = None
+            for p in range(n_planes):
+                term = F.shiftleft(
+                    F.element_at(bits_col, t * n_planes + p + 1), p
+                )
+                b0 = term if b0 is None else b0.bitwiseXOR(term)
             buckets = [b0]
             if probe and multi_probe >= 1:
                 buckets += [
@@ -138,7 +170,10 @@ def knn_lsh_bucketed(
             F.col(id_col).alias("nid"),
             F.col(vec_col).cast("array<double>").alias("nv"),
         )
-        .select("nid", "nv", F.explode(_keys(F.col("nv"), probe=False)).alias("tb"))
+        .withColumn("_bits", _bits(F.col("nv")))  # bound: element_at is cheap
+        .select(
+            "nid", "nv", F.explode(_keys(F.col("_bits"), probe=False)).alias("tb")
+        )
         .select("nid", "nv", "tb.tbl", "tb.bucket")
     )
     q = (
@@ -147,7 +182,10 @@ def knn_lsh_bucketed(
             F.col(id_col).alias("qid"),
             F.col(vec_col).cast("array<double>").alias("qv"),
         )
-        .select("qid", "qv", F.explode(_keys(F.col("qv"), probe=True)).alias("tb"))
+        .withColumn("_bits", _bits(F.col("qv")))
+        .select(
+            "qid", "qv", F.explode(_keys(F.col("_bits"), probe=True)).alias("tb")
+        )
         .select("qid", "qv", "tb.tbl", "tb.bucket")
         .dropDuplicates(["qid", "tbl", "bucket"])
     )

@@ -360,6 +360,39 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
 """
 
 
+def events_asof_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for every non-error event, the user's NEXT error
+    event at-or-after it.  Oracle: DuckDB ASOF JOIN with the inequality
+    reversed — an independent implementation of the same semantics."""
+    from ..operators.asof import asof_join_forward
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") != "error").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    right = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("error_event_id")
+    )
+    out = asof_join_forward(left, right, ["user_id"])
+    return out.select(
+        "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        "event_id",
+        "event_type",
+        F.date_format("ts_asof", _TS_FMT_SPARK).alias("error_ts"),
+        F.col("error_event_id_asof").alias("error_event_id"),
+    )
+
+
+ASOF_FWD_SQL = f"""
+SELECT l.user_id, strftime(l.ts, '{_TS_FMT_DUCK}') AS ts, l.event_id, l.event_type,
+       strftime(r.ts, '{_TS_FMT_DUCK}') AS error_ts, r.event_id AS error_event_id
+FROM (SELECT * FROM events WHERE event_type != 'error') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+  ON l.user_id = r.user_id AND l.ts <= r.ts
+"""
+
+
 def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: gap > 30 min starts a new session (lag + cumsum —
     SURVEY.md §2.9; the reference has no streaming/session concept)."""
@@ -959,6 +992,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_merge_events": (cdc_merge_events, CDC_MERGE_SQL),
     "cdc_merge_events_delta": (cdc_merge_events_delta, CDC_MERGE_SQL),
     "events_asof_last_error": (events_asof_last_error, ASOF_SQL),
+    "events_asof_next_error": (events_asof_next_error, ASOF_FWD_SQL),
     "events_range_join": (events_range_join, RANGE_JOIN_SQL),
     "users_semi_anti": (users_semi_anti, SEMI_ANTI_SQL),
     "event_type_set_ops": (event_type_set_ops, SET_OPS_SQL),

@@ -171,21 +171,56 @@ class ManifestTable:
             ]
         )
 
+    # Iceberg-compatible safe type promotions (integer and float families
+    # widen independently; never across families, never narrowing)
+    _WIDEN_RANK = {  # keys are DataType.simpleString() spellings
+        "tinyint": ("int", 0), "smallint": ("int", 1), "int": ("int", 2),
+        "bigint": ("int", 3), "float": ("flt", 0), "double": ("flt", 1),
+    }
+
+    @classmethod
+    def _widens(cls, frm: T.DataType, to: T.DataType) -> bool:
+        a = cls._WIDEN_RANK.get(frm.simpleString())
+        b = cls._WIDEN_RANK.get(to.simpleString())
+        return a is not None and b is not None and a[0] == b[0] and b[1] > a[1]
+
     def _evolve_schema(
         self, current: T.StructType, incoming_payload: T.StructType
     ) -> tuple[T.StructType, list[str]]:
-        """Additive evolution: new nullable columns are appended; type changes
-        are rejected (cf. Iceberg schema-update transactions; the detection /
-        diff is ours, SURVEY.md §4.3)."""
+        """Schema evolution (cf. Iceberg schema-update transactions; the
+        detection / diff is ours, SURVEY.md §4.3):
+
+        * ADDITIVE: new columns are appended nullable;
+        * TYPE WIDENING: an incoming column wider within its numeric family
+          (int→long, float→double, ...) widens the TABLE column — existing
+          parquet files are read through the widened schema (Spark 4's
+          parquet reader up-casts); a NARROWER incoming column keeps the
+          table type and the change batch is up-cast at merge time;
+        * anything else (cross-family, narrowing of the table, non-numeric
+          conflicts) raises ``SchemaEvolutionError`` naming the column.
+        """
         cur = {f.name: f for f in current.fields}
         added: list[str] = []
         out = list(current.fields)
         for f in incoming_payload.fields:
             if f.name in cur:
-                if f.dataType != cur[f.name].dataType:
+                have = cur[f.name].dataType
+                if f.dataType == have:
+                    continue
+                if self._widens(have, f.dataType):  # widen the table column
+                    out = [
+                        T.StructField(g.name, f.dataType, g.nullable)
+                        if g.name == f.name
+                        else g
+                        for g in out
+                    ]
+                elif self._widens(f.dataType, have):
+                    pass  # incoming is narrower: merge casts the batch up
+                else:
                     raise SchemaEvolutionError(
-                        f"type conflict on {f.name}: table={cur[f.name].dataType} "
-                        f"incoming={f.dataType} (only additive evolution supported)"
+                        f"type conflict on {f.name}: table={have} "
+                        f"incoming={f.dataType} (additive columns and "
+                        f"same-family numeric widening only)"
                     )
             else:
                 out.append(T.StructField(f.name, f.dataType, True))
@@ -317,11 +352,14 @@ class ManifestTable:
 
         # 3. normalize to internal row shape; cache — used by count + join(s)
         payload_names = [f.name for f in new_schema.fields]
+        new_types = {f.name: f.dataType for f in new_schema.fields}
         change_rows = deduped.select(
             *[
-                F.col(c) if c in deduped.columns else F.lit(None).cast(
-                    dict((f.name, f.dataType) for f in new_schema.fields)[c]
-                )
+                # cast to the evolved table type: up-casts a batch narrower
+                # than a widened table column (no-op when types match)
+                F.col(c).cast(new_types[c])
+                if c in deduped.columns
+                else F.lit(None).cast(new_types[c])
                 for c in payload_names
             ],
             F.col("lsn").alias("_lsn"),

@@ -6,7 +6,10 @@ from __future__ import annotations
 
 import pandas as pd
 
-from event_driven_etl_msc_research_spark.operators.asof import asof_join_backward
+from event_driven_etl_msc_research_spark.operators.asof import (
+    asof_join_backward,
+    asof_join_forward,
+)
 
 
 def test_asof_backward_semantics(spark):
@@ -36,6 +39,35 @@ def test_asof_backward_semantics(spark):
     assert got["l2"] == (10, 1.0)         # tie at ts=10 is inclusive
     assert got["l3"] == (15, 2.0)         # latest at-or-before 20
     assert got["l4"] == (None, None)      # right row for b is in the future
+
+
+def test_asof_forward_semantics(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "a", "a", "b"],
+                "ts": [5, 10, 20, 7],
+                "ev": ["l1", "l2", "l3", "l4"],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "a", "b"],
+                "ts": [10, 15, 2],
+                "price": [1.0, 2.0, 9.9],
+            }
+        )
+    )
+    got = {
+        r["ev"]: (r["ts_asof"], r["price_asof"])
+        for r in asof_join_forward(left, right, ["k"]).collect()
+    }
+    assert got["l1"] == (10, 1.0)       # earliest right at-or-after 5
+    assert got["l2"] == (10, 1.0)       # tie at ts=10 is inclusive
+    assert got["l3"] == (None, None)    # no right row after 20
+    assert got["l4"] == (None, None)    # right row for b is in the past
 
 
 def test_asof_no_torn_rows_with_null_payload(spark):

@@ -85,3 +85,73 @@ def test_mid_stream_evolution(spark, tmp_root, mode):
     assert "tool_meta" not in [
         f.name for f in eng2.table.schema(version=v_pre).fields
     ]
+
+
+def _mk_table(spark, tmp_root, name, fields):
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from event_driven_etl_msc_research_spark.sinks.manifest import ManifestTable
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("k", T.StringType()),
+            *fields,
+        ]
+    )
+    return ManifestTable.create(
+        spark, _os.path.join(tmp_root, name), schema, key_cols=["k"], n_buckets=2
+    )
+
+
+def _changes(spark, rows, val_type):
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["op", "lsn", "ts", "k", "val"])
+    df = spark.createDataFrame(pdf)
+    return df.selectExpr(
+        "op", "CAST(lsn AS BIGINT) lsn", "CAST(ts AS TIMESTAMP) ts", "k",
+        f"CAST(val AS {val_type}) val",
+    )
+
+
+def test_type_widening_int_to_long(spark, tmp_root):
+    """An incoming LONG column widens an INT table column (Iceberg-style
+    promotion); rows written before the widening read back through the
+    widened schema."""
+    from pyspark.sql import types as T
+
+    t = _mk_table(spark, tmp_root, "widen", [T.StructField("val", T.IntegerType())])
+    t.merge(_changes(spark, [("U", 1, "2024-01-01", "a", 7)], "INT"), 0)
+    assert dict(t.read().dtypes)["val"] == "int"
+
+    big = 2**40
+    t.merge(_changes(spark, [("U", 2, "2024-01-02", "b", big)], "BIGINT"), 1)
+    assert dict(t.read().dtypes)["val"] == "bigint"
+    got = {r["k"]: r["val"] for r in t.read().collect()}
+    assert got == {"a": 7, "b": big}  # pre-widening row intact, up-cast
+
+
+def test_type_narrow_batch_upcast(spark, tmp_root):
+    """An incoming INT column on a LONG table keeps the table type; the
+    batch is up-cast (never narrows the table)."""
+    from pyspark.sql import types as T
+
+    t = _mk_table(spark, tmp_root, "narrow", [T.StructField("val", T.LongType())])
+    t.merge(_changes(spark, [("U", 1, "2024-01-01", "a", 5)], "INT"), 0)
+    assert dict(t.read().dtypes)["val"] == "bigint"
+    assert t.read().collect()[0]["val"] == 5
+
+
+def test_cross_family_conflict_still_raises(spark, tmp_root):
+    from pyspark.sql import types as T
+
+    from event_driven_etl_msc_research_spark.sinks.manifest import (
+        SchemaEvolutionError,
+    )
+
+    t = _mk_table(spark, tmp_root, "conflict", [T.StructField("val", T.LongType())])
+    with pytest.raises(SchemaEvolutionError, match="val"):
+        t.merge(_changes(spark, [("U", 1, "2024-01-01", "a", 1.5)], "DOUBLE"), 0)
