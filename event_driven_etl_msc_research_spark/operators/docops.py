@@ -11,11 +11,12 @@ Five dedup families, each designed for 100 TB document corpora:
 * SimHash         — 64-bit sign-aggregated token hash, hamming buckets
 * embedding cosine— near-dup pairs over an embedding column
 
-Hash choice: md5 (bit-identical in Spark and DuckDB) for everything the
-driver oracle-checks; xxhash64 (faster, JVM-native) for SimHash, which is
-rows-only checked.  MinHash with a *string-lexicographic min* of md5 hex
-digests is unconventional but correct (a uniform hash order statistic) and
-makes the whole pipeline engine-portable.
+Hash choice: md5 (bit-identical in Spark and DuckDB) EVERYWHERE — including
+SimHash, whose 60-bit token hash is the first 15 md5 hex chars parsed as an
+integer, so every dedup family has an exact DuckDB oracle twin.  MinHash
+with a *string-lexicographic min* of md5 hex digests is unconventional but
+correct (a uniform hash order statistic) and makes the whole pipeline
+engine-portable.
 """
 
 from __future__ import annotations
@@ -204,26 +205,37 @@ def minhash_lsh_pairs(
     return small_pairs.unionByName(big_pairs).distinct()
 
 
+SIMHASH_BITS = 60  # 15 md5 hex chars → cross-engine (Spark conv ≡ DuckDB CAST)
+SIMHASH_BLOCK = 15  # 4 blocks of 15 bits
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over whitespace tokens (xxhash64-based, Spark-native).
+    """60-bit SimHash over whitespace tokens.
 
     Per doc: for each bit position, sum +1/-1 over tokens by that bit of
-    xxhash64(token); the sign vector packs into one long.  Implemented as
-    explode + single aggregate of 64 sums — no Python, no UDF.
+    the token hash; the sign vector packs into one long.  Implemented as
+    explode + single aggregate of 60 sums — no Python, no UDF.
+
+    Hash choice: the token hash is the first 15 hex chars of md5 parsed as
+    an integer — 60 uniform bits that DuckDB reproduces bit-identically
+    (``CAST('0x'||substr(md5(tok),1,15) AS BIGINT)``), making the whole
+    SimHash pipeline oracle-checkable (xxhash64 had no DuckDB twin).
     """
     toks = spread_small_input(docs).select(
         F.col(id_col).alias("did"),
         F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    )
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"s{b}")
-        for b in range(64)
+        for b in range(SIMHASH_BITS)
     ]
     agg = toks.groupBy("did").agg(*bit_sums)
     packed = None
-    for b in range(64):
+    for b in range(SIMHASH_BITS):
         bit = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -238,9 +250,10 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """SimHash near-dup pairs: block on 16-bit quarters (a pair within
-    hamming ≤ 3·16 shares ≥1 exact quarter — pigeonhole), then verify
-    hamming distance on candidates only."""
+    """SimHash near-dup pairs: block on 15-bit quarters (pigeonhole: a pair
+    within hamming ≤ 3 MUST share an exact quarter; beyond that the blocks
+    are a high-recall heuristic — differing bits cluster for near-dups),
+    then verify hamming distance on candidates only."""
     sh = simhash(docs, id_col, text_col)
     quarters = sh.select(
         "did",
@@ -250,8 +263,8 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(q).alias("q"),
-                        F.shiftright(F.col("simhash"), q * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), q * SIMHASH_BLOCK)
+                        .bitwiseAND(F.lit((1 << SIMHASH_BLOCK) - 1))
                         .alias("qh"),
                     )
                     for q in range(4)
@@ -275,7 +288,7 @@ def simhash_near_pairs(
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)

@@ -2,15 +2,23 @@
 
 * ``knn_bruteforce`` — exact cosine top-k; the correctness baseline.
 * ``knn_lsh_bucketed`` — random-hyperplane LSH: vectors bucket by the sign
-  pattern of d deterministic hyperplanes; queries probe only their own
-  bucket (plus optional multi-probe neighbors).  The scale path: the
-  corpus-side shuffle is keyed by bucket, the per-bucket comparison is
-  |bucket|×|queries-in-bucket| instead of n×q.
+  pattern of d deterministic hyperplanes; queries probe their own bucket
+  plus Hamming-1 neighbors across several independent tables.  The scale
+  path when no training pass is affordable: the corpus-side shuffle is
+  keyed by bucket, the per-bucket comparison is |bucket|×|queries-in-bucket|
+  instead of n×q.
+* ``knn_ivf`` — inverted-file index (the FAISS-style scale path): a tiny
+  k-means coarse quantizer (trained distributedly; only the n_cells×dim
+  centroid MATRIX ever reaches the driver) partitions the corpus into
+  cells; queries score only the ``n_probe`` nearest cells.  Prunes by data
+  geometry rather than random planes, so recall/cost is far better than
+  LSH on clustered real-world embeddings.
 
 All dot products are JVM-side higher-order functions (``zip_with`` +
 ``aggregate``) — no Python in the hot path.  Hyperplanes are derived
-deterministically from md5 of (plane, dim) so runs are reproducible with
-no stored model state.
+deterministically from md5 of (plane, dim); IVF centroids are seeded from
+the lowest-id vectors and rounded each iteration so float partial-sum
+ordering cannot flip assignments between runs.
 """
 
 from __future__ import annotations
@@ -191,6 +199,155 @@ def knn_lsh_bucketed(
     )
     scored = (
         v.join(F.broadcast(q), ["tbl", "bucket"])
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid", "nid", F.round(_cosine(F.col("qv"), F.col("nv")), 4).alias("cosine")
+        )
+        .dropDuplicates(["qid", "nid"])
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index
+# ---------------------------------------------------------------------------
+
+def _sq_dists_expr(vec, centroids: list[list[float]]):
+    """Squared-L2 distance from ``vec`` to every centroid, as ONE transform
+    over a literal centroid matrix (same codegen-size rationale as the LSH
+    weight matrix)."""
+    C = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    return F.transform(
+        C,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ),
+    )
+
+
+def ivf_train(
+    emb: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train the coarse quantizer: Lloyd's k-means, fully distributed.
+
+    Per iteration: assign (argmin over the broadcast centroid matrix) →
+    per-(cell, dim) mean via posexplode + groupBy — the ONLY driver-side
+    data is the n_cells×dim centroid matrix itself (model state, not data).
+    Deterministic: centroids seed from the n_cells lowest-id vectors and
+    every component is rounded to 6 decimals per iteration, so float
+    partial-sum ordering cannot flip a cell assignment between runs.
+    """
+    v = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    seed_rows = v.orderBy("vid").limit(n_cells).collect()
+    cents = [[round(float(x), 6) for x in r["v"]] for r in seed_rows]
+    for _ in range(iters):
+        assigned = v.withColumn("_cd", _sq_dists_expr(F.col("v"), cents)).select(
+            "v",
+            (F.array_position(F.col("_cd"), F.array_min(F.col("_cd"))) - 1).alias(
+                "cell"
+            ),
+        )
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = float(r["m"])
+        cents = [
+            [round(by_cell[c][d], 6) for d in range(len(cents[0]))]
+            if c in by_cell
+            else cents[c]  # empty cell keeps its old centroid
+            for c in range(n_cells)
+        ]
+    return cents
+
+
+def knn_ivf(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF index: corpus rows score only against
+    queries probing their cell.
+
+    Plan shape: one projection assigns each corpus row its cell (argmin
+    over the broadcast centroid matrix — distances bound to a column first,
+    argmin reads the bound array); the tiny query side explodes to its
+    ``n_probe`` nearest cells and broadcasts; equi-join on cell; exact
+    cosine on the candidates; window top-k.  At 10^10 rows the corpus is
+    scanned once and shuffles nothing — the join is broadcast — and cell
+    list files can be partitioned by cell for pure partition-pruned probes.
+    """
+    from pyspark.sql import Window
+
+    cents = ivf_train(emb, n_cells=n_cells, iters=iters, id_col=id_col, vec_col=vec_col)
+    v = (
+        emb.select(
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).cast("array<double>").alias("nv"),
+        )
+        .withColumn("_cd", _sq_dists_expr(F.col("nv"), cents))
+        .select(
+            "nid",
+            "nv",
+            (F.array_position(F.col("_cd"), F.array_min(F.col("_cd"))) - 1)
+            .cast("int")
+            .alias("cell"),
+        )
+    )
+    # query side: n_probe nearest cells from the bound distance array via
+    # arrays_zip + sort_array (struct sort orders by first field = distance)
+    q = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        .withColumn("_cd", _sq_dists_expr(F.col("qv"), cents))
+        .withColumn(
+            "_probes",
+            F.slice(
+                F.transform(
+                    F.sort_array(
+                        F.arrays_zip(
+                            F.col("_cd").alias("d"),
+                            F.sequence(
+                                F.lit(0), F.lit(len(cents) - 1)
+                            ).alias("i"),
+                        )
+                    ),
+                    lambda s: s["i"],
+                ),
+                1,
+                n_probe,
+            ),
+        )
+        .select("qid", "qv", F.explode("_probes").alias("cell"))
+        .withColumn("cell", F.col("cell").cast("int"))
+    )
+    scored = (
+        v.join(F.broadcast(q), "cell")
         .filter(F.col("qid") != F.col("nid"))
         .select(
             "qid", "nid", F.round(_cosine(F.col("qv"), F.col("nv")), 4).alias("cosine")

@@ -785,8 +785,47 @@ FROM bands a JOIN bands b
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # xxhash64-based; no cross-engine hash → rows-only driver check
+    # md5-derived 60-bit hash → the DuckDB twin below reproduces the whole
+    # pipeline (token hash → bit sums → pack → quarter-block → hamming)
     return docops.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=12)
+
+
+def _simhash_sql(max_hamming: int = 12) -> str:
+    from ..operators.docops import SIMHASH_BITS, SIMHASH_BLOCK
+
+    toks = _D_TOKS.format(c="text")
+    sums = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    packed = "\n      + ".join(
+        f"(CASE WHEN s{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    mask = (1 << SIMHASH_BLOCK) - 1
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS did, unnest({toks}) AS tok FROM documents
+),
+h AS (
+  SELECT did, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM toks
+),
+sums AS (SELECT did, {sums} FROM h GROUP BY did),
+packed AS (SELECT did, {packed} AS simhash FROM sums),
+quarters AS (
+  SELECT did, simhash, q, (simhash >> (q * {SIMHASH_BLOCK})) & {mask} AS qh
+  FROM packed, (SELECT unnest([0, 1, 2, 3]) AS q)
+),
+cand AS (
+  SELECT DISTINCT a.did AS id_a, b.did AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM quarters a JOIN quarters b
+    ON a.q = b.q AND a.qh = b.qh AND a.did < b.did
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+"""
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -852,6 +891,15 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_lsh_bucketed(
         _emb(spark, sf_dir), _KNN_QUERY_IDS, k=10, n_planes=4, dim=64,
         multi_probe=1, n_tables=3,
+    )
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF coarse-quantizer path (iterative k-means training — not
+    # SQL-expressible, so rows-only driver check; recall vs brute force is
+    # asserted in tests/test_docops.py)
+    return similarity.knn_ivf(
+        _emb(spark, sf_dir), _KNN_QUERY_IDS, k=10, n_cells=16, n_probe=4
     )
 
 
@@ -1007,10 +1055,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_token_jaccard": (dedup_token_jaccard, JACCARD_SQL),
     "dedup_token_jaccard_dfcut": (dedup_token_jaccard_dfcut, JACCARD_DFCUT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
-    "dedup_simhash": (dedup_simhash, None),
+    "dedup_simhash": (dedup_simhash, _simhash_sql()),
     "dedup_embedding_cosine": (dedup_embedding_cosine, EMB_COSINE_SQL),
     "knn_bruteforce": (knn_bruteforce, KNN_SQL),
     "knn_lsh": (knn_lsh, None),
+    "knn_ivf": (knn_ivf, None),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id_docs": (lang_id_docs, _lang_sql()),
     "doc_fingerprints": (doc_fingerprints, FINGERPRINT_SQL),

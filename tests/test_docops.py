@@ -222,3 +222,33 @@ def test_decode_stub_raises(spark):
 
     with pytest.raises(NotImplementedError, match="image decode"):
         _decode_image(b"\x89PNG")
+
+
+def test_knn_ivf_recall_and_determinism(spark, emb):
+    """IVF (k-means coarse quantizer + n_probe cells) reaches recall@5 ≥ 0.8
+    on the fixture, returns exact cosines for every hit, and is
+    deterministic run-to-run (seeded centroids, rounded updates)."""
+    qids = list(range(10))
+    exact = similarity.knn_bruteforce(emb, qids, k=5, vec_col="embedding").collect()
+    exact_by_q = {}
+    for r in exact:
+        exact_by_q.setdefault(r["qid"], set()).add(r["nid"])
+    exact_scores = {(r["qid"], r["nid"]): r["cosine"] for r in exact}
+
+    runs = []
+    for _ in range(2):
+        approx = similarity.knn_ivf(
+            emb, qids, k=5, n_cells=8, n_probe=4, vec_col="embedding"
+        ).collect()
+        runs.append(sorted((r["qid"], r["nid"], r["cosine"]) for r in approx))
+    assert runs[0] == runs[1]  # deterministic
+
+    by_q = {}
+    for qid, nid, cos in runs[0]:
+        by_q.setdefault(qid, set()).add(nid)
+        if (qid, nid) in exact_scores:
+            assert cos == exact_scores[(qid, nid)]  # scores are exact
+    recall = sum(
+        len(by_q.get(q, set()) & e) / len(e) for q, e in exact_by_q.items()
+    ) / len(exact_by_q)
+    assert recall >= 0.8, f"IVF recall@5 = {recall} < 0.8"
