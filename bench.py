@@ -47,6 +47,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_nation_revenue",
+    "q4_order_priority",
+    "q18_large_volume",
     "top_users_by_value",
     "cdc_latest_event_per_user",
     "events_asof_last_error",
@@ -56,12 +58,15 @@ HEADLINE = [
     "events_sessionized",
     "events_hourly_rollup",
     "streaming_hourly_rollup",
+    "streaming_session_windows",
     "news_transform_docs",
     "url_ops_docs",
     "dedup_exact_docs",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "knn_bruteforce",
     "knn_lsh",
+    "knn_ivf",
     "text_quality",
     "lang_id_docs",
     "doc_fingerprints",

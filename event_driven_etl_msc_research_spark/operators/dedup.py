@@ -49,23 +49,72 @@ def dedup_latest(
     key_cols: list[str],
     version_cols: list[str],
     salt_buckets: int = 0,
-    impl: str = "argmax",
+    impl: str = "maxby",
 ) -> DataFrame:
     """Keep, per key, the row with the maximum ``version_cols`` tuple.
 
-    Production ``impl="argmax"``: decimal-packed version → pure HashAggregate
-    with map-side combine (hot keys collapse before the shuffle; no salting
-    needed — ``salt_buckets`` is accepted for API compatibility and ignored).
-    ``impl="maxstruct"``: ``groupBy(key).agg(max(struct(version...,
-    payload...)))``, optionally salted two-level; kept for cross-checking —
-    it plans a SortAggregate whose concurrent wide-row sorts anti-scale at
-    high thread counts (see module docstring measurement).
+    Production ``impl="maxby"``: decimal-packed version → ONE
+    ``groupBy(key).agg(max_by(payload_struct, version))`` pass with map-side
+    partial combine (``partial_max_by``) — single shuffle, no winners join,
+    and the per-row comparison is the narrow decimal version, never the wide
+    payload struct (which is what made the maxstruct form anti-scale).
+    MEASURED (4.25M-event stream, this host, warm): maxby 1.2-3.0 s at
+    local[32] vs 4.7-14.3 s for argmax (agg + winners join) and 71-90 s for
+    struct-max.  No salting needed — ``salt_buckets`` is accepted for API
+    compatibility and ignored (partial combine collapses hot keys map-side).
+
+    ``impl="argmax"`` (agg + winners join) and ``impl="maxstruct"`` are kept
+    for cross-checking.
     """
+    if impl == "maxby" and len(version_cols) == 2:
+        return dedup_latest_maxby(df, key_cols, version_cols)
     if impl == "argmax" and len(version_cols) == 2:
         return dedup_latest_argmax(
             df, key_cols, version_cols, broadcast_winners=False
         )
     return dedup_latest_maxstruct(df, key_cols, version_cols, salt_buckets)
+
+
+def _packed_version(df: DataFrame, version_cols: list[str]):
+    """(ts, lsn) packed into one decimal(38,0); nulls → -1 sentinel (below
+    any real non-negative WAL position, so corrupt records lose but their
+    key is never dropped)."""
+    ts_col, lsn_col = version_cols
+    ts_dt = dict(df.dtypes).get(ts_col, "")
+    ts_num = (
+        F.unix_micros(F.col(ts_col).cast("timestamp"))  # ntz → session-TZ first
+        if ts_dt.startswith("timestamp")
+        else F.col(ts_col)
+    )
+    return (
+        F.coalesce(ts_num.cast("decimal(18,0)"), F.lit(-1).cast("decimal(18,0)"))
+        * F.lit(10**18)
+        + F.coalesce(
+            F.col(lsn_col).cast("decimal(18,0)"), F.lit(-1).cast("decimal(18,0)")
+        )
+    )
+
+
+def dedup_latest_maxby(
+    df: DataFrame, key_cols: list[str], version_cols: list[str]
+) -> DataFrame:
+    """Single-pass max_by formulation (the production path — see
+    ``dedup_latest``).  Output preserves the input column order.  Ties on
+    the packed version (exact duplicate re-deliveries, or all-null-version
+    corrupt keys) resolve to an arbitrary-but-single row, identical
+    contract to the argmax form's final dropDuplicates."""
+    rest = [c for c in df.columns if c not in key_cols]
+    out = (
+        df.withColumn("_ver", _packed_version(df, version_cols))
+        .groupBy(*key_cols)
+        .agg(F.max_by(F.struct(*rest), F.col("_ver")).alias("_p"))
+    )
+    return out.select(
+        *[
+            F.col(c) if c in key_cols else F.col(f"_p.{c}").alias(c)
+            for c in df.columns
+        ]
+    )
 
 
 def dedup_latest_maxstruct(
@@ -141,23 +190,7 @@ def dedup_latest_argmax(
     surfaces (one arbitrary row of it — there is no order to pick by), same
     keep-the-key contract as the maxstruct form.
     """
-    ts_col, lsn_col = version_cols
-    ts_dt = dict(df.dtypes).get(ts_col, "")
-    ts_num = (
-        F.unix_micros(F.col(ts_col).cast("timestamp"))  # ntz → session-TZ first
-        if ts_dt.startswith("timestamp")
-        else F.col(ts_col)
-    )
-    # unix_micros (16 digits) * 10^18 + lsn (< 10^18) fits decimal(38,0);
-    # nulls → -1 sentinel (below any real non-negative WAL version)
-    ver = (
-        F.coalesce(ts_num.cast("decimal(18,0)"), F.lit(-1).cast("decimal(18,0)"))
-        * F.lit(10**18)
-        + F.coalesce(
-            F.col(lsn_col).cast("decimal(18,0)"), F.lit(-1).cast("decimal(18,0)")
-        )
-    ).alias("_ver")
-    dfv = df.select("*", ver)
+    dfv = df.select("*", _packed_version(df, version_cols).alias("_ver"))
     winners = dfv.groupBy(*key_cols).agg(F.max("_ver").alias("_ver"))
     if broadcast_winners:
         winners = F.broadcast(winners)

@@ -182,6 +182,77 @@ GROUP BY r_name, n_name
 """
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-style correlated filter as a LEFT SEMI join
+    (Catalyst turns the semi-join into one shuffle; no subquery re-scan),
+    then a small group-by."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    # the synthetic lineitem has no commit/receipt dates; returned items
+    # (l_returnflag = 'R') stand in as the correlated-EXISTS predicate
+    late_li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        orders.join(late_li, orders.o_orderkey == late_li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a sub-aggregate feeding a join — the
+    per-order quantity aggregate runs ONCE (partial agg + single shuffle)
+    and the small qualifying-key set semi-joins back."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_q"))
+        .filter(F.col("_q") > F.lit(300).cast("decimal(18,4)"))
+        .select(
+            F.col("l_orderkey").alias("bok"),
+            F.col("_q").cast("double").alias("total_qty"),
+        )
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == F.col("bok"))
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "total_qty",
+        )
+    )
+
+
+Q18_SQL = """
+SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(big._q AS DOUBLE) AS total_qty
+FROM orders
+JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS _q
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 users per event_type by exact total value (window top-k)."""
     ev = _t(spark, sf_dir, "events")
@@ -453,6 +524,30 @@ def streaming_hourly_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import streaming_hourly_rollup
 
     return streaming_hourly_rollup(spark, sf_dir)
+
+
+def streaming_session_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization via Spark's NATIVE streaming session_window
+    (gap-merged event-time state), drained AvailableNow.  The batch
+    ``events_sessionized`` uses the lag>gap formulation; session windows are
+    half-open, so the oracle uses the matching lag>=gap rule."""
+    from ..streaming.windows import streaming_session_rollup
+
+    return streaming_session_rollup(spark, sf_dir)
+
+
+SESSION_WINDOW_SQL = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN (epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) IS NULL
+                OR (epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) >= 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM g GROUP BY user_id
+"""
 
 
 def metrics_stage_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1035,6 +1130,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_orders": (q3_top_orders, Q3_SQL),
     "q5_nation_revenue": (q5_nation_revenue, Q5_SQL),
+    "q4_order_priority": (q4_order_priority, Q4_SQL),
+    "q18_large_volume": (q18_large_volume, Q18_SQL),
     "top_users_by_value": (top_users_by_value, TOP_USERS_SQL),
     "cdc_latest_event_per_user": (cdc_latest_event_per_user, CDC_LATEST_SQL),
     "cdc_merge_events": (cdc_merge_events, CDC_MERGE_SQL),
@@ -1047,6 +1144,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_sessionized": (events_sessionized, SESSION_SQL),
     "events_hourly_rollup": (events_hourly_rollup, HOURLY_SQL),
     "streaming_hourly_rollup": (streaming_hourly_rollup_q, HOURLY_SQL),
+    "streaming_session_windows": (streaming_session_windows_q, SESSION_WINDOW_SQL),
     "metrics_stage_rollup": (metrics_stage_rollup, METRICS_SQL),
     "events_props_extract": (events_props_extract, PROPS_SQL),
     "news_transform_docs": (news_transform_docs, NEWS_SQL),

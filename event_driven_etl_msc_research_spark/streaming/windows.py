@@ -73,6 +73,49 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def streaming_session_rollup(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Per-user session counts through the REAL streaming path using Spark's
+    native ``session_window`` (gap-merged event-time windows — state merges
+    adjacent sessions as events arrive, unlike fixed tumbling windows):
+    ``readStream`` → session_window aggregate → complete-mode memory sink →
+    AvailableNow drain.
+
+    Semantics: a new session starts when the gap to the previous event is
+    ≥ the session gap (session windows are half-open ``[ts, ts+gap)``) —
+    the DuckDB oracle mirrors exactly that with a lag() >= rule.
+    """
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    name = f"ssr_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    per_session = (
+        stream.groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        per_session.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum("n").cast("long").alias("n_events"),
+        )
+    )
+
+
 def watermarked_rollup_stream(
     events_stream: DataFrame, delay: str = "30 minutes", window: str = "10 minutes"
 ) -> DataFrame:
