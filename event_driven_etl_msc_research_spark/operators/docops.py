@@ -157,9 +157,17 @@ def minhash_lsh_pairs(
       would blow the grouped row past executor memory (cap² structs in one
       array), so their members are re-exploded and pair-expanded by a
       distributed self-join on (band, bh) instead — same result, the
-      quadratic work spread across tasks.  Both paths read the SAME grouped
-      aggregate, so Spark reuses the exchange rather than recomputing
-      signatures.
+      quadratic work spread across tasks.
+
+    The grouped members table is LOCALLY CHECKPOINTED (lazy) before the
+    branches: ``collect_list`` is non-deterministic to Catalyst, which
+    disables exchange reuse, so without the checkpoint the whole signature
+    pipeline (every shingle md5) re-executes once per branch side —
+    measured 3× the hashing work.  Local checkpoint blocks are
+    ContextCleaner-managed (freed when the DataFrame is GC'd) but not
+    fault-tolerant: on a real cluster an executor loss forces a stage
+    retry — for a 10^10-doc run persist the signature table explicitly
+    (it is reused by the verify pass anyway) instead.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -178,7 +186,7 @@ def minhash_lsh_pairs(
     ).select("did", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
     members = banded.groupBy("band", "bh").agg(
         F.array_sort(F.collect_list("did")).alias("dids")
-    )
+    ).localCheckpoint(eager=False)
     small = members.filter((F.size("dids") > 1) & (F.size("dids") <= bucket_cap))
     small_pairs = small.select(
         F.explode(
