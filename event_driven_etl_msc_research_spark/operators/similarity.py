@@ -217,19 +217,24 @@ def knn_lsh_bucketed(
 # IVF (inverted-file) index
 # ---------------------------------------------------------------------------
 
-def _sq_dists_expr(vec, centroids: list[list[float]]):
-    """Squared-L2 distance from ``vec`` to every centroid, as ONE transform
-    over a literal centroid matrix (same codegen-size rationale as the LSH
-    weight matrix)."""
-    C = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
-    return F.transform(
-        C,
+def _with_cell_dists(df: DataFrame, vec_colname: str, centroids: list[list[float]]):
+    """Attach ``_cd`` = squared-L2 distances from the vector column to every
+    centroid.  The centroid matrix rides in as BROADCAST DATA (a 1-row
+    cross join), not as literals: a literal matrix re-compiles a fresh
+    ~n_cells×dim-constant codegen unit on EVERY k-means iteration (measured
+    seconds per iteration); as a column reference the compiled plan is
+    reused across iterations and the broadcast is a few KB."""
+    spark = df.sparkSession
+    cdf = spark.createDataFrame([(centroids,)], "_C array<array<double>>")
+    dists = F.transform(
+        F.col("_C"),
         lambda c: F.aggregate(
-            F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
+            F.zip_with(F.col(vec_colname), c, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
             lambda acc, d: acc + d,
         ),
     )
+    return df.crossJoin(F.broadcast(cdf)).withColumn("_cd", dists).drop("_C")
 
 
 def ivf_train(
@@ -254,7 +259,7 @@ def ivf_train(
     seed_rows = v.orderBy("vid").limit(n_cells).collect()
     cents = [[round(float(x), 6) for x in r["v"]] for r in seed_rows]
     for _ in range(iters):
-        assigned = v.withColumn("_cd", _sq_dists_expr(F.col("v"), cents)).select(
+        assigned = _with_cell_dists(v, "v", cents).select(
             "v",
             (F.array_position(F.col("_cd"), F.array_min(F.col("_cd"))) - 1).alias(
                 "cell"
@@ -303,11 +308,14 @@ def knn_ivf(
 
     cents = ivf_train(emb, n_cells=n_cells, iters=iters, id_col=id_col, vec_col=vec_col)
     v = (
-        emb.select(
-            F.col(id_col).alias("nid"),
-            F.col(vec_col).cast("array<double>").alias("nv"),
+        _with_cell_dists(
+            emb.select(
+                F.col(id_col).alias("nid"),
+                F.col(vec_col).cast("array<double>").alias("nv"),
+            ),
+            "nv",
+            cents,
         )
-        .withColumn("_cd", _sq_dists_expr(F.col("nv"), cents))
         .select(
             "nid",
             "nv",
@@ -319,12 +327,14 @@ def knn_ivf(
     # query side: n_probe nearest cells from the bound distance array via
     # arrays_zip + sort_array (struct sort orders by first field = distance)
     q = (
-        emb.filter(F.col(id_col).isin(query_ids))
-        .select(
-            F.col(id_col).alias("qid"),
-            F.col(vec_col).cast("array<double>").alias("qv"),
+        _with_cell_dists(
+            emb.filter(F.col(id_col).isin(query_ids)).select(
+                F.col(id_col).alias("qid"),
+                F.col(vec_col).cast("array<double>").alias("qv"),
+            ),
+            "qv",
+            cents,
         )
-        .withColumn("_cd", _sq_dists_expr(F.col("qv"), cents))
         .withColumn(
             "_probes",
             F.slice(
