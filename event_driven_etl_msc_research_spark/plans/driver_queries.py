@@ -688,6 +688,77 @@ SELECT user_id, event_type, 'early_only' AS tag FROM (SELECT * FROM early EXCEPT
 """
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): per-user value totals by event type.
+    Explicit pivot values → single-pass aggregate, no discovery scan; the
+    oracle is portable conditional aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.sum(_dec("value")).cast("double"))
+    )
+
+
+PIVOT_SQL = """
+SELECT user_id,
+""" + ",\n".join(
+    f"  CAST(SUM(CASE WHEN event_type = '{t}' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS {t}"
+    for t in _EVENT_TYPES
+) + """
+FROM events GROUP BY user_id
+"""
+
+
+def events_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: totals per (event_type, user-decile), per
+    event_type, and grand total in ONE pass (Spark expands the sets over a
+    single shuffle with partial aggregation)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "user_decile", (F.col("user_id") % 10).cast("int")
+    )
+    return ev.rollup("event_type", "user_decile").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("value")).cast("double").alias("total_value"),
+    )
+
+
+ROLLUP_SQL = """
+SELECT event_type, CAST(user_id % 10 AS INT) AS user_decile, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY ROLLUP (event_type, (CAST(user_id % 10 AS INT)))
+"""
+
+
+def events_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + approximate distinct aggregation: COUNT(DISTINCT) is the
+    exact two-phase (partial-distinct) plan; the HLL approx_count_distinct
+    rides along bounded to ±5% of exact (engine-specific sketch → checked
+    as a bound, not a hash)."""
+    ev = _t(spark, sf_dir, "events")
+    out = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"),
+        F.count("*").alias("n_events"),
+    )
+    # pin the approx within ±5% of exact, then project it away so the
+    # oracle hash-compares only engine-portable exact values
+    return out.filter(
+        (F.col("n_users_approx") >= F.col("n_users") * 0.95)
+        & (F.col("n_users_approx") <= F.col("n_users") * 1.05)
+    ).select("event_type", "n_users", "n_events")
+
+
+DISTINCT_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Reference-semantics transform (P1-P7) over documents-derived arrays
 # --------------------------------------------------------------------------
@@ -1150,6 +1221,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "streaming_session_windows": (streaming_session_windows_q, SESSION_WINDOW_SQL),
     "metrics_stage_rollup": (metrics_stage_rollup, METRICS_SQL),
     "events_props_extract": (events_props_extract, PROPS_SQL),
+    "events_pivot": (events_pivot, PIVOT_SQL),
+    "events_rollup_sets": (events_rollup_sets, ROLLUP_SQL),
+    "events_distinct_counts": (events_distinct_counts, DISTINCT_SQL),
     "news_transform_docs": (news_transform_docs, NEWS_SQL),
     "url_ops_docs": (url_ops_docs, URL_OPS_SQL),
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
