@@ -5,6 +5,7 @@ full-scale parity vs DuckDB's native ASOF JOIN runs in the driver contract
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 
 from event_driven_etl_msc_research_spark.operators.asof import (
     asof_join_backward,
@@ -108,8 +109,6 @@ def test_asof_right_ts_tie_deterministic(spark):
 
 
 def test_asof_plan_single_shuffle_window(spark):
-    import pandas as pd
-
     left = spark.createDataFrame(pd.DataFrame({"k": ["a"], "ts": [1], "ev": ["x"]}))
     right = spark.createDataFrame(pd.DataFrame({"k": ["a"], "ts": [1], "p": [1.0]}))
     plan = (
@@ -121,3 +120,51 @@ def test_asof_plan_single_shuffle_window(spark):
     # composition is union + ONE keyed window — no join node, no cross product
     assert "Join" not in plan
     assert plan.count("Window") == 1
+
+
+def _random_frames(seed: int):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    keys = [f"k{i}" for i in range(8)]
+    left = pd.DataFrame(
+        {
+            "k": rng.choice(keys, 400),
+            "ts": rng.randint(0, 10_000, 400).astype("int64"),
+            "lid": np.arange(400, dtype="int64"),
+        }
+    )
+    rights = []
+    for k in keys:
+        ts = rng.choice(np.arange(10_000), size=60, replace=False).astype("int64")
+        rights.append(pd.DataFrame({"k": k, "ts": ts, "price": rng.randn(60).round(6)}))
+    right = pd.concat(rights, ignore_index=True)
+    return left, right
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_property_vs_pandas(spark, seed, direction):
+    left, right = _random_frames(seed)
+    fn = asof_join_backward if direction == "backward" else asof_join_forward
+    got = (
+        fn(spark.createDataFrame(left), spark.createDataFrame(right), ["k"])
+        .orderBy("lid")
+        .toPandas()
+    )
+    exp = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        right.sort_values("ts", kind="mergesort"),
+        on="ts",
+        by="k",
+        direction=direction,
+        allow_exact_matches=True,
+    ).sort_values("lid")
+    assert list(got["lid"]) == list(exp["lid"])
+    import numpy as np
+
+    assert np.allclose(
+        got["price_asof"].to_numpy(dtype=float),
+        exp["price"].to_numpy(dtype=float),
+        equal_nan=True,
+    )
