@@ -19,16 +19,16 @@ Scale notes (100 TB / 10^10 events):
 * the salted variant adds a pre-reduce keyed on ``(key, salt)`` — the
   explicit salted-hash repartition of the north rule — bounding any single
   reducer's share of a hot key to ``1/salt_buckets``.
-* ``dedup_latest_argmax`` is a pure-HashAggregate formulation (encode
-  (ts,lsn) as one ``decimal(38,0)``, hash-max per key, join the winners
-  back; AQE picks broadcast when the winner set is small) — it avoids the
-  local sort at the cost of a second pass.  MEASURED (8.25M-event stream,
-  this host): argmax 10.5s at local[32] vs 71-90s for the struct-max
-  SortAggregate, which anti-scales with thread count (concurrent wide-row
-  sorts); argmax also needs no salting — the fixed-width decimal buffer
-  gets true map-side hash combine on hot keys.  ``dedup_latest`` therefore
-  DELEGATES to argmax (the production path); the struct-max and window
-  forms are kept for cross-checking.
+* the production formulation is ``dedup_latest_maxby``: ONE
+  ``groupBy(key).agg(max_by(payload_struct, packed_version))`` pass —
+  single shuffle with map-side ``partial_max_by``, and every comparison is
+  on the narrow ``decimal(38,0)`` version, never the wide payload struct
+  (which is what made struct-max anti-scale).  MEASURED (4.25M-event
+  stream, this host, warm): maxby 1.2-3.0 s at local[32] vs 4.7-14.3 s for
+  the agg+winners-join argmax and 71-90 s for struct-max; no salting needed
+  — partial combine collapses hot keys map-side.  ``dedup_latest``
+  DELEGATES to maxby; argmax, struct-max and window forms are kept for
+  cross-checking.
 """
 
 from __future__ import annotations
