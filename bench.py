@@ -198,10 +198,16 @@ def main() -> int:
     spark = get_spark(app_name=f"bench_local{cpus}", extra_conf=conf)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # estimate sf from lineitem row count (~600k/0.1sf for this generator)
+    # estimate sf from lineitem row count (~600k/0.1sf for this generator);
+    # doubles as the session warmup — JVM/codegen/Parquet-reader boot costs
+    # land here, not inside the FIRST timed query (each query's own plan
+    # still compiles cold in its timed region)
     try:
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
         sf = round(li / 6_000_000, 4)
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
+            {"l_extendedprice": "sum"}
+        ).collect()
     except Exception:
         sf = None
 

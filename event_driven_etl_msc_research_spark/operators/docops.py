@@ -44,8 +44,14 @@ def token_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_df: int | None = None,
+    ngram: int = 1,
 ) -> DataFrame:
     """Exact token-SET Jaccard similar pairs via inverted index.
+
+    ``ngram`` > 1 switches the set elements from single tokens to word
+    n-gram shingles (order-sensitive near-dup detection: token sets are
+    identical under word reordering, shingle sets are not) — the exact
+    counterpart of the MinHash pipeline's shingles.
 
     Plan: explode distinct tokens → OPTIONAL document-frequency cut →
     self-join on token (the inverted index; co-partitioned equi-join, no
@@ -62,10 +68,15 @@ def token_jaccard_pairs(
     pairs similar ONLY through super-common tokens are deliberately missed
     (documented trade — at threshold ≥ 0.5 such pairs are stop-word shells).
     """
+    elems = (
+        F.array_distinct(F.col("_t"))
+        if ngram <= 1
+        else F.array_distinct(shingles_of_tokens(F.col("_t"), ngram))
+    )
     base = docs.select(
         F.col(id_col).alias("did"),
-        F.array_distinct(ws_tokens(F.lower(F.col(text_col)))).alias("toks"),
-    )
+        ws_tokens(F.lower(F.col(text_col))).alias("_t"),  # bound: see text.py
+    ).select("did", elems.alias("toks"))
     toks = base.select("did", F.explode("toks").alias("tok"))
     idx = toks
     if max_df is not None:

@@ -891,6 +891,34 @@ WHERE CAST(inter AS DOUBLE) / CAST(sa.set_size + sb.set_size - inter AS DOUBLE) 
 """
 
 
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram (shingle) set Jaccard — the order-sensitive exact verify
+    step (token sets are identical under word reordering; shingle sets are
+    not).  Same inverted-index plan as token Jaccard, shingles as elements."""
+    return docops.token_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8, ngram=3)
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH base AS (
+  SELECT doc_id AS did,
+         list_distinct({_D_SHINGLES.format(t=_D_TOKS.format(c='text'))}) AS toks
+  FROM documents
+),
+toks AS (SELECT did, unnest(toks) AS tok FROM base),
+cand AS (
+  SELECT DISTINCT a.did AS id_a, b.did AS id_b
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.did < b.did
+)
+SELECT id_a, id_b,
+  ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE),
+        4) AS jaccard
+FROM cand JOIN base a ON a.did = id_a JOIN base b ON b.did = id_b
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE) >= 0.8
+"""
+
+
 JACCARD_DFCUT_SQL = f"""
 WITH base AS (
   SELECT doc_id AS did, list_distinct({_D_TOKS.format(c='text')}) AS toks
@@ -1229,6 +1257,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
     "dedup_token_jaccard": (dedup_token_jaccard, JACCARD_SQL),
     "dedup_token_jaccard_dfcut": (dedup_token_jaccard_dfcut, JACCARD_DFCUT_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
     "dedup_simhash": (dedup_simhash, _simhash_sql()),
     "dedup_embedding_cosine": (dedup_embedding_cosine, EMB_COSINE_SQL),
