@@ -57,11 +57,15 @@ HEADLINE = [
     "event_type_set_ops",
     "events_sessionized",
     "events_hourly_rollup",
+    "events_pivot",
+    "events_rollup_sets",
+    "events_distinct_counts",
     "streaming_hourly_rollup",
     "streaming_session_windows",
     "news_transform_docs",
     "url_ops_docs",
     "dedup_exact_docs",
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "knn_bruteforce",

@@ -1199,7 +1199,10 @@ FROM toks
 # --------------------------------------------------------------------------
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = with_binary_payload(_docs(spark, sf_dir))
+    # deliberately NOT spread: mapInPandas cost here is per-partition Python
+    # worker spawn, not compute — 32 concurrent worker spawns on tiny local
+    # data cost more than the work (at scale inputs have many splits anyway)
+    docs = with_binary_payload(_t(spark, sf_dir, "documents"))
     return extract_binary_features(docs)
 
 
@@ -1213,7 +1216,7 @@ FROM documents
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = with_binary_payload(_docs(spark, sf_dir))
+    docs = with_binary_payload(_t(spark, sf_dir, "documents"))
     return frame_sample_stub(docs, every_n=10)
 
 
