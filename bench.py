@@ -41,8 +41,10 @@ from event_driven_etl_msc_research_spark.streaming.engine import CDCEngine  # no
 
 # Headline set: relational (scan/filter/agg/join/window/top-k), the engine's
 # core dedup, streaming-shaped rollups, and the scale-path training-data ops.
-# The O(n²) pairwise ops (token_jaccard, embedding_cosine) are deliberately
-# NOT headline — their scalable counterparts (minhash_lsh, knn_lsh) are.
+# The O(n²) pairwise ops (token/ngram_jaccard, embedding_cosine) are
+# deliberately NOT headline — on the synthetic 31-token vocabulary every doc
+# shares elements with every other, so their candidate sets are inherently
+# quadratic; the scalable counterparts (minhash_lsh, knn_lsh/ivf) are.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_top_orders",
@@ -65,7 +67,6 @@ HEADLINE = [
     "news_transform_docs",
     "url_ops_docs",
     "dedup_exact_docs",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "knn_bruteforce",
