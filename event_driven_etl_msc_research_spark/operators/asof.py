@@ -26,6 +26,9 @@ Scale notes (10^10 rows):
   window additionally orders by the carried struct itself, so the row with
   the greatest payload tuple wins (document/choose a tie-break column —
   e.g. a sequence number — as the first payload column to control this).
+  CONSTRAINT: the deterministic tie-break requires every right payload
+  column to be ORDERABLE (no map columns on the right side) — project
+  non-orderable columns away, or wrap them, before the join.
 """
 
 from __future__ import annotations

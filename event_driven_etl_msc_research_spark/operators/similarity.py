@@ -74,23 +74,6 @@ def _hyperplane(plane: int, dim: int) -> float:
     return (h / float(1 << 32)) * 2.0 - 1.0
 
 
-def lsh_bucket_expr(vec_col, n_planes: int, dim: int, plane_offset: int = 0):
-    """Sign-pattern bucket id of a vector under n deterministic hyperplanes
-    (``plane_offset`` selects an independent plane family per hash table)."""
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        w = F.array(*[F.lit(_hyperplane(plane_offset + p, d)) for d in range(dim)])
-        dot = F.aggregate(
-            F.zip_with(vec_col, w, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket.bitwiseXOR(
-            F.shiftleft(F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), p)
-        )
-    return bucket
-
-
 def knn_lsh_bucketed(
     emb: DataFrame,
     query_ids: list[int],
@@ -123,6 +106,11 @@ def knn_lsh_bucketed(
     window top-k.
     """
     from pyspark.sql import Window
+
+    if multi_probe not in (0, 1):
+        # Hamming radius > 1 is not implemented — failing loudly beats a
+        # recall knob that silently stops doing anything past 1
+        raise ValueError("multi_probe must be 0 or 1 (Hamming-1 probing)")
 
     # ALL (n_tables × n_planes) hyperplane dots in ONE transform over a
     # literal weight matrix: one small lambda expression instead of
@@ -257,6 +245,10 @@ def ivf_train(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     )
     seed_rows = v.orderBy("vid").limit(n_cells).collect()
+    if not seed_rows:
+        raise ValueError("ivf_train: empty corpus")
+    # a corpus smaller than n_cells trains with one cell per vector
+    n_cells = min(n_cells, len(seed_rows))
     cents = [[round(float(x), 6) for x in r["v"]] for r in seed_rows]
     for _ in range(iters):
         assigned = _with_cell_dists(v, "v", cents).select(

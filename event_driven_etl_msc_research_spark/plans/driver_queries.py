@@ -867,6 +867,9 @@ def dedup_token_jaccard_dfcut(spark: SparkSession, sf_dir: str) -> DataFrame:
     on full token sets.  The DuckDB twin implements the identical cut, so
     the recall trade itself is pinned cross-engine."""
     docs = _docs(spark, sf_dir)
+    # floor (= Python int for positives) matched by the oracle's CAST(floor(
+    # ...)): a bare CAST in DuckDB rounds half away from zero, which would
+    # disagree on odd document counts
     max_df = max(2, int(docs.count() * 0.5))
     return docops.token_jaccard_pairs(docs, threshold=0.95, max_df=max_df)
 
@@ -924,7 +927,7 @@ WITH base AS (
   SELECT doc_id AS did, list_distinct({_D_TOKS.format(c='text')}) AS toks
   FROM documents
 ),
-n AS (SELECT greatest(2, CAST(COUNT(*) * 0.5 AS BIGINT)) AS cut FROM documents),
+n AS (SELECT greatest(2, CAST(floor(COUNT(*) * 0.5) AS BIGINT)) AS cut FROM documents),
 toks AS (SELECT did, unnest(toks) AS tok FROM base),
 hot AS (SELECT tok FROM toks GROUP BY tok HAVING COUNT(*) > (SELECT cut FROM n)),
 idx AS (SELECT did, tok FROM toks WHERE tok NOT IN (SELECT tok FROM hot)),

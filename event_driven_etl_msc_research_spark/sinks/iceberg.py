@@ -89,6 +89,10 @@ def merge_sql(
     ins_vals = ", ".join(
         [f"c.{c}" for c in payload_cols] + ["c.lsn", "c.op = 'D'"]
     )
+    # NOT MATCHED inserts EVERY row including deletes: a delete for a
+    # never-seen key must land as a tombstone (ManifestTable contract,
+    # sinks/manifest.py) or an out-of-order older update arriving later
+    # would resurrect the key
     return (
         f"MERGE INTO {identifier} t\n"
         f"USING (SELECT * FROM {changes_view}) c\n"
@@ -97,7 +101,7 @@ def merge_sql(
         f"  UPDATE SET {del_set}\n"
         f"WHEN MATCHED AND {newer} THEN\n"
         f"  UPDATE SET {upd_set}\n"
-        f"WHEN NOT MATCHED AND c.op != 'D' THEN\n"
+        f"WHEN NOT MATCHED THEN\n"
         f"  INSERT ({ins_cols}) VALUES ({ins_vals})"
     )
 
@@ -150,15 +154,22 @@ class IcebergTable:
         )
 
     def merge(self, changes: DataFrame, epoch_id: int, **kw: Any) -> dict[str, Any]:
-        """MERGE INTO with max-version conflict predicate.  Payload columns
-        are everything in the change batch except op/lsn; columns new to the
-        target are added first via an additive schema-update transaction."""
+        """MERGE INTO with max-version conflict predicate.  The batch is
+        within-batch deduped FIRST (same ``dedup_latest`` pass as
+        ManifestTable.merge): Iceberg's MERGE errors on multiple source rows
+        matching one target row, and real micro-batches carry several
+        updates per key.  Payload columns are everything except op/lsn;
+        columns new to the target are added first via an additive
+        schema-update transaction."""
+        from ..operators.dedup import dedup_latest
+
         target_cols = {f.name for f in self.spark.table(self.identifier).schema.fields}
         payload = [f for f in changes.schema.fields if f.name not in ("op", "lsn")]
         added = [f for f in payload if f.name not in target_cols]
         if added:
             self.spark.sql(evolve_sql(self.identifier, added))
-        changes.createOrReplaceTempView("_changes")
+        deduped = dedup_latest(changes, self.key_cols, ["ts", "lsn"])
+        deduped.createOrReplaceTempView("_changes")
         self.spark.sql(
             merge_sql(self.identifier, self.key_cols, [f.name for f in payload])
         )

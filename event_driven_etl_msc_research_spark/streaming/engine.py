@@ -76,10 +76,12 @@ class CDCEngine:
             n_buckets=n_buckets,
             tenant_id=tenant_id,
         )
-        # flush_every=64 amortizes lineage IO across epochs (Failed rows and
-        # any lineage read still flush immediately — see LineageLog)
+        # high flush_every so intra-epoch record calls buffer; apply_batch
+        # flushes once per epoch (one small pyarrow file per epoch instead
+        # of one per record — and a continuous tail stopped at ANY point
+        # has every committed epoch's lineage on disk)
         self.lineage = LineageLog(
-            spark, table_root, tenant_id=tenant_id, flush_every=64
+            spark, table_root, tenant_id=tenant_id, flush_every=10_000
         )
         # idempotence scope for epoch ids; replay() pins it to the checkpoint
         # dir so restarts of the SAME checkpoint dedup, while a new
@@ -159,6 +161,10 @@ class CDCEngine:
                 duration_s=time.monotonic() - t0,
             )
             raise
+        finally:
+            # per-epoch flush: lineage for every COMMITTED epoch is durable
+            # even if the tail is stopped or the process dies mid-stream
+            self.lineage.flush()
 
     def _maybe_vacuum(self, epoch_id: int, force: bool = False) -> None:
         """Auto-GC: vacuum after every compaction (force=True) and, in
@@ -171,7 +177,16 @@ class CDCEngine:
         self._epochs_since_vacuum += 1
         if not force and self._epochs_since_vacuum < self.vacuum_keep_versions:
             return
-        removed = self.table.vacuum(keep_versions=self.vacuum_keep_versions)
+        # GC failure must never abort ingest: the merge already committed
+        # durably, so a transient vacuum error is logged (as a VACUUM
+        # failure, not a merge failure) and retried at the next cadence
+        try:
+            removed = self.table.vacuum(keep_versions=self.vacuum_keep_versions)
+        except Exception as e:
+            self.lineage.record_stage(
+                epoch_id, "vacuum", "Failed", detail=repr(e)[:2000]
+            )
+            return
         self._epochs_since_vacuum = 0
         self.lineage.record_stage(
             epoch_id, "vacuum", "Success", detail=f"removed={len(removed)}"

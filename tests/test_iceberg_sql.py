@@ -39,11 +39,20 @@ def test_merge_sql_golden(spark):
         "  UPDATE SET t.ts = c.ts, t.conv_id = c.conv_id, t.turn_idx = c.turn_idx, "
         "t.role = c.role, t.text = c.text, t.tool = c.tool, t._lsn = c.lsn, "
         "t._deleted = false\n"
-        "WHEN NOT MATCHED AND c.op != 'D' THEN\n"
+        "WHEN NOT MATCHED THEN\n"
         "  INSERT (ts, conv_id, turn_idx, role, text, tool, _lsn, _deleted) "
         "VALUES (c.ts, c.conv_id, c.turn_idx, c.role, c.text, c.tool, c.lsn, c.op = 'D')"
     )
     _parse(spark, sql)
+
+
+def test_merge_sql_inserts_tombstones_for_unseen_deletes(spark):
+    """A delete for a never-seen key must INSERT a tombstone (matching the
+    ManifestTable contract) — otherwise an out-of-order older update in a
+    later epoch would resurrect the key."""
+    sql = merge_sql("t", KEYS, PAYLOAD)
+    assert "WHEN NOT MATCHED THEN" in sql          # no op != 'D' guard
+    assert "c.op = 'D')" in sql                    # tombstone flag on insert
 
 
 def test_merge_sql_never_star_or_tuple(spark):
