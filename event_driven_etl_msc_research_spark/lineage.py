@@ -27,6 +27,7 @@ from __future__ import annotations
 import datetime as dt
 import itertools
 import os
+import threading
 import time
 
 import pyarrow as pa
@@ -80,6 +81,12 @@ class LineageLog:
         self._buf_lineage: list[dict] = []
         self._buf_registry: list[dict] = []
         self._seq = itertools.count()
+        # record/flush may run concurrently from the Structured Streaming
+        # micro-batch thread AND the main thread (replay()'s finally-flush
+        # can fire while the stream is still draining after an
+        # awaitTermination timeout) — the buffers are swapped under this
+        # lock so a row is serialized exactly once
+        self._lock = threading.Lock()
         # unique per LOG INSTANCE, not just per process: two engines over the
         # same table root in one process (e.g. crash-recovery tests) must not
         # overwrite each other's flushed files
@@ -93,19 +100,21 @@ class LineageLog:
         detail: str | None = None,
         duration_s: float | None = None,
     ) -> None:
-        self._buf_lineage.append(
-            {
-                "epoch_id": int(epoch_id),
-                "stage": stage,
-                "status": status,
-                "detail": detail,
-                "duration_s": duration_s,
-                "tenant_id": self.tenant_id,
-                "ts": _now(),
-            }
-        )
+        with self._lock:
+            self._buf_lineage.append(
+                {
+                    "epoch_id": int(epoch_id),
+                    "stage": stage,
+                    "status": status,
+                    "detail": detail,
+                    "duration_s": duration_s,
+                    "tenant_id": self.tenant_id,
+                    "ts": _now(),
+                }
+            )
+            n = len(self._buf_lineage)
         # Failed rows flush NOW — the process may be about to die
-        if status == "Failed" or len(self._buf_lineage) >= self.flush_every:
+        if status == "Failed" or n >= self.flush_every:
             self.flush()
 
     def record_partitions(
@@ -114,25 +123,42 @@ class LineageLog:
         if not rows_by_partition:
             return
         now = _now()
-        self._buf_registry.extend(
-            {
-                "epoch_id": int(epoch_id),
-                "partition_id": int(p),
-                "n_records": int(n),
-                "tenant_id": self.tenant_id,
-                "stage": stage,
-                "ts": now,
-            }
-            for p, n in rows_by_partition.items()
-        )
-        if len(self._buf_registry) >= self.flush_every:
+        with self._lock:
+            self._buf_registry.extend(
+                {
+                    "epoch_id": int(epoch_id),
+                    "partition_id": int(p),
+                    "n_records": int(n),
+                    "tenant_id": self.tenant_id,
+                    "stage": stage,
+                    "ts": now,
+                }
+                for p, n in rows_by_partition.items()
+            )
+            n_buf = len(self._buf_registry)
+        if n_buf >= self.flush_every:
             self.flush()
 
     def flush(self) -> None:
-        """Drain both buffers to one small parquet file each (driver-side)."""
-        for buf, schema, out_dir in (
-            (self._buf_lineage, _LINEAGE_ARROW, self.lineage_dir),
-            (self._buf_registry, _REGISTRY_ARROW, self.registry_dir),
+        """Drain both buffers to one small parquet file each (driver-side).
+
+        Thread-safe: the buffer lists are SWAPPED out under the lock and
+        serialized outside it, so a concurrent ``record_*`` (streaming
+        micro-batch thread) or a second ``flush`` (main thread's
+        finally-flush after an ``awaitTermination`` timeout) can neither
+        lose rows appended between snapshot and clear nor write a row
+        twice."""
+        with self._lock:
+            bufs = (self._buf_lineage, self._buf_registry)
+            snap_lineage, snap_registry = list(bufs[0]), list(bufs[1])
+            bufs[0].clear()
+            bufs[1].clear()
+            # sequence numbers minted under the lock too: two concurrent
+            # flushes must not collide on a file name
+            seqs = [next(self._seq), next(self._seq)]
+        for buf, seq, schema, out_dir in (
+            (snap_lineage, seqs[0], _LINEAGE_ARROW, self.lineage_dir),
+            (snap_registry, seqs[1], _REGISTRY_ARROW, self.registry_dir),
         ):
             if not buf:
                 continue
@@ -140,10 +166,51 @@ class LineageLog:
             table = pa.Table.from_pylist(buf, schema=schema)
             fname = (
                 f"part-{buf[0]['epoch_id']:012d}-{self._tag}-"
-                f"{next(self._seq):06d}.parquet"
+                f"{seq:06d}.parquet"
             )
             pq.write_table(table, os.path.join(out_dir, fname))
-            buf.clear()
+
+    def compact(self, max_files: int = 16) -> int:
+        """Fold the per-epoch parquet shards into one file per directory
+        once a directory exceeds ``max_files`` — the lineage analogue of the
+        data path's ``compact()``: a long-running tail flushes one small
+        file per epoch, and an unbounded tiny-file tail would eventually
+        dominate `lineage()` read planning.  Returns files removed.
+
+        Single-writer, same-cadence-as-vacuum: called from the engine's
+        maintenance hook, never concurrently with itself.  Crash window: the
+        combined file is fully written (tmp + rename) before the inputs are
+        deleted, so a crash can duplicate already-compacted rows but never
+        lose rows — lineage is observability, and the table state it
+        describes is guarded solely by the manifest commit."""
+        removed = 0
+        for out_dir in (self.lineage_dir, self.registry_dir):
+            if not os.path.isdir(out_dir):
+                continue
+            parts = sorted(
+                f
+                for f in os.listdir(out_dir)
+                if f.endswith(".parquet")
+            )
+            if len(parts) <= max_files:
+                continue
+            table = pa.concat_tables(
+                pq.read_table(os.path.join(out_dir, f)) for f in parts
+            )
+            # compacted shard keeps the naming scheme (epoch of its first
+            # row, this instance's tag, a fresh sequence number)
+            first_epoch = int(table.column("epoch_id")[0].as_py()) if table.num_rows else 0
+            fname = (
+                f"part-{first_epoch:012d}-{self._tag}-"
+                f"{next(self._seq):06d}-compacted.parquet"
+            )
+            tmp = os.path.join(out_dir, f".{fname}.tmp")
+            pq.write_table(table, tmp)
+            os.rename(tmp, os.path.join(out_dir, fname))
+            for f in parts:
+                os.unlink(os.path.join(out_dir, f))
+                removed += 1
+        return removed
 
     def lineage(self) -> DataFrame:
         self.flush()

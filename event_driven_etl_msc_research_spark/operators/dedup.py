@@ -78,7 +78,13 @@ def dedup_latest(
 def _packed_version(df: DataFrame, version_cols: list[str]):
     """(ts, lsn) packed into one decimal(38,0); nulls → -1 sentinel (below
     any real non-negative WAL position, so corrupt records lose but their
-    key is never dropped)."""
+    key is never dropped).
+
+    Injective under the documented ``lsn < 10**18`` bound: the lsn term is
+    shifted into ``[0, 10**18]`` and the ts multiplier is ``2*10**18``, so
+    consecutive ts values are 2e18 apart while the lsn offset spans at most
+    1e18 — a null-lsn sentinel can never collide with (ts-1, max-lsn), which
+    the previous ``ts*10**18 + lsn`` packing allowed at the boundary."""
     ts_col, lsn_col = version_cols
     ts_dt = dict(df.dtypes).get(ts_col, "")
     ts_num = (
@@ -88,9 +94,13 @@ def _packed_version(df: DataFrame, version_cols: list[str]):
     )
     return (
         F.coalesce(ts_num.cast("decimal(18,0)"), F.lit(-1).cast("decimal(18,0)"))
-        * F.lit(10**18)
-        + F.coalesce(
-            F.col(lsn_col).cast("decimal(18,0)"), F.lit(-1).cast("decimal(18,0)")
+        * F.lit(2 * 10**18).cast("decimal(19,0)")
+        + (
+            F.coalesce(
+                F.col(lsn_col).cast("decimal(18,0)"),
+                F.lit(-1).cast("decimal(18,0)"),
+            )
+            + F.lit(1).cast("decimal(1,0)")
         )
     )
 

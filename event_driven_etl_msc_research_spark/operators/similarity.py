@@ -17,8 +17,10 @@
 All dot products are JVM-side higher-order functions (``zip_with`` +
 ``aggregate``) — no Python in the hot path.  Hyperplanes are derived
 deterministically from md5 of (plane, dim); IVF centroids are seeded from
-the lowest-id vectors and rounded each iteration so float partial-sum
-ordering cannot flip assignments between runs.
+the lowest-id vectors and rounded each iteration, which makes
+assignment flips from float partial-sum ordering vanishingly unlikely
+(a mean within ~1 ulp of a rounding boundary could still flip — see
+``ivf_train``).
 """
 
 from __future__ import annotations
@@ -237,9 +239,12 @@ def ivf_train(
     Per iteration: assign (argmin over the broadcast centroid matrix) →
     per-(cell, dim) mean via posexplode + groupBy — the ONLY driver-side
     data is the n_cells×dim centroid matrix itself (model state, not data).
-    Deterministic: centroids seed from the n_cells lowest-id vectors and
-    every component is rounded to 6 decimals per iteration, so float
-    partial-sum ordering cannot flip a cell assignment between runs.
+    Determinism: centroids seed from the n_cells lowest-id vectors and
+    every component is rounded to 6 decimals per iteration, which shrinks
+    the float partial-sum nondeterminism window to ~1 ulp of a rounding
+    boundary — assignment flips between runs are vanishingly unlikely but
+    not strictly impossible (an exact guarantee would need sort-stable
+    higher-precision accumulation of the per-(cell, dim) sums).
     """
     v = emb.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")

@@ -53,6 +53,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # TIMESTAMP_MICROS (not legacy INT96): INT96 columns carry NO
+        # parquet min/max statistics, which would blind the manifest's
+        # per-file ts-range pruning (ManifestTable.read(where=...))
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         # heap scales with core count (1.5 GiB/core, min 8 GiB): a local[4N]
         # run models a 4N-executor cluster, which has 4N× aggregate memory —

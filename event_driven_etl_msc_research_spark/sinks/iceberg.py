@@ -107,10 +107,21 @@ def merge_sql(
 
 
 def evolve_sql(identifier: str, added: list[T.StructField]) -> str:
-    """Additive schema evolution (the engine's only evolution mode —
-    sinks/manifest.py:174-195) as one Iceberg schema-update transaction."""
+    """Additive schema evolution (sinks/manifest.py:174-195) as one Iceberg
+    schema-update transaction."""
     cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in added)
     return f"ALTER TABLE {identifier} ADD COLUMNS ({cols})"
+
+
+def widen_sql(identifier: str, widened: list[T.StructField]) -> str:
+    """Same-family numeric type widening (int→long, float→double — the
+    promotions Iceberg's spec allows and ``ManifestTable._widens`` mirrors)
+    as ``ALTER COLUMN ... TYPE`` statements, one per column, ';'-joined."""
+    return "; ".join(
+        f"ALTER TABLE {identifier} ALTER COLUMN {f.name} "
+        f"TYPE {f.dataType.simpleString()}"
+        for f in widened
+    )
 
 
 class IcebergTable:
@@ -118,15 +129,19 @@ class IcebergTable:
     See module docstring: SQL text verified, execution unverified without
     the iceberg-spark-runtime jar."""
 
-    def __init__(self, spark: SparkSession, identifier: str):
+    def __init__(self, spark: SparkSession, identifier: str, key_cols: list[str]):
         if not iceberg_available(spark):
             raise NotImplementedError(
                 "iceberg-spark-runtime jar not on classpath; use ManifestTable "
                 "(identical semantics over Parquet + JSON manifests)"
             )
+        if not key_cols:
+            # key_cols drive the MERGE ON clause — a default here would
+            # silently generate a wrong merge for any non-transcript table
+            raise ValueError("IcebergTable requires explicit key_cols")
         self.spark = spark
         self.identifier = identifier
-        self.key_cols: list[str] = ["conv_id", "turn_idx"]
+        self.key_cols = list(key_cols)
 
     @classmethod
     def create(
@@ -138,8 +153,7 @@ class IcebergTable:
         n_buckets: int = 16,
         tenant_id: str | None = None,
     ) -> "IcebergTable":
-        t = cls(spark, identifier)
-        t.key_cols = key_cols or ["conv_id", "turn_idx"]
+        t = cls(spark, identifier, key_cols or ["conv_id", "turn_idx"])
         spark.sql(create_sql(identifier, schema, t.key_cols, n_buckets))
         return t
 
@@ -160,14 +174,38 @@ class IcebergTable:
         matching one target row, and real micro-batches carry several
         updates per key.  Payload columns are everything except op/lsn;
         columns new to the target are added first via an additive
-        schema-update transaction."""
+        schema-update transaction, and same-family numeric widening (the
+        same promotions ``ManifestTable._widens`` accepts) is applied via
+        ``ALTER COLUMN ... TYPE`` before the MERGE; any other type conflict
+        raises before any statement runs."""
         from ..operators.dedup import dedup_latest
+        from .manifest import ManifestTable, SchemaEvolutionError
 
-        target_cols = {f.name for f in self.spark.table(self.identifier).schema.fields}
+        target_fields = {
+            f.name: f for f in self.spark.table(self.identifier).schema.fields
+        }
         payload = [f for f in changes.schema.fields if f.name not in ("op", "lsn")]
-        added = [f for f in payload if f.name not in target_cols]
+        added = [f for f in payload if f.name not in target_fields]
+        widened, conflicts = [], []
+        for f in payload:
+            have = target_fields.get(f.name)
+            if have is None or f.dataType == have.dataType:
+                continue
+            if ManifestTable._widens(have.dataType, f.dataType):
+                widened.append(f)  # table column widens to the batch type
+            elif ManifestTable._widens(f.dataType, have.dataType):
+                pass  # batch is narrower: MERGE up-casts the source side
+            else:
+                conflicts.append(f.name)
+        if conflicts:
+            raise SchemaEvolutionError(
+                f"type conflict on {conflicts}: additive columns and "
+                f"same-family numeric widening only"
+            )
         if added:
             self.spark.sql(evolve_sql(self.identifier, added))
+        for stmt in widen_sql(self.identifier, widened).split("; ") if widened else []:
+            self.spark.sql(stmt)
         deduped = dedup_latest(changes, self.key_cols, ["ts", "lsn"])
         deduped.createOrReplaceTempView("_changes")
         self.spark.sql(

@@ -62,10 +62,78 @@ class SchemaEvolutionError(ValueError):
     pass
 
 
+class ManifestConflict(RuntimeError):
+    """Another writer committed this manifest version first (optimistic
+    concurrency loss).  ``merge`` catches it and rebases; see
+    ``ManifestTable.merge`` retries."""
+
+
 def _bucket_expr(n_buckets: int, bucket_col: str = "conv_id"):
     # deterministic hash bucket of the first key column — the physical
     # partition and the MERGE rewrite unit (co-locates a conversation).
     return F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets)).cast("int")
+
+
+def _stat_to_json(v):
+    """JSON-encode a parquet footer statistic (datetime → ISO string)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:  # parquet UTC-adjusted timestamps are instants
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        return {"_ts": v.isoformat()}
+    if isinstance(v, (bytes, bytearray)):
+        return v.decode("utf-8", errors="replace")
+    return v
+
+
+def _stat_from_json(v):
+    import datetime as _dt
+
+    if isinstance(v, dict) and "_ts" in v:
+        return _dt.datetime.fromisoformat(v["_ts"])
+    return v
+
+
+def _norm_bound(v):
+    """Normalize a query bound for comparison against decoded stats."""
+    import datetime as _dt
+
+    if isinstance(v, str):
+        try:
+            d = _dt.datetime.fromisoformat(v)
+            return d.replace(tzinfo=_dt.timezone.utc) if d.tzinfo is None else d
+        except ValueError:
+            return v
+    if isinstance(v, _dt.datetime) and v.tzinfo is None:
+        return v.replace(tzinfo=_dt.timezone.utc)
+    return v
+
+
+def _footer_minmax(md, stats_cols: list[str]) -> dict[str, list]:
+    """Per-column [min, max] over all row groups of one parquet footer
+    (already in memory — no extra I/O).  Columns whose statistics are
+    absent are omitted → the file is never pruned on them."""
+    if not stats_cols:
+        return {}
+    idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
+    out: dict[str, list] = {}
+    for col in stats_cols:
+        i = idx.get(col)
+        if i is None:
+            continue
+        lo = hi = None
+        ok = md.num_row_groups > 0
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(i).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo = st.min if lo is None or st.min < lo else lo
+            hi = st.max if hi is None or st.max > hi else hi
+        if ok:
+            out[col] = [_stat_to_json(lo), _stat_to_json(hi)]
+    return out
 
 
 class ManifestTable:
@@ -88,22 +156,35 @@ class ManifestTable:
         key_cols: list[str] | None = None,
         n_buckets: int = 16,
         tenant_id: str | None = None,
+        stats_cols: list[str] | None = None,
     ) -> "ManifestTable":
-        """Idempotent create (cf. ``IF NOT EXISTS`` DDL, ``Phase3-DataLoad.py:86,104``)."""
+        """Idempotent create (cf. ``IF NOT EXISTS`` DDL, ``Phase3-DataLoad.py:86,104``).
+
+        ``stats_cols`` — columns whose per-file min/max ranges are harvested
+        from parquet footers at write time and recorded in the manifest for
+        scan pruning (default: ``ts`` + the key columns).  This is the
+        capability Iceberg's per-file stats add over the reference's
+        MSCK-partition model (``Phase3-DataLoad.py:169-175``): a bounded
+        ``read(where=...)`` opens only overlapping files."""
         t = cls(spark, root)
         if t.exists():
             return t
         os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, _DATA_DIR), exist_ok=True)
+        kc = key_cols or KEY_COLS
+        have = {f.name for f in schema.fields}
         manifest = {
             "version": 0,
             "parent": None,
             "epoch_id": None,
             "schema": schema.jsonValue(),
-            "key_cols": key_cols or KEY_COLS,
+            "key_cols": kc,
             "n_buckets": n_buckets,
             "tenant_id": tenant_id,
             "files": {},
+            "file_stats": {},
+            "stats_cols": stats_cols
+            or [c for c in (["ts"] + kc) if c in have],
             "applied_epochs": [],
             "total_rows": 0,
             "committed_at": time.time(),
@@ -138,20 +219,29 @@ class ManifestTable:
             return json.load(f)
 
     def _publish(self, manifest: dict[str, Any]) -> None:
-        """Atomic publish: write tmp in the same dir, fsync, single rename.
-        Readers can never observe a partial manifest; the rename IS the
-        commit point (SURVEY.md §7 hard parts)."""
+        """Atomic publish: write tmp in the same dir, fsync, then CLAIM the
+        version with ``os.link`` — link fails with EEXIST atomically if
+        another writer claimed it first (a check-then-rename would be TOCTOU:
+        POSIX rename silently overwrites).  Readers can never observe a
+        partial manifest; the link IS the commit point (SURVEY.md §7 hard
+        parts).  Raises ``ManifestConflict`` on a lost race — ``merge``
+        rebases and retries.  On an S3-style object store this maps to a
+        put-if-absent / preconditioned PUT of the same version key."""
         final = self._manifest_path(manifest["version"])
-        if os.path.exists(final):
-            raise RuntimeError(
-                f"manifest v{manifest['version']} already exists — concurrent writer?"
-            )
-        tmp = final + ".tmp"
+        tmp = f"{final}.{os.getpid():x}-{time.monotonic_ns():x}.tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
             f.flush()
             os.fsync(f.fileno())
-        os.rename(tmp, final)
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise ManifestConflict(
+                f"manifest v{manifest['version']} was committed by a "
+                f"concurrent writer"
+            ) from None
+        finally:
+            os.unlink(tmp)
         self._manifest = manifest
 
     # ---------- schema ----------
@@ -253,7 +343,10 @@ class ManifestTable:
         return self.spark.read.schema(schema).parquet(*files)
 
     def read(
-        self, version: int | None = None, include_internal: bool = False
+        self,
+        version: int | None = None,
+        include_internal: bool = False,
+        where: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Snapshot read.  ``version`` gives time travel (replaces the
         reference's final-backup copies, ``Phase3-BackupData.py:23-27``).
@@ -261,16 +354,95 @@ class ManifestTable:
         Merge-on-read: when the snapshot carries delta files, base+delta are
         folded by the same per-key max-version rule as the write path.  Base
         files are one-row-per-key, so the fold cost is O(live rows + delta
-        rows) — and it disappears entirely after ``compact()``."""
+        rows) — and it disappears entirely after ``compact()``.
+
+        ``where`` — optional inclusive bounds ``{col: (lo, hi)}`` (either
+        side None = unbounded).  Files whose manifest-recorded [min, max]
+        range cannot overlap are never opened (the per-file-stats pruning
+        Iceberg manifests give over the reference's MSCK model,
+        ``Phase3-DataLoad.py:169-175``; at 10^10 events this is the
+        difference between reading a bucket and reading a day).  The bounds
+        are ALSO applied as a filter, so results are exact regardless of
+        pruning.  MOR correctness rule: key-column bounds prune base AND
+        delta files (a file outside the key range holds none of the
+        requested keys); non-key bounds (e.g. ``ts``) prune only in
+        delta-free buckets — in a bucket carrying deltas, dropping an
+        out-of-range base or delta file could hand the per-key fold to a
+        stale in-range row."""
         m = self.manifest(version)
         ischema = self._internal_schema(version)
-        df = self._read_files(self._all_files(m), ischema)
-        if self._all_delta_files(m):
+        if where:
+            base_files, delta_files = self._pruned_files(m, where)
+        else:
+            base_files = [
+                os.path.join(self.root, p)
+                for paths in m["files"].values()
+                for p in paths
+            ]
+            delta_files = self._all_delta_files(m)
+        df = self._read_files(base_files + delta_files, ischema)
+        if delta_files:
             df = dedup_latest(df, m["key_cols"], ["ts", "_lsn"])
         df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        if where:
+            for c, (lo, hi) in where.items():
+                if lo is not None:
+                    df = df.filter(F.col(c) >= F.lit(_norm_bound(lo)))
+                if hi is not None:
+                    df = df.filter(F.col(c) <= F.lit(_norm_bound(hi)))
         if not include_internal:
             df = df.select(*[f.name for f in self.schema(version).fields])
         return df
+
+    def _pruned_files(
+        self, m: dict[str, Any], where: dict[str, tuple]
+    ) -> tuple[list[str], list[str]]:
+        """Split the snapshot's files into (kept base, kept delta) full
+        paths under the bounds — see ``read`` for the MOR pruning rule.
+        Files with no recorded stats for a bound column are always kept."""
+        key_cols = set(m["key_cols"])
+        stats = m.get("file_stats") or {}
+        nb = {
+            c: (_norm_bound(lo), _norm_bound(hi)) for c, (lo, hi) in where.items()
+        }
+
+        def keep(p: str, usable: list[str]) -> bool:
+            st = stats.get(p)
+            if not st:
+                return True
+            for c in usable:
+                if c not in st:
+                    continue
+                lo, hi = nb[c]
+                fmin = _stat_from_json(st[c][0])
+                fmax = _stat_from_json(st[c][1])
+                try:
+                    if lo is not None and fmax < lo:
+                        return False
+                    if hi is not None and fmin > hi:
+                        return False
+                except TypeError:  # incomparable bound/stat types: keep
+                    continue
+            return True
+
+        delta_by_bucket = {
+            b: ps for b, ps in (m.get("delta_files") or {}).items() if ps
+        }
+        key_bounds = [c for c in nb if c in key_cols]
+        base: list[str] = []
+        for b, ps in m["files"].items():
+            usable = (
+                key_bounds if str(b) in delta_by_bucket else list(nb)
+            )
+            base += [
+                os.path.join(self.root, p) for p in ps if keep(p, usable)
+            ]
+        deltas: list[str] = []
+        for ps in delta_by_bucket.values():
+            deltas += [
+                os.path.join(self.root, p) for p in ps if keep(p, key_bounds)
+            ]
+        return base, deltas
 
     def applied_epochs(self) -> set:
         return set(self.manifest()["applied_epochs"])
@@ -289,6 +461,7 @@ class ManifestTable:
         epoch_scope: str = "batch",
         before_publish=None,
         mode: str = "cow",
+        retries: int = 5,
     ) -> dict[str, Any]:
         """Exactly-once upsert of a change batch.
 
@@ -296,10 +469,16 @@ class ManifestTable:
         [AND c.version > t.version] UPDATE ... WHEN NOT MATCHED INSERT``
         plus delete tombstones.
 
-        ``mode="cow"`` (copy-on-write): union of target-touched buckets +
-        deduped changes, per-key max-version aggregate, touched buckets
-        rewritten.  Reads stay one-row-per-key cheap; writes are O(touched
-        data).
+        ``mode="cow"`` (copy-on-write): stage-first — job 1 writes the
+        deduped batch bucket-partitioned (identical to the delta path's only
+        job); the touched-bucket set and batch size come from its parquet
+        footers driver-side (no counting job, no persist); job 2 merges the
+        staged batch with the touched buckets' base files and rewrites them.
+        An initial load (empty target) publishes the staged batch directly —
+        one job.  Reads stay one-row-per-key cheap; writes are O(touched
+        data).  Two jobs is the CoW floor: the rewrite's input file set is
+        data-dependent (find-touched + rewrite, the same two-phase shape as
+        Delta Lake's MERGE).
 
         ``mode="delta"`` (merge-on-read): the deduped change batch itself is
         committed as bucket-partitioned delta files — ONE Spark job per
@@ -314,6 +493,14 @@ class ManifestTable:
 
         Idempotence: an ``epoch_id`` already in ``applied_epochs`` is a no-op
         (exactly-once under streaming re-delivery / restart).
+
+        Concurrency (``retries``): the manifest commit is an optimistic
+        put-if-absent (``_publish``).  On a lost race the merge re-reads the
+        winner's manifest and rebases: a duplicate epoch is skipped
+        (exactly-once across writers); a delta commit rebases by re-appending
+        its staged files; a CoW commit rebases only if the winner's commit
+        left every touched bucket unchanged, otherwise the whole merge
+        re-runs against fresh state.  Bounded by ``retries`` attempts.
         Late data: target rows carry their applied ``(ts, _lsn)``; an
         out-of-order older change loses the max-version comparison, and a
         delete tombstone persists so an older update cannot resurrect a key.
@@ -399,17 +586,46 @@ class ManifestTable:
             n_change_keys = staged_rows
             merge_path = "delta"
         else:
-            # ---- copy-on-write path
-            change_rows.persist()
-            # touched buckets + batch size in ONE job → read ONLY their files
-            bucket_counts = change_rows.groupBy("_bucket").count().collect()
-            touched = sorted(int(r["_bucket"]) for r in bucket_counts)
-            n_change_keys = sum(int(r["count"]) for r in bucket_counts)
+            # ---- copy-on-write path: stage-first (no collect, no persist).
+            # Job 1 = the SAME dedup→bucket-partitioned write as the delta
+            # path, landed under changes/; the touched-bucket set and batch
+            # size then come from the staged parquet footers driver-side —
+            # no counting job, no executor memory pinned by a persist.  For
+            # an empty target (initial load) the staged batch IS the merged
+            # result — published directly, so the initial epoch is one job.
+            # A non-initial CoW epoch is job 1 + the merge/rewrite job —
+            # the CoW floor (find-touched + rewrite, the same two-phase
+            # shape as Delta Lake's MERGE), vs delta mode's single job.
+            ch_rel = os.path.join(stage_rel, "changes")
+            ch_dir = os.path.join(self.root, ch_rel)
+            ch_obs = Observation()
+            (
+                change_rows.observe(ch_obs, F.count(F.lit(1)).alias("rows"))
+                .withColumn("_pb", F.col("_bucket"))
+                .repartition(max(n_buckets, 1), F.col("_bucket"))
+                .write.mode("overwrite")
+                .partitionBy("_pb")
+                .parquet(ch_dir)
+            )
+            ch_files, ch_rows_by_bucket, n_change_keys = self._scan_staging(
+                ch_dir, ch_rel
+            )
+            if n_change_keys != int(ch_obs.get["rows"]):
+                raise RuntimeError(
+                    f"audit failed for epoch {epoch_id}: observed "
+                    f"{int(ch_obs.get['rows'])} change rows in stage job but "
+                    f"footers total {n_change_keys}"
+                )
+            touched = sorted(ch_files)
             touched_files = [
                 os.path.join(self.root, p)
                 for b in touched
                 for p in old_files.get(b, []) + old_delta.get(b, [])
             ]
+            staged_changes = self._read_files(
+                [os.path.join(self.root, p) for ps in ch_files.values() for p in ps],
+                ischema,
+            )
             target = self._read_files(touched_files, ischema)
 
             # Fast path (the common micro-batch case): the deduped batch is
@@ -421,43 +637,61 @@ class ManifestTable:
             )
             has_delta = any(old_delta.get(b) for b in touched)
             if not touched_files:
-                merged = change_rows  # empty target: batch already one row/key
-                merge_path = "initial"
-            elif use_broadcast and not has_delta:
-                merged = self._merge_broadcast(target, change_rows, key_cols, ischema)
-                merge_path = "broadcast"
-            else:
-                # (a CoW merge over a delta-carrying bucket must also fold the
-                # deltas, so it takes the aggregate path)
-                unified = target.unionByName(change_rows, allowMissingColumns=True)
-                merged = dedup_latest(unified, key_cols, ["ts", "_lsn"])
-                merge_path = "shuffle"
-
-            # stage: write under an unreferenced dir; publish via manifest only
-            writer = merged.observe(obs, F.count(F.lit(1)).alias("rows"))
-            writer = writer.withColumn("_pb", F.col("_bucket"))
-            if files_per_bucket > 1:
-                writer = writer.repartition(
-                    len(touched) * files_per_bucket,
-                    F.col("_bucket"),
-                    F.pmod(F.xxhash64(*key_cols), F.lit(files_per_bucket)),
+                # empty target: the staged batch (one row per key) IS the
+                # merged result — publish its files, no second job
+                staged_files, rows_by_bucket, staged_rows = (
+                    ch_files, ch_rows_by_bucket, n_change_keys,
                 )
+                merge_path = "initial"
             else:
-                writer = writer.repartition(max(len(touched), 1), F.col("_bucket"))
-            writer.write.mode("overwrite").partitionBy("_pb").parquet(stage_dir)
-            staged_files, rows_by_bucket, staged_rows = self._scan_staging(
-                stage_dir, stage_rel, buckets=touched
-            )
+                if use_broadcast and not has_delta:
+                    merged = self._merge_broadcast(
+                        target, staged_changes, key_cols, ischema
+                    )
+                    merge_path = "broadcast"
+                else:
+                    # (a CoW merge over a delta-carrying bucket must also fold
+                    # the deltas, so it takes the aggregate path)
+                    unified = target.unionByName(
+                        staged_changes, allowMissingColumns=True
+                    )
+                    merged = dedup_latest(unified, key_cols, ["ts", "_lsn"])
+                    merge_path = "shuffle"
+
+                # stage: write under an unreferenced dir; publish via manifest
+                merged_rel = os.path.join(stage_rel, "merged")
+                merged_dir = os.path.join(self.root, merged_rel)
+                writer = merged.observe(obs, F.count(F.lit(1)).alias("rows"))
+                writer = writer.withColumn("_pb", F.col("_bucket"))
+                if files_per_bucket > 1:
+                    writer = writer.repartition(
+                        len(touched) * files_per_bucket,
+                        F.col("_bucket"),
+                        F.pmod(F.xxhash64(*key_cols), F.lit(files_per_bucket)),
+                    )
+                else:
+                    writer = writer.repartition(
+                        max(len(touched), 1), F.col("_bucket")
+                    )
+                writer.write.mode("overwrite").partitionBy("_pb").parquet(
+                    merged_dir
+                )
+                staged_files, rows_by_bucket, staged_rows = self._scan_staging(
+                    merged_dir, merged_rel, buckets=touched
+                )
 
         # ---- audit (write-audit-publish; cf. the per-chunk record counts the
         # reference logs, DataSplit.py:133): rows observed flowing through the
-        # write job must equal rows readable from the staged parquet footers
-        observed = int(obs.get["rows"])
-        if staged_rows != observed:
-            raise RuntimeError(
-                f"audit failed for epoch {epoch_id}: observed {observed} rows "
-                f"in write job but staged footers total {staged_rows}"
-            )
+        # write job must equal rows readable from the staged parquet footers.
+        # (The CoW "initial" path publishes the change-stage files directly —
+        # its observation/footer audit already ran against ch_obs above.)
+        if mode == "delta" or merge_path != "initial":
+            observed = int(obs.get["rows"])
+            if staged_rows != observed:
+                raise RuntimeError(
+                    f"audit failed for epoch {epoch_id}: observed {observed} "
+                    f"rows in write job but staged footers total {staged_rows}"
+                )
         if audit == "keys" and staged_rows:
             staged_paths = [
                 os.path.join(self.root, p)
@@ -478,73 +712,152 @@ class ManifestTable:
                     f"audit failed: duplicate keys staged for epoch {epoch_id}"
                 )
 
-        # ---- publish
-        if mode == "delta":
-            files = old_files
-            delta_files = {
-                b: old_delta.get(b, []) + staged_files.get(b, [])
-                for b in set(old_delta) | set(staged_files)
+        # ---- publish (optimistic concurrency: assemble against a base
+        # manifest; on a lost race, rebase onto the winner and retry)
+        def _assemble(mc: dict[str, Any]) -> dict[str, Any]:
+            """Build the commit manifest on top of base manifest ``mc``
+            (first attempt: the manifest the merge read; rebase attempts:
+            the concurrent winner's).  Schema evolution is re-derived
+            against ``mc`` — a concurrent writer may have added columns;
+            additive union + read-through-nulls make both sides' files
+            readable under the merged schema."""
+            base_schema = T.StructType.fromJson(mc["schema"])
+            schema_c, added_c = self._evolve_schema(
+                base_schema, T.StructType(payload_fields)
+            )
+            oldf = {int(b): ps for b, ps in mc["files"].items()}
+            oldd = {
+                int(b): ps for b, ps in (mc.get("delta_files") or {}).items()
             }
-            bucket_rows = m.get("bucket_rows") or {}
-            total_rows = m["total_rows"]
-            old_dr = {k: int(v) for k, v in (m.get("delta_rows") or {}).items()}
-            delta_rows = {
-                str(b): old_dr.get(str(b), 0) + rows_by_bucket.get(str(b), 0)
-                for b in set(int(k) for k in old_dr) | set(touched)
+            if mode == "delta":
+                files = oldf
+                delta_files = {
+                    b: oldd.get(b, []) + staged_files.get(b, [])
+                    for b in set(oldd) | set(staged_files)
+                }
+                bucket_rows = mc.get("bucket_rows") or {}
+                total_rows = mc["total_rows"]
+                old_dr = {
+                    k: int(v) for k, v in (mc.get("delta_rows") or {}).items()
+                }
+                delta_rows = {
+                    str(b): old_dr.get(str(b), 0) + rows_by_bucket.get(str(b), 0)
+                    for b in set(int(k) for k in old_dr) | set(touched)
+                }
+            else:
+                # untouched buckets keep the base manifest's files; touched
+                # swap to staged and their deltas (now folded in) are dropped
+                files = dict(oldf)
+                for b in touched:
+                    files[b] = staged_files.get(b, [])
+                delta_files = {
+                    b: ps for b, ps in oldd.items() if b not in touched
+                }
+                bucket_rows = {
+                    **{
+                        str(b): r
+                        for b, r in (mc.get("bucket_rows") or {}).items()
+                        if int(b) not in touched
+                    },
+                    **rows_by_bucket,
+                }
+                total_rows = (
+                    mc["total_rows"] - self._rows_in(mc, touched) + staged_rows
+                )
+                delta_rows = {
+                    k: int(v)
+                    for k, v in (mc.get("delta_rows") or {}).items()
+                    if int(k) not in touched
+                }
+            return {
+                "version": mc["version"] + 1,
+                "parent": mc["version"],
+                "epoch_id": epoch_key,
+                "schema": schema_c.jsonValue(),
+                "key_cols": key_cols,
+                "n_buckets": n_buckets,
+                "tenant_id": mc.get("tenant_id"),
+                "files": {str(b): p for b, p in files.items()},
+                "delta_files": {str(b): p for b, p in delta_files.items() if p},
+                "file_stats": self._fold_stats(mc, files, delta_files),
+                "stats_cols": mc.get("stats_cols") or [],
+                "bucket_rows": bucket_rows,
+                "applied_epochs": mc["applied_epochs"] + [epoch_key],
+                "added_cols": added_c,
+                "total_rows": total_rows,  # base rows; MOR live count needs read()
+                "delta_rows": delta_rows,
+                "delta_rows_total": sum(delta_rows.values()),
+                "committed_at": time.time(),
             }
-            delta_rows_total = sum(delta_rows.values())
-        else:
-            # untouched buckets keep old files; touched swap to staged and
-            # their deltas (now folded in) are dropped
-            files = dict(old_files)
-            for b in touched:
-                files[b] = staged_files.get(b, [])
-            delta_files = {
-                b: ps for b, ps in old_delta.items() if b not in touched
-            }
-            bucket_rows = {
-                **{
-                    str(b): r
-                    for b, r in (m.get("bucket_rows") or {}).items()
-                    if int(b) not in touched
-                },
-                **rows_by_bucket,
-            }
-            total_rows = m["total_rows"] - self._rows_in(m, touched) + staged_rows
-            delta_rows = {
-                k: int(v)
-                for k, v in (m.get("delta_rows") or {}).items()
-                if int(k) not in touched
-            }
-            delta_rows_total = sum(delta_rows.values())
 
-        new_manifest = {
-            "version": version,
-            "parent": m["version"],
-            "epoch_id": epoch_key,
-            "schema": new_schema.jsonValue(),
-            "key_cols": key_cols,
-            "n_buckets": n_buckets,
-            "tenant_id": m.get("tenant_id"),
-            "files": {str(b): p for b, p in files.items()},
-            "delta_files": {str(b): p for b, p in delta_files.items() if p},
-            "bucket_rows": bucket_rows,
-            "applied_epochs": m["applied_epochs"] + [epoch_key],
-            "added_cols": added_cols,
-            "total_rows": total_rows,  # base rows; under MOR live count needs read()
-            "delta_rows": delta_rows,
-            "delta_rows_total": delta_rows_total,
-            "committed_at": time.time(),
-        }
-        try:
+        mc = m
+        for attempt in range(max(1, retries)):
+            if attempt:
+                mc = self.manifest()  # re-read the winner's manifest
+                if epoch_key in mc["applied_epochs"]:
+                    # another writer (a racing retry of the same stream)
+                    # already committed THIS epoch — exactly-once holds
+                    return {
+                        "status": "Skipped",
+                        "epoch_id": epoch_id,
+                        "version": mc["version"],
+                        "reason": "epoch committed by concurrent writer",
+                        "duration_s": time.monotonic() - t0,
+                    }
+                if mode != "delta":
+                    # our merged rewrite folded the touched buckets' state
+                    # AS OF m; if the winner changed any of them the staged
+                    # output is stale — redo the whole merge against the
+                    # fresh manifest (staged dirs orphan → vacuumed)
+                    od = m.get("delta_files") or {}
+                    nd = mc.get("delta_files") or {}
+                    stale = any(
+                        mc["files"].get(str(b)) != m["files"].get(str(b))
+                        or nd.get(str(b)) != od.get(str(b))
+                        for b in touched
+                    )
+                    if stale:
+                        return self.merge(
+                            changes,
+                            epoch_id,
+                            salt_buckets=salt_buckets,
+                            files_per_bucket=files_per_bucket,
+                            audit=audit,
+                            strategy=strategy,
+                            broadcast_threshold=broadcast_threshold,
+                            epoch_scope=epoch_scope,
+                            before_publish=before_publish,
+                            mode=mode,
+                            retries=retries - attempt,
+                        )
+                    # delta rebase is always safe: delta commits only append
+                    # per-bucket file lists, they never read target state
+            new_manifest = _assemble(mc)
             if before_publish is not None:
                 # test/chaos hook: crash after staging, before the commit
                 # point — the staged dir stays unreferenced; replay re-runs
                 before_publish(new_manifest)
-            self._publish(new_manifest)
-        finally:
-            if mode != "delta":
-                change_rows.unpersist()
+            try:
+                self._publish(new_manifest)
+                break
+            except ManifestConflict:
+                continue
+        else:
+            raise ManifestConflict(
+                f"epoch {epoch_id}: lost the manifest race {retries} times — "
+                f"giving up (staged files remain unreferenced; safe to retry)"
+            )
+        version = new_manifest["version"]
+        added_cols = new_manifest["added_cols"]
+        if mode != "delta" and merge_path != "initial":
+            # the intermediate change-stage files were folded into merged/
+            # and are never referenced by any manifest; drop them now rather
+            # than letting them ride inside the (referenced) version dir,
+            # which vacuum only collects at top-dir granularity
+            import shutil
+
+            shutil.rmtree(os.path.join(self.root, stage_rel, "changes"),
+                          ignore_errors=True)
         return {
             "status": "Success",
             "epoch_id": epoch_id,
@@ -564,9 +877,16 @@ class ManifestTable:
         """Driver-side footer audit of a staged write: list ``_pb=*`` dirs,
         read each parquet footer (pyarrow — no Spark job), return
         (files_by_bucket, rows_by_bucket, total_rows).  A truncated or
-        unreadable file fails here, before publish."""
+        unreadable file fails here, before publish.
+
+        Side effect: per-file min/max ranges of the manifest's
+        ``stats_cols`` are harvested from the SAME footers into
+        ``self._pending_stats[relpath]`` — zero extra I/O; ``merge`` /
+        ``compact`` fold them into the published manifest for scan pruning."""
         import pyarrow.parquet as pq
 
+        stats_cols = list(self.manifest().get("stats_cols") or [])
+        self._pending_stats = {}
         files_by_bucket: dict[int, list[str]] = {}
         rows_by_bucket: dict[str, int] = {}
         total = 0
@@ -584,8 +904,13 @@ class ManifestTable:
                 for f in sorted(os.listdir(os.path.join(stage_dir, d))):
                     if f.endswith(".parquet"):
                         fp = os.path.join(stage_dir, d, f)
-                        rows += pq.ParquetFile(fp).metadata.num_rows
-                        rel.append(os.path.join(stage_rel, d, f))
+                        md = pq.ParquetFile(fp).metadata
+                        rows += md.num_rows
+                        relpath = os.path.join(stage_rel, d, f)
+                        rel.append(relpath)
+                        st = _footer_minmax(md, stats_cols)
+                        if st:
+                            self._pending_stats[relpath] = st
                 files_by_bucket[b] = rel
                 rows_by_bucket[str(b)] = rows
                 total += rows
@@ -675,6 +1000,8 @@ class ManifestTable:
             "tenant_id": m.get("tenant_id"),
             "files": {str(b): p for b, p in files.items()},
             "delta_files": {str(b): p for b, p in delta_files.items()},
+            "file_stats": self._fold_stats(m, files, delta_files),
+            "stats_cols": m.get("stats_cols") or [],
             "bucket_rows": {
                 **{
                     str(b): r
@@ -692,7 +1019,18 @@ class ManifestTable:
         }
         if before_publish is not None:
             before_publish(new_manifest)
-        self._publish(new_manifest)
+        try:
+            self._publish(new_manifest)
+        except ManifestConflict:
+            # compaction is pure maintenance: losing the race to an ingest
+            # commit just means the fold re-runs at the next cadence — never
+            # block or retry against the ingest path
+            return {
+                "status": "Skipped",
+                "reason": "lost manifest race to a concurrent writer",
+                "version": self.current_version(),
+                "duration_s": time.monotonic() - t0,
+            }
         return {
             "status": "Success",
             "version": version,
@@ -745,6 +1083,28 @@ class ManifestTable:
         inserts = change_rows.join(F.broadcast(matched), key_cols, "left_anti")
         cols = [f.name for f in ischema.fields]
         return updated.select(*cols).unionByName(inserts.select(*cols))
+
+    def _fold_stats(
+        self,
+        old_manifest: dict[str, Any],
+        files: dict[Any, list[str]],
+        delta_files: dict[Any, list[str]],
+    ) -> dict[str, dict[str, list]]:
+        """file_stats for the new manifest: freshly harvested footer stats
+        (``_pending_stats`` from the last ``_scan_staging``) for newly
+        staged files, carried-over entries for kept files, dropped entries
+        for removed files."""
+        pending = getattr(self, "_pending_stats", None) or {}
+        old = old_manifest.get("file_stats") or {}
+        published = [
+            p for ps in files.values() for p in ps
+        ] + [p for ps in delta_files.values() for p in ps]
+        out: dict[str, dict[str, list]] = {}
+        for p in published:
+            st = pending.get(p) or old.get(p)
+            if st:
+                out[p] = st
+        return out
 
     def _rows_in(self, manifest: dict[str, Any], buckets: list[int]) -> int:
         br = manifest.get("bucket_rows") or {}

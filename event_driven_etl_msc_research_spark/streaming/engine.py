@@ -54,6 +54,13 @@ class CDCEngine:
         merge_mode: str = "cow",  # "cow" | "delta" (merge-on-read tail path)
         compact_every: int = 0,   # delta mode: fold deltas→base every N epochs
         vacuum_keep_versions: int = 8,  # 0 disables auto-vacuum
+        event_dedup: str | None = None,  # e.g. "1 hour": stateful event-level
+        # dedup (dropDuplicatesWithinWatermark on key+lsn) applied to the
+        # tail BEFORE foreachBatch — an opt-in for at-least-once transports
+        # that redeliver individual events ACROSS epoch boundaries, where
+        # epoch idempotence alone cannot collapse them; per-key state is
+        # bounded by the watermark delay, and the MERGE max-version rule
+        # makes any duplicate that slips past it harmless anyway
         fail_after_stage_write: bool = False,  # chaos hook (cf. the reference's
         # live 'Intentional exception', Phase3-Data-Extraction-Async.py:44)
     ):
@@ -67,6 +74,7 @@ class CDCEngine:
         self._epochs_since_compact = 0
         self._epochs_since_vacuum = 0
         self.audit = audit
+        self.event_dedup = event_dedup
         self.fail_after_stage_write = fail_after_stage_write
         self.table = ManifestTable.create(
             spark,
@@ -191,6 +199,14 @@ class CDCEngine:
         self.lineage.record_stage(
             epoch_id, "vacuum", "Success", detail=f"removed={len(removed)}"
         )
+        # same cadence, same advisory-only contract: fold the per-epoch
+        # lineage shards so a long tail's file count stays bounded
+        try:
+            self.lineage.compact()
+        except Exception as e:
+            self.lineage.record_stage(
+                epoch_id, "lineage_compact", "Failed", detail=repr(e)[:2000]
+            )
 
     # ---------- replay / tail ----------
 
@@ -216,6 +232,13 @@ class CDCEngine:
             fmt=fmt,
             max_files_per_trigger=max_files_per_trigger,
         )
+        if self.event_dedup:
+            from .windows import dedup_stream_within_watermark
+
+            key_cols = self.table.manifest()["key_cols"]
+            stream = dedup_stream_within_watermark(
+                stream, key_cols=[*key_cols, "lsn"], delay=self.event_dedup
+            )
         writer = (
             stream.writeStream.foreachBatch(self.apply_batch)
             .option("checkpointLocation", checkpoint_dir)

@@ -1,0 +1,159 @@
+"""Optimistic-concurrency manifest commits (two writers, one table).
+
+``_publish`` claims a version with an atomic hard-link (put-if-absent); a
+losing ``merge`` rebases onto the winner's manifest and retries.  Interleaving
+is driven deterministically through the ``before_publish`` hook: writer A
+stages, then — before A's commit — writer B runs a full merge and wins the
+version; A must detect the conflict and still commit correctly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import types as T
+
+from event_driven_etl_msc_research_spark.schemas import TRANSCRIPT_SCHEMA
+from event_driven_etl_msc_research_spark.sinks.manifest import ManifestTable
+
+
+def _changes_df(spark, rows):
+    cols = ["op", "lsn", "ts", "conv_id", "turn_idx", "role", "text", "tool"]
+    pdf = pd.DataFrame(rows, columns=cols)
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s", utc=True)
+    fields = [
+        T.StructField("op", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+    ]
+    return spark.createDataFrame(pdf, T.StructType(fields))
+
+
+def _state(table):
+    return {
+        (r["conv_id"], r["turn_idx"]): r["text"] for r in table.read().collect()
+    }
+
+
+def _one_shot(fn):
+    fired = {"done": False}
+
+    def hook(_m):
+        if not fired["done"]:
+            fired["done"] = True
+            fn()
+
+    return hook
+
+
+def _two_tables(spark, tmp_root, name):
+    root = os.path.join(tmp_root, name)
+    a = ManifestTable.create(spark, root, TRANSCRIPT_SCHEMA, n_buckets=4)
+    b = ManifestTable(spark, root)  # second writer handle on the same root
+    return a, b
+
+
+def test_interleaved_delta_merges_both_commit(spark, tmp_root):
+    a, b = _two_tables(spark, tmp_root, "t_delta")
+    rows_a = [("I", 1, 100, "convA", 0, "user", "a0", None)]
+    rows_b = [("I", 2, 100, "convB", 0, "user", "b0", None)]
+
+    rb = a.merge(
+        _changes_df(spark, rows_a),
+        epoch_id=1,
+        mode="delta",
+        before_publish=_one_shot(
+            lambda: b.merge(_changes_df(spark, rows_b), epoch_id=2, mode="delta")
+        ),
+    )
+    assert rb["status"] == "Success"
+    m = a.manifest()
+    assert m["version"] == 2  # both commits landed, no version collision
+    assert {"b:1", "b:2"} <= set(m["applied_epochs"]) or {
+        "batch:1",
+        "batch:2",
+    } <= set(m["applied_epochs"])
+    assert _state(a) == {("convA", 0): "a0", ("convB", 0): "b0"}
+
+
+def test_interleaved_cow_disjoint_buckets_rebases(spark, tmp_root):
+    a, b = _two_tables(spark, tmp_root, "t_cow")
+    # seed so both writers hit the non-initial CoW path
+    seed = [(f"c{i}", i) for i in range(8)]
+    a.merge(
+        _changes_df(
+            spark, [("I", i, 50, c, t, "user", "seed", None) for i, (c, t) in enumerate(seed)]
+        ),
+        epoch_id=0,
+    )
+    # find two convs in different buckets
+    from event_driven_etl_msc_research_spark.sinks.manifest import _bucket_expr
+
+    buckets = {
+        r["conv_id"]: r["b"]
+        for r in spark.createDataFrame([(c,) for c, _ in seed], "conv_id string")
+        .select("conv_id", _bucket_expr(4).alias("b"))
+        .collect()
+    }
+    ca = next(c for c, bk in buckets.items() if bk != buckets["c0"])
+    r = a.merge(
+        _changes_df(spark, [("U", 100, 200, ca, int(ca[1:]), "user", "A", None)]),
+        epoch_id=1,
+        before_publish=_one_shot(
+            lambda: b.merge(
+                _changes_df(
+                    spark, [("U", 101, 200, "c0", 0, "user", "B", None)]
+                ),
+                epoch_id=2,
+            )
+        ),
+    )
+    assert r["status"] == "Success"
+    m = a.manifest()
+    assert m["version"] == 3
+    st = _state(a)
+    assert st[(ca, int(ca[1:]))] == "A" and st[("c0", 0)] == "B"
+
+
+def test_interleaved_cow_same_bucket_redoes_merge(spark, tmp_root):
+    a, b = _two_tables(spark, tmp_root, "t_cow_conflict")
+    a.merge(
+        _changes_df(spark, [("I", 0, 50, "k", 0, "user", "seed", None)]),
+        epoch_id=0,
+    )
+    # both writers touch conv "k"'s bucket; B updates turn 1, A updates turn 0
+    r = a.merge(
+        _changes_df(spark, [("U", 100, 200, "k", 0, "user", "A", None)]),
+        epoch_id=1,
+        before_publish=_one_shot(
+            lambda: b.merge(
+                _changes_df(spark, [("I", 101, 200, "k", 1, "user", "B", None)]),
+                epoch_id=2,
+            )
+        ),
+    )
+    assert r["status"] == "Success"
+    assert _state(a) == {("k", 0): "A", ("k", 1): "B"}
+
+
+def test_duplicate_epoch_across_writers_is_skipped(spark, tmp_root):
+    a, b = _two_tables(spark, tmp_root, "t_dup")
+    df_rows = [("I", 1, 100, "x", 0, "user", "once", None)]
+    r = a.merge(
+        _changes_df(spark, df_rows),
+        epoch_id=7,
+        mode="delta",
+        before_publish=_one_shot(
+            lambda: b.merge(_changes_df(spark, df_rows), epoch_id=7, mode="delta")
+        ),
+    )
+    # B committed epoch 7 first; A's retry must detect it and skip
+    assert r["status"] == "Skipped"
+    assert _state(a) == {("x", 0): "once"}
+    assert a.manifest()["applied_epochs"].count("batch:7") == 1

@@ -210,3 +210,57 @@ def test_merge_touches_only_affected_buckets(spark, table):
     for b, files in m1["files"].items():
         if int(b) not in r["touched_buckets"]:
             assert files == m0["files"].get(b, [])
+
+
+def test_merge_job_counts(spark, tmp_root):
+    """CoW is stage-first: no separate counting job, no persist.
+
+    Jobs are counted via job groups (AQE splits one write ACTION into ~3
+    stage-materialization jobs, so we pin RELATIONSHIPS, not absolutes):
+
+    * an initial CoW load is ONE write action — exactly the same job count
+      as the delta path's single job on the same input;
+    * a non-initial CoW epoch is two write actions (stage the batch + merge
+      rewrite — the CoW floor: the rewrite's input file set is
+      data-dependent), bounded by 2× delta plus the broadcast build.
+    """
+    sc = spark.sparkContext
+
+    def jobs(tag, fn):
+        sc.setJobGroup(tag, tag)
+        r = fn()
+        sc.setJobGroup("_idle", "_idle")
+        return len(sc.statusTracker().getJobIdsForGroup(tag)), r["merge_path"]
+
+    rows1 = [("I", i, 1000 + i, f"c{i % 7}", i // 7, "user", f"t{i}", None)
+             for i in range(40)]
+    rows2 = [("U", 100 + i, 2000 + i, f"c{i % 7}", i // 7, "user", f"u{i}", None)
+             for i in range(40)]
+
+    td = ManifestTable.create(
+        spark, os.path.join(tmp_root, "jc_delta"), TRANSCRIPT_SCHEMA, n_buckets=4
+    )
+    n_delta, p = jobs("jc-delta", lambda: td.merge(_changes_df(spark, rows1), 1, mode="delta"))
+    assert p == "delta"
+
+    tc = ManifestTable.create(
+        spark, os.path.join(tmp_root, "jc_cow"), TRANSCRIPT_SCHEMA, n_buckets=4
+    )
+    n_init, p = jobs("jc-init", lambda: tc.merge(_changes_df(spark, rows1), 1))
+    assert p == "initial"
+    assert n_init == n_delta  # initial CoW load == one delta-shaped write job
+
+    n_bcast, p = jobs("jc-bcast", lambda: tc.merge(_changes_df(spark, rows2), 2))
+    assert p == "broadcast"
+    assert n_bcast <= 2 * n_delta + 2  # 2 write actions + broadcast build
+
+    n_shuf, p = jobs(
+        "jc-shuf",
+        lambda: tc.merge(
+            _changes_df(spark, [("U", 200, 3000, "c1", 0, "user", "x", None)]),
+            3,
+            strategy="shuffle",
+        ),
+    )
+    assert p == "shuffle"
+    assert n_shuf <= 2 * n_delta

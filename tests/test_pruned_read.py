@@ -1,0 +1,148 @@
+"""File-level min/max stats + predicate-pruned reads (ManifestTable.read(where=)).
+
+The capability Iceberg's per-file stats add over the reference's MSCK
+partition model (Phase3-DataLoad.py:169-175): a bounded read opens strictly
+fewer files, while staying EXACT under merge-on-read (a stale in-range row
+must never win a fold whose true winner sits in a pruned out-of-range file).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import types as T
+
+from event_driven_etl_msc_research_spark.schemas import TRANSCRIPT_SCHEMA
+from event_driven_etl_msc_research_spark.sinks.manifest import ManifestTable
+
+DAY = 86_400
+
+
+def _changes_df(spark, rows):
+    cols = ["op", "lsn", "ts", "conv_id", "turn_idx", "role", "text", "tool"]
+    pdf = pd.DataFrame(rows, columns=cols)
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s", utc=True)
+    fields = [
+        T.StructField("op", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+    ]
+    return spark.createDataFrame(pdf, T.StructType(fields))
+
+
+def _day_rows(day: int, convs: list[str], lsn0: int):
+    return [
+        ("I", lsn0 + i, day * DAY + i, c, i, "user", f"d{day}-{c}-{i}", None)
+        for c in convs
+        for i in range(3)
+    ]
+
+
+def test_manifest_records_file_stats(spark, tmp_root):
+    t = ManifestTable.create(
+        spark, os.path.join(tmp_root, "t"), TRANSCRIPT_SCHEMA, n_buckets=4
+    )
+    t.merge(_changes_df(spark, _day_rows(1, ["a", "b"], 0)), 0)
+    m = t.manifest()
+    assert m["stats_cols"] == ["ts", "conv_id", "turn_idx"]
+    all_files = [p for ps in m["files"].values() for p in ps]
+    assert all_files and all(p in m["file_stats"] for p in all_files)
+    st = m["file_stats"][all_files[0]]
+    assert set(st) == {"ts", "conv_id", "turn_idx"}
+    assert "_ts" in st["ts"][0]  # timestamps round-trip through ISO strings
+
+
+def test_ts_bounded_read_opens_fewer_files(spark, tmp_root):
+    """Two days land in disjoint bucket sets (disjoint conv ids) → a
+    ts-bounded read must skip the other day's files entirely."""
+    t = ManifestTable.create(
+        spark, os.path.join(tmp_root, "t"), TRANSCRIPT_SCHEMA, n_buckets=8
+    )
+    t.merge(_changes_df(spark, _day_rows(1, ["a", "b", "c", "d"], 0)), 0)
+    t.merge(_changes_df(spark, _day_rows(2, ["e", "f", "g", "h"], 100)), 1)
+
+    full = t.read()
+    day1 = (
+        pd.Timestamp(DAY, unit="s", tz="UTC").to_pydatetime(),
+        pd.Timestamp(2 * DAY - 1, unit="s", tz="UTC").to_pydatetime(),
+    )
+    pruned = t.read(where={"ts": day1})
+    assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+
+    exp = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in full.filter(
+            (full["ts"] >= day1[0]) & (full["ts"] <= day1[1])
+        ).collect()
+    )
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"]) for r in pruned.collect()
+    )
+    assert got == exp and len(got) == 12
+
+
+def test_key_bounded_read_prunes_delta_files(spark, tmp_root):
+    """Key-column bounds are safe (and applied) even under merge-on-read:
+    each single-conv delta epoch writes one file; a conv-bounded read opens
+    only that conv's file."""
+    t = ManifestTable.create(
+        spark, os.path.join(tmp_root, "t"), TRANSCRIPT_SCHEMA, n_buckets=2
+    )
+    t.merge(_changes_df(spark, _day_rows(1, ["aaa"], 0)), 0, mode="delta")
+    t.merge(_changes_df(spark, _day_rows(1, ["zzz"], 50)), 1, mode="delta")
+    pruned = t.read(where={"conv_id": ("aaa", "aaa")})
+    assert len(pruned.inputFiles()) == 1
+    assert sorted(r["text"] for r in pruned.collect()) == [
+        "d1-aaa-0", "d1-aaa-1", "d1-aaa-2",
+    ]
+
+
+def test_mor_ts_pruning_is_safe_not_stale(spark, tmp_root):
+    """The MOR hazard: key k has a base row in the queried ts range and a
+    NEWER delta row outside it.  Naive base/delta pruning would return the
+    stale base row; the engine must return nothing for k (its live version
+    is out of range) — non-key pruning is disabled for delta-carrying
+    buckets exactly for this."""
+    t = ManifestTable.create(
+        spark, os.path.join(tmp_root, "t"), TRANSCRIPT_SCHEMA, n_buckets=2
+    )
+    t.merge(_changes_df(spark, [("I", 0, DAY, "k", 0, "user", "old", None)]), 0)
+    t.merge(
+        _changes_df(spark, [("U", 1, 3 * DAY, "k", 0, "user", "new", None)]),
+        1,
+        mode="delta",
+    )
+    day1 = (
+        pd.Timestamp(0, unit="s", tz="UTC").to_pydatetime(),
+        pd.Timestamp(2 * DAY, unit="s", tz="UTC").to_pydatetime(),
+    )
+    assert t.read(where={"ts": day1}).count() == 0
+    # and after compaction the bucket is delta-free: same answer, with
+    # temporal pruning now unlocked
+    t.compact()
+    assert t.read(where={"ts": day1}).count() == 0
+    full_day3 = t.read(
+        where={"ts": (pd.Timestamp(3 * DAY, unit="s", tz="UTC").to_pydatetime(), None)}
+    )
+    assert [r["text"] for r in full_day3.collect()] == ["new"]
+
+
+def test_pruning_survives_vacuum_and_time_travel(spark, tmp_root):
+    t = ManifestTable.create(
+        spark, os.path.join(tmp_root, "t"), TRANSCRIPT_SCHEMA, n_buckets=4
+    )
+    t.merge(_changes_df(spark, _day_rows(1, ["a", "b"], 0)), 0)
+    t.merge(_changes_df(spark, _day_rows(2, ["c", "d"], 50)), 1)
+    m0 = t.manifest(1)
+    assert all(
+        p in m0["file_stats"] for ps in m0["files"].values() for p in ps
+    )
+    # bounds on a column with no recorded stats → no pruning, still exact
+    got = t.read(where={"role": ("user", "user")})
+    assert got.count() == 12
