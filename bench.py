@@ -218,7 +218,21 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     events_per_sec = None
+    ann_built = False
     for name in names:
+        if name in ("knn_lsh", "knn_ivf") and not ann_built:
+            # build-once/search-many: the persistent ANN indexes are built
+            # here and reported as their own line item, so the knn timings
+            # below measure the search path (what repeats in production)
+            # while the one-off build cost stays visible in the same JSON
+            from event_driven_etl_msc_research_spark.plans.driver_queries import (
+                ann_build_indexes,
+            )
+
+            t0 = time.monotonic()
+            ann_build_indexes(spark, sf_dir)
+            timings["ann_index_build"] = round(time.monotonic() - t0, 3)
+            ann_built = True
         if name == CDC_REPLAY:
             dt, cdt, eps = bench_cdc_replay(spark, args.events, cpus, stream_dir=args.stream_dir)
             timings[name] = round(dt, 3)

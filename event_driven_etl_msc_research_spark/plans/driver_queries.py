@@ -18,6 +18,7 @@ Cross-engine determinism rules used throughout (so value-hashes match):
 
 from __future__ import annotations
 
+import os
 import tempfile
 from collections.abc import Callable
 
@@ -1080,27 +1081,111 @@ SELECT qid, nid, cosine, rank FROM (
 """
 
 
+def _ann_index_dir(sf_dir: str, kind: str, params: str) -> str:
+    """Deterministic per-(corpus, params) index location under the system
+    temp dir — the build-once/search-many contract: the first query call
+    builds the index (idempotent, deterministic), every later call (and
+    every later session over the same corpus) searches it.  The key hashes
+    the corpus file's (size, mtime) so a regenerated corpus can never be
+    served from a stale index."""
+    import hashlib
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(emb_path)
+        sig = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        sig = "none"
+    h = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{sig}|{kind}|{params}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), "edem_spark_ann", f"{kind}-{h}")
+
+
+def ann_build_indexes(spark: SparkSession, sf_dir: str) -> None:
+    """Build (idempotently) both persistent ANN indexes for a corpus — the
+    explicit build step of the build-once/search-many contract.  bench.py
+    calls this before timing the knn searches and reports the build cost as
+    its own line item (``ann_index_build``)."""
+    similarity.lsh_build(
+        _emb(spark, sf_dir),
+        _ann_index_dir(sf_dir, "lsh", "p4t3d64"),
+        n_planes=4,
+        n_tables=3,
+        dim=64,
+    )
+    similarity.ivf_build(
+        _emb(spark, sf_dir),
+        _ann_index_dir(sf_dir, "ivf", "c16i1"),
+        n_cells=16,
+        iters=1,
+    )
+
+
+def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isin(_KNN_QUERY_IDS))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+    )
+
+
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate (bucketed); rows-only driver check — recall vs exact is
-    # asserted in tests/test_docops.py instead.  Hamming-1 multi-probe +
-    # 3-table OR-amplification: measured recall@10 = 0.96 vs knn_bruteforce
-    # on the sf0.01 embeddings (0.72 single-table, 0.56 single-probe)
-    return similarity.knn_lsh_bucketed(
-        _emb(spark, sf_dir), _KNN_QUERY_IDS, k=10, n_planes=4, dim=64,
-        multi_probe=1, n_tables=3,
+    # Approximate (bucketed) — identical results to the inline
+    # knn_lsh_bucketed form (same hyperplanes/params), but served from a
+    # PERSISTED bucket table: lsh_build pays the 3-table corpus replication
+    # once; the search reads only the probed (table, bucket) partitions.
+    # Hamming-1 multi-probe + 3-table OR-amplification: measured
+    # recall@10 = 0.96 vs knn_bruteforce on the sf0.01 embeddings
+    # (0.72 single-table, 0.56 single-probe).  Oracle: golden neighbor set
+    # pinned from the deterministic sf0.01 corpus (KNN_LSH_GOLDEN_SQL).
+    idx = _ann_index_dir(sf_dir, "lsh", "p4t3d64")
+    similarity.lsh_build(
+        _emb(spark, sf_dir), idx, n_planes=4, n_tables=3, dim=64
+    )
+    return similarity.lsh_search(
+        spark, idx, _queries_df(spark, sf_dir), k=10, multi_probe=1
     )
 
 
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # IVF coarse-quantizer path (iterative k-means training — not
-    # SQL-expressible, so rows-only driver check; recall vs brute force is
-    # asserted in tests/test_docops.py)
-    # 1 Lloyd iteration + 6-cell probe: measured recall@10 = 0.90 vs brute
-    # force on the sf0.01 embeddings (each extra iteration costs a full
-    # assign+means round trip for ~0 recall gain on this corpus)
-    return similarity.knn_ivf(
-        _emb(spark, sf_dir), _KNN_QUERY_IDS, k=10, n_cells=16, n_probe=6, iters=1
+    # IVF coarse-quantizer path served from a PERSISTED index: ivf_build
+    # trains Lloyd's once (the ~2 s of per-call driver round-trips the
+    # round-2 profile flagged) and writes cell-partitioned assignments; the
+    # search scans only the probed cells' partitions.  1 Lloyd iteration +
+    # 6-cell probe: measured recall@10 = 0.90 vs brute force on the sf0.01
+    # embeddings.  Oracle: golden neighbor set pinned from the
+    # deterministic sf0.01 corpus (KNN_IVF_GOLDEN_SQL).
+    idx = _ann_index_dir(sf_dir, "ivf", "c16i1")
+    similarity.ivf_build(_emb(spark, sf_dir), idx, n_cells=16, iters=1)
+    return similarity.ivf_search(
+        spark, idx, _queries_df(spark, sf_dir), k=10, n_probe=6
     )
+
+
+# Golden oracles for the two approximate ANN queries (driver-board closure):
+# the sf0.01 corpus is deterministic (seeded generator) and both searches are
+# deterministic (md5-derived hyperplanes; seeded, rounded k-means), so the
+# expected neighbor sets are PINNED as literal rows.  This is a regression
+# pin of the approximate result, not an independent SQL derivation — recall
+# vs exact is separately gated in tests/test_docops.py, and
+# tests/test_ann_golden.py regenerates these live so any drift in the
+# operators breaks loudly.  Regenerate with tools/gen_ann_golden.py.
+_ANN_GOLDEN_WRAP = (
+    "SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid, "
+    "CAST(cosine AS DOUBLE) AS cosine, CAST(rank AS INTEGER) AS rank "
+    "FROM (VALUES {vals}) AS t(qid, nid, cosine, rank)"
+)
+
+KNN_LSH_GOLDEN_VALUES = "(0, 7, 0.2928, 6), (0, 73, 0.2954, 5), (0, 190, 0.2818, 8), (0, 320, 0.2879, 7), (0, 334, 0.3627, 2), (0, 365, 0.37, 1), (0, 387, 0.3311, 3), (0, 388, 0.2763, 10), (0, 423, 0.2969, 4), (0, 464, 0.2766, 9), (1, 27, 0.3482, 2), (1, 64, 0.3164, 5), (1, 124, 0.3028, 6), (1, 195, 0.3227, 4), (1, 203, 0.2682, 10), (1, 220, 0.2898, 9), (1, 386, 0.3715, 1), (1, 402, 0.2923, 7), (1, 407, 0.327, 3), (1, 472, 0.2921, 8), (2, 112, 0.2453, 7), (2, 117, 0.3181, 1), (2, 145, 0.2635, 3), (2, 172, 0.2398, 9), (2, 188, 0.2633, 4), (2, 197, 0.2331, 10), (2, 320, 0.255, 5), (2, 350, 0.2401, 8), (2, 418, 0.254, 6), (2, 450, 0.2663, 2), (3, 130, 0.3999, 1), (3, 149, 0.3299, 2), (3, 174, 0.3035, 4), (3, 192, 0.2908, 6), (3, 207, 0.2917, 5), (3, 315, 0.2852, 7), (3, 343, 0.3085, 3), (3, 363, 0.2686, 10), (3, 437, 0.2805, 8), (3, 474, 0.2767, 9), (4, 89, 0.266, 8), (4, 114, 0.3985, 1), (4, 249, 0.2796, 6), (4, 257, 0.2724, 7), (4, 280, 0.2798, 5), (4, 384, 0.2404, 10), (4, 408, 0.3228, 3), (4, 470, 0.2525, 9), (4, 482, 0.3139, 4), (4, 496, 0.3412, 2)"  # noqa: E501
+
+KNN_IVF_GOLDEN_VALUES = "(0, 7, 0.2928, 6), (0, 73, 0.2954, 5), (0, 190, 0.2818, 8), (0, 320, 0.2879, 7), (0, 334, 0.3627, 2), (0, 365, 0.37, 1), (0, 387, 0.3311, 3), (0, 388, 0.2763, 9), (0, 423, 0.2969, 4), (0, 483, 0.2567, 10), (1, 27, 0.3482, 1), (1, 64, 0.3164, 4), (1, 124, 0.3028, 5), (1, 195, 0.3227, 3), (1, 203, 0.2682, 8), (1, 220, 0.2898, 7), (1, 312, 0.2591, 10), (1, 363, 0.2633, 9), (1, 407, 0.327, 2), (1, 472, 0.2921, 6), (2, 112, 0.2453, 7), (2, 117, 0.3181, 1), (2, 145, 0.2635, 3), (2, 172, 0.2398, 9), (2, 188, 0.2633, 4), (2, 197, 0.2331, 10), (2, 350, 0.2401, 8), (2, 418, 0.254, 5), (2, 450, 0.2663, 2), (2, 471, 0.2472, 6), (3, 130, 0.3999, 1), (3, 149, 0.3299, 2), (3, 192, 0.2908, 6), (3, 207, 0.2917, 5), (3, 231, 0.2988, 4), (3, 315, 0.2852, 7), (3, 343, 0.3085, 3), (3, 363, 0.2686, 10), (3, 437, 0.2805, 8), (3, 474, 0.2767, 9), (4, 89, 0.266, 8), (4, 114, 0.3985, 1), (4, 249, 0.2796, 6), (4, 257, 0.2724, 7), (4, 280, 0.2798, 5), (4, 384, 0.2404, 10), (4, 408, 0.3228, 3), (4, 470, 0.2525, 9), (4, 482, 0.3139, 4), (4, 496, 0.3412, 2)"  # noqa: E501
+
+KNN_LSH_GOLDEN_SQL = _ANN_GOLDEN_WRAP.format(vals=KNN_LSH_GOLDEN_VALUES)
+KNN_IVF_GOLDEN_SQL = _ANN_GOLDEN_WRAP.format(vals=KNN_IVF_GOLDEN_VALUES)
 
 
 # --------------------------------------------------------------------------
@@ -1268,8 +1353,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_simhash": (dedup_simhash, _simhash_sql()),
     "dedup_embedding_cosine": (dedup_embedding_cosine, EMB_COSINE_SQL),
     "knn_bruteforce": (knn_bruteforce, KNN_SQL),
-    "knn_lsh": (knn_lsh, None),
-    "knn_ivf": (knn_ivf, None),
+    "knn_lsh": (knn_lsh, KNN_LSH_GOLDEN_SQL),
+    "knn_ivf": (knn_ivf, KNN_IVF_GOLDEN_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id_docs": (lang_id_docs, _lang_sql()),
     "doc_fingerprints": (doc_fingerprints, FINGERPRINT_SQL),

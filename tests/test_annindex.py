@@ -1,0 +1,114 @@
+"""Persistent ANN indexes: build-once / search-many (ivf_build/ivf_search,
+lsh_build/lsh_search) — round-3 closure of the 'index retrained inside every
+query call' gap."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from event_driven_etl_msc_research_spark.operators import similarity
+
+SF = "/root/testdata/sf0.001"
+QIDS = [0, 1, 2, 3]
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _queries(spark):
+    return (
+        _emb(spark)
+        .filter(F.col("vec_id").isin(QIDS))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+    )
+
+
+def test_ivf_two_searches_reuse_one_build(spark, tmp_root):
+    idx = os.path.join(tmp_root, "ivf")
+    similarity.ivf_build(_emb(spark), idx, n_cells=8, iters=1)
+    meta = os.path.join(idx, "meta.json")
+    built_at = os.path.getmtime(meta)
+
+    r1 = sorted(map(tuple, similarity.ivf_search(spark, idx, _queries(spark), k=5, n_probe=3).collect()))
+    # second build call with identical params must short-circuit (no retrain)
+    similarity.ivf_build(_emb(spark), idx, n_cells=8, iters=1)
+    r2 = sorted(map(tuple, similarity.ivf_search(spark, idx, _queries(spark), k=5, n_probe=3).collect()))
+
+    assert os.path.getmtime(meta) == built_at  # one build, two searches
+    assert r1 == r2 and len(r1) == len(QIDS) * 5
+
+
+def test_ivf_search_matches_inline_knn_ivf(spark, tmp_root):
+    idx = os.path.join(tmp_root, "ivf_eq")
+    similarity.ivf_build(_emb(spark), idx, n_cells=8, iters=1)
+    got = sorted(map(tuple, similarity.ivf_search(spark, idx, _queries(spark), k=5, n_probe=3).collect()))
+    exp = sorted(map(tuple, similarity.knn_ivf(_emb(spark), QIDS, k=5, n_cells=8, n_probe=3, iters=1).collect()))
+    assert got == exp
+
+
+def _formatted_plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_ivf_search_scan_is_partition_pruned(spark, tmp_root):
+    """The 10^10-row property: the index scan carries a PartitionFilter on
+    the probed cells — only those partition directories are opened, never
+    the whole corpus index.  (inputFiles() reflects the unpruned file
+    index, so the assertion reads the physical plan.)"""
+    import re
+
+    idx = os.path.join(tmp_root, "ivf_prune")
+    similarity.ivf_build(_emb(spark), idx, n_cells=8, iters=1)
+    res = similarity.ivf_search(spark, idx, _queries(spark).limit(1), k=5, n_probe=2)
+    plan = _formatted_plan(spark, res)
+    m = re.search(r"PartitionFilters: \[cell#\d+ IN \(([^)]*)\)", plan)
+    assert m, plan
+    assert len(m.group(1).split(",")) <= 2  # exactly the n_probe cells
+
+
+def test_lsh_two_searches_reuse_one_build_and_match_inline(spark, tmp_root):
+    idx = os.path.join(tmp_root, "lsh")
+    similarity.lsh_build(_emb(spark), idx, n_planes=4, n_tables=2, dim=64)
+    meta = os.path.join(idx, "meta.json")
+    built_at = os.path.getmtime(meta)
+
+    r1 = sorted(map(tuple, similarity.lsh_search(spark, idx, _queries(spark), k=5, multi_probe=1).collect()))
+    similarity.lsh_build(_emb(spark), idx, n_planes=4, n_tables=2, dim=64)
+    r2 = sorted(map(tuple, similarity.lsh_search(spark, idx, _queries(spark), k=5, multi_probe=1).collect()))
+    assert os.path.getmtime(meta) == built_at
+    assert r1 == r2
+
+    exp = sorted(
+        map(
+            tuple,
+            similarity.knn_lsh_bucketed(
+                _emb(spark), QIDS, k=5, n_planes=4, dim=64, multi_probe=1, n_tables=2
+            ).collect(),
+        )
+    )
+    assert r1 == exp
+
+
+def test_lsh_search_scan_is_partition_pruned(spark, tmp_root):
+    idx = os.path.join(tmp_root, "lsh_prune")
+    similarity.lsh_build(_emb(spark), idx, n_planes=4, n_tables=2, dim=64)
+    res = similarity.lsh_search(spark, idx, _queries(spark).limit(1), k=5, multi_probe=0)
+    plan = _formatted_plan(spark, res)
+    # the (tbl = t AND bucket = b) disjunction must reach PartitionFilters
+    # — single query, no probing → one bucket per table
+    seg = next(
+        (l for l in plan.splitlines() if "PartitionFilters" in l and "tbl" in l),
+        None,
+    )
+    assert seg is not None, plan
+    assert seg.count("bucket#") >= 1 and "=" in seg
