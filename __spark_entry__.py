@@ -6,10 +6,12 @@ snapshot read) applied to the sf0.001 ``events`` table.
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
 SURVEY.md §2 plus the training-data-pipeline operators (dedup family,
-similarity search, text analysis, multimodal plumbing).  Definitions live in
-``event_driven_etl_msc_research_spark/plans/driver_queries.py``; entries
-whose oracle is None (engine-specific hashing / approximate results) get the
-driver's rows-only check and are cross-validated in tests/ instead.
+similarity search, text analysis, curation sampling/top-k, multimodal
+plumbing).  Definitions live in
+``event_driven_etl_msc_research_spark/plans/driver_queries.py``; every
+entry has an oracle (the two approximate ANN queries are pinned against
+golden neighbor sets of the deterministic sf0.01 corpus, with their
+approximate nature separately gated by recall tests in tests/).
 """
 
 from __future__ import annotations

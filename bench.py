@@ -74,6 +74,8 @@ HEADLINE = [
     "knn_ivf",
     "text_quality",
     "lang_id_docs",
+    "docs_sample_stratified",
+    "docs_topk_per_lang",
     "doc_fingerprints",
     "multimodal_features",
 ]

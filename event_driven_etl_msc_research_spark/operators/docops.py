@@ -353,3 +353,30 @@ def embedding_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, rate_pct: int, salt: int = 0
+) -> DataFrame:
+    """Deterministic hash-based sampling: keep a row iff its id's hash
+    bucket (0-99) is below ``rate_pct``.
+
+    Training-data curation needs samples that are REPRODUCIBLE across runs,
+    engines, and partitionings (``df.sample`` is none of those: it is
+    partition-order dependent and seed-coupled to the split layout).  The
+    hash is Knuth's multiplicative scheme over the id — expressible
+    identically in any SQL engine (the DuckDB oracle runs the same
+    arithmetic), unlike ``xxhash64``, which is Spark-specific.  The filter
+    is a pure narrow projection: no shuffle, fully pushdown-friendly, and
+    composes with any downstream op at 100 TB.
+
+    The id is reduced mod 2^31 before multiplying so the product stays in
+    int64 for any bigint id.
+    """
+    m31 = 2_147_483_648  # 2^31
+    bucket = F.pmod(
+        F.pmod(F.col(id_col).cast("long") + F.lit(salt), F.lit(m31))
+        * F.lit(2_654_435_761),
+        F.lit(m31),
+    ) % 100
+    return df.filter(bucket < rate_pct)

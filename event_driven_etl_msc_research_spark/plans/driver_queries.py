@@ -361,6 +361,65 @@ FROM (
 """
 
 
+def cdc_events_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-pruned snapshot read (``ManifestTable.read(where=)``) on driver
+    data: latest event per (week, user) — the table is KEYED and BUCKETED by
+    week, so each data file covers one week and carries that week's [min,
+    max] ts range in the manifest; the bounded read opens ONLY the queried
+    week's files (the per-file-stats capability over the reference's MSCK
+    model, ``Phase3-DataLoad.py:169-175``) and the applied bound keeps the
+    result exact.  Oracle: windowed latest-per-(week, user) with the same ts
+    BETWEEN filter."""
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("event_id").alias("lsn"),
+        F.col("ts").cast("timestamp"),
+        F.date_format(F.date_trunc("week", F.col("ts").cast("timestamp")), "yyyy-MM-dd").alias("week"),
+        F.col("user_id").cast("string").alias("user_key"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("week", T.StringType()),
+            T.StructField("user_key", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_events_time_window_")
+    table = ManifestTable.create(
+        spark, root, payload, key_cols=["week", "user_key"], n_buckets=8
+    )
+    table.merge(changes, epoch_id=0, epoch_scope="driver")
+    bounded = table.read(
+        where={"ts": ("2024-01-08 00:00:00", "2024-01-14 23:59:59.999999")}
+    )
+    return bounded.select(
+        "week",
+        "user_key",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        "event_type",
+        "value",
+    )
+
+
+CDC_TIME_WINDOW_SQL = f"""
+SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+       CAST(user_id AS VARCHAR) AS user_key,
+       strftime(ts, '{_TS_FMT_DUCK}') AS ts, event_type, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY date_trunc('week', ts), user_id
+            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type != 'error'
+  AND ts BETWEEN TIMESTAMP '2024-01-08 00:00:00'
+             AND TIMESTAMP '2024-01-14 23:59:59.999999'
+"""
+
+
 def cdc_merge_events_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The merge-on-read tail path on driver data: the same change stream as
     ``cdc_merge_events`` applied as TWO delta epochs (split by event_id),
@@ -1244,7 +1303,9 @@ def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", TXT.lang_id_of_tokens(F.col("_ltoks")).alias("lang_pred"))
 
 
-def _lang_sql() -> str:
+def _lang_hits_case() -> tuple[str, str]:
+    """The DuckDB marker-hit expressions and the argmax CASE shared by every
+    lang-id-derived oracle."""
     hits = ",\n    ".join(
         "CAST(len(list_filter(ltoks, t -> t IN ({m}))) AS BIGINT) AS h_{lang}".format(
             m=", ".join(f"'{w}'" for w in TXT.LANG_MARKERS[lang]), lang=lang
@@ -1256,10 +1317,108 @@ def _lang_sql() -> str:
     for i, la in enumerate(langs):
         conds = " AND ".join(f"h_{la} >= h_{lb}" for lb in langs[i + 1 :])
         case += f" WHEN {conds} THEN '{la}'" if conds else f" ELSE '{la}' END"
+    return hits, case
+
+
+def _lang_sql() -> str:
+    hits, case = _lang_hits_case()
     return f"""
 WITH base AS (SELECT doc_id, {_D_TOKS.format(c='lower(text)')} AS ltoks FROM documents),
 h AS (SELECT doc_id, {hits} FROM base)
 SELECT doc_id, {case} AS lang_pred FROM h
+"""
+
+
+def docs_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% curation sample with per-language stratum counts.
+
+    The sample membership is a reproducible cross-engine hash of doc_id
+    (``docops.deterministic_sample`` — a pure narrow filter, no shuffle, the
+    property ``df.sample`` lacks), so the oracle recomputes the identical
+    sample in DuckDB; the per-stratum (n_docs, n_sampled) aggregate pins
+    both the membership and the stratification."""
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id", TXT.ws_tokens(F.lower(F.col("text"))).alias("_ltoks")
+    ).select("doc_id", TXT.lang_id_of_tokens(F.col("_ltoks")).alias("lang_pred"))
+    sampled = docops.deterministic_sample(docs, "doc_id", 25).select("doc_id")
+    flagged = scored.join(
+        F.broadcast(sampled.withColumn("_s", F.lit(1))), "doc_id", "left"
+    )
+    return (
+        flagged.groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("_s"), F.lit(0))).cast("long").alias("n_sampled"),
+        )
+    )
+
+
+def _sample_stratified_sql() -> str:
+    hits, case = _lang_hits_case()
+    bucket = "((doc_id % 2147483648) * 2654435761) % 2147483648 % 100"
+    return f"""
+WITH base AS (SELECT doc_id, {_D_TOKS.format(c='lower(text)')} AS ltoks FROM documents),
+h AS (SELECT doc_id, {hits} FROM base),
+l AS (SELECT doc_id, {case} AS lang_pred FROM h)
+SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN {bucket} < 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM l GROUP BY lang_pred
+"""
+
+
+def docs_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality top-k — the canonical curation cut ('keep the
+    best documents per language bucket').  One shuffle (the window partition
+    by lang); quality + lang-id are the already-oracled pure Column
+    expressions, so the whole op stays in whole-stage codegen."""
+    docs = _docs(spark, sf_dir)
+    b = docs.select("doc_id", F.lower(F.col("text")).alias("_lt")).select(
+        "doc_id", "_lt", TXT.ws_tokens(F.col("_lt")).alias("_ltoks")
+    )
+    scored = b.select(
+        "doc_id",
+        TXT.lang_id_of_tokens(F.col("_ltoks")).alias("lang_pred"),
+        TXT.quality_score_of(F.col("_ltoks"), F.col("_lt")).alias("quality_score"),
+    )
+    w = Window.partitionBy("lang_pred").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("lang_pred", "doc_id", "quality_score", "rank")
+    )
+
+
+def _topk_per_lang_sql() -> str:
+    hits, case = _lang_hits_case()
+    return f"""
+WITH base AS (
+  SELECT doc_id, lower(text) AS lt, {_D_TOKS.format(c='lower(text)')} AS ltoks
+  FROM documents
+), m AS (
+  SELECT doc_id, ltoks,
+    CAST(len(ltoks) AS BIGINT) AS n_tokens,
+    CASE WHEN length(lt) > 0
+         THEN CAST(length(regexp_replace(lt, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(lt)
+         ELSE 0.0 END AS praw,
+    CASE WHEN len(ltoks) > 0
+         THEN CAST(len(list_filter(ltoks, t -> t IN ({_D_STOPS}))) AS DOUBLE) / len(ltoks)
+         ELSE 0.0 END AS sraw
+  FROM base
+), h AS (
+  SELECT doc_id,
+    ROUND(0.5 * least(CAST(n_tokens AS DOUBLE) / 200.0, 1.0)
+          + 0.3 * (1.0 - praw) + 0.2 * (1.0 - sraw), 4) AS quality_score,
+    {hits}
+  FROM m
+), l AS (SELECT doc_id, quality_score, {case} AS lang_pred FROM h)
+SELECT lang_pred, doc_id, quality_score, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang_pred
+            ORDER BY quality_score DESC, doc_id ASC) AS rank
+  FROM l
+) WHERE rank <= 3
 """
 
 
@@ -1329,6 +1488,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_latest_event_per_user": (cdc_latest_event_per_user, CDC_LATEST_SQL),
     "cdc_merge_events": (cdc_merge_events, CDC_MERGE_SQL),
     "cdc_merge_events_delta": (cdc_merge_events_delta, CDC_MERGE_SQL),
+    "cdc_events_time_window": (cdc_events_time_window, CDC_TIME_WINDOW_SQL),
     "events_asof_last_error": (events_asof_last_error, ASOF_SQL),
     "events_asof_next_error": (events_asof_next_error, ASOF_FWD_SQL),
     "events_range_join": (events_range_join, RANGE_JOIN_SQL),
@@ -1357,6 +1517,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "knn_ivf": (knn_ivf, KNN_IVF_GOLDEN_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id_docs": (lang_id_docs, _lang_sql()),
+    "docs_sample_stratified": (docs_sample_stratified, _sample_stratified_sql()),
+    "docs_topk_per_lang": (docs_topk_per_lang, _topk_per_lang_sql()),
     "doc_fingerprints": (doc_fingerprints, FINGERPRINT_SQL),
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
     "multimodal_frame_sample": (multimodal_frame_sample, FRAME_SQL),

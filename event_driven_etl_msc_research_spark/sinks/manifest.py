@@ -368,7 +368,10 @@ class ManifestTable:
         requested keys); non-key bounds (e.g. ``ts``) prune only in
         delta-free buckets — in a bucket carrying deltas, dropping an
         out-of-range base or delta file could hand the per-key fold to a
-        stale in-range row."""
+        stale in-range row.  An EQUALITY bound on the bucket column
+        additionally pins the single hash bucket that can hold the key
+        (Iceberg bucket-transform analogue) — the O(one-bucket) point
+        lookup regardless of stats."""
         m = self.manifest(version)
         ischema = self._internal_schema(version)
         if where:
@@ -429,8 +432,44 @@ class ManifestTable:
             b: ps for b, ps in (m.get("delta_files") or {}).items() if ps
         }
         key_bounds = [c for c in nb if c in key_cols]
+
+        # exact hash-bucket pruning (Iceberg bucket-transform analogue): an
+        # EQUALITY bound on the bucket column pins the one bucket that can
+        # hold the key — every other bucket's files are skipped outright,
+        # stats or no stats.  This is the O(1-bucket) point lookup ("latest
+        # state of conversation X") at 10^10 rows.
+        only_bucket: int | None = None
+        bcol = m["key_cols"][0]
+        if bcol in nb and nb[bcol][0] is not None and nb[bcol][0] == nb[bcol][1]:
+            # hash the literal AS the column's declared type — xxhash64 of a
+            # string and of an int differ, and _bucket_expr hashes the
+            # native column
+            btype = next(
+                f.dataType
+                for f in T.StructType.fromJson(m["schema"]).fields
+                if f.name == bcol
+            )
+            try:
+                row = (
+                    self.spark.createDataFrame(
+                        [(nb[bcol][0],)],
+                        T.StructType([T.StructField("_k", btype)]),
+                    )
+                    .select(
+                        F.pmod(F.xxhash64(F.col("_k")), F.lit(m["n_buckets"]))
+                        .cast("int")
+                        .alias("b")
+                    )
+                    .collect()
+                )
+                only_bucket = int(row[0]["b"])
+            except Exception:
+                only_bucket = None  # untypable literal: stats pruning only
+
         base: list[str] = []
         for b, ps in m["files"].items():
+            if only_bucket is not None and int(b) != only_bucket:
+                continue
             usable = (
                 key_bounds if str(b) in delta_by_bucket else list(nb)
             )
@@ -438,7 +477,9 @@ class ManifestTable:
                 os.path.join(self.root, p) for p in ps if keep(p, usable)
             ]
         deltas: list[str] = []
-        for ps in delta_by_bucket.values():
+        for b, ps in delta_by_bucket.items():
+            if only_bucket is not None and int(b) != only_bucket:
+                continue
             deltas += [
                 os.path.join(self.root, p) for p in ps if keep(p, key_bounds)
             ]

@@ -43,7 +43,14 @@ def test_every_oracle_key_has_a_query():
 
 
 @pytest.mark.parametrize(
-    "name", ["q1_pricing_summary", "dedup_exact_docs", "lang_id_docs", "cdc_merge_events"]
+    "name",
+    [
+        "q1_pricing_summary",
+        "dedup_exact_docs",
+        "lang_id_docs",
+        "cdc_merge_events",
+        "cdc_events_time_window",
+    ],
 )
 def test_oracle_spot_check(spark, duck, name):
     fn = entrymod.queries()[name]

@@ -91,3 +91,21 @@ def test_create_and_evolve_sql(spark):
     )
     assert alter == "ALTER TABLE cat.db.transcripts ADD COLUMNS (tool_meta string)"
     _parse(spark, alter)
+
+
+def test_widen_sql_golden(spark):
+    from event_driven_etl_msc_research_spark.sinks.iceberg import widen_sql
+
+    stmts = widen_sql(
+        "cat.db.transcripts",
+        [
+            T.StructField("turn_idx", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ],
+    )
+    assert stmts == (
+        "ALTER TABLE cat.db.transcripts ALTER COLUMN turn_idx TYPE bigint; "
+        "ALTER TABLE cat.db.transcripts ALTER COLUMN score TYPE double"
+    )
+    for s in stmts.split("; "):
+        _parse(spark, s)

@@ -146,3 +146,33 @@ def test_pruning_survives_vacuum_and_time_travel(spark, tmp_root):
     # bounds on a column with no recorded stats → no pruning, still exact
     got = t.read(where={"role": ("user", "user")})
     assert got.count() == 12
+
+
+def test_point_lookup_prunes_to_one_bucket(spark, tmp_root):
+    """Equality bound on the bucket column = exact hash-bucket pruning: the
+    read opens only the key's own bucket's files, with or without useful
+    column stats (hash buckets have wide key ranges by construction)."""
+    t = ManifestTable.create(
+        spark, os.path.join(tmp_root, "t"), TRANSCRIPT_SCHEMA, n_buckets=8
+    )
+    convs = [f"c{i}" for i in range(16)]
+    t.merge(_changes_df(spark, _day_rows(1, convs, 0)), 0)
+    m = t.manifest()
+    n_buckets_written = len([b for b, ps in m["files"].items() if ps])
+    assert n_buckets_written > 1
+
+    got = t.read(where={"conv_id": ("c3", "c3")})
+    rows = got.collect()
+    assert sorted(r["text"] for r in rows) == ["d1-c3-0", "d1-c3-1", "d1-c3-2"]
+    # only one bucket's files planned
+    dirs = {p.split("/_pb=")[1].split("/")[0] for p in got.inputFiles()}
+    assert len(dirs) == 1
+
+    # the same point lookup stays exact (and single-bucket) under MOR
+    t.merge(
+        _changes_df(spark, [("U", 999, 5 * DAY, "c3", 0, "user", "upd", None)]),
+        1,
+        mode="delta",
+    )
+    got2 = t.read(where={"conv_id": ("c3", "c3")})
+    assert sorted(r["text"] for r in got2.collect()) == ["d1-c3-1", "d1-c3-2", "upd"]
