@@ -273,6 +273,17 @@ def lsh_build(
     return meta
 
 
+def _dot_seq(a: list, b: list) -> float:
+    """Sequential left-to-right double dot product — the EXACT operation
+    order of the JVM ``aggregate(zip_with(a, b, x*y), 0.0, acc+x)`` fold, so
+    driver-side probe computation is bit-identical to the codegen path
+    (numpy's pairwise summation would NOT be)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
 def lsh_search(
     spark,
     index_dir: str,
@@ -281,9 +292,12 @@ def lsh_search(
     multi_probe: int = 1,
 ) -> DataFrame:
     """Search a prebuilt LSH index (``lsh_build``).  ``queries`` is a tiny
-    DataFrame ``(qid, qv array<double>)``.  The probed (table, bucket)
-    pairs are collected driver-side (≤ |queries| × tables × (1+planes)
-    pairs) and pushed into the scan as partition filters — only those
+    DataFrame ``(qid, qv array<double>)`` — it is COLLECTED and its bucket
+    probes are computed driver-side (the hyperplanes are pure functions of
+    indices, and the sequential dot order matches the JVM fold exactly), so
+    a search compiles no weight-matrix codegen and runs no probe-collection
+    job; the probed (table, bucket) pairs (≤ |queries| × tables ×
+    (1+planes)) are pushed into the scan as partition filters — only those
     directories are read."""
     import json
     import os
@@ -294,22 +308,36 @@ def lsh_search(
         raise ValueError("multi_probe must be 0 or 1 (Hamming-1 probing)")
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
-    bits, keys = _lsh_projections(
-        meta["dim"], meta["n_planes"], meta["n_tables"], multi_probe
-    )
-    q = (
-        queries.select(
-            F.col("qid"), F.col("qv").cast("array<double>").alias("qv")
-        )
-        .withColumn("_bits", bits(F.col("qv")))
-        .select("qid", "qv", F.explode(keys(F.col("_bits"), probe=True)).alias("tb"))
-        .select("qid", "qv", "tb.tbl", "tb.bucket")
-        .dropDuplicates(["qid", "tbl", "bucket"])
-    )
-    probes = [
-        (int(r["tbl"]), int(r["bucket"]))
-        for r in q.select("tbl", "bucket").distinct().collect()
+    n_planes, n_tables, dim = meta["n_planes"], meta["n_tables"], meta["dim"]
+    qrows = [
+        (r["qid"], [float(x) for x in r["qv"]])
+        for r in queries.select("qid", F.col("qv").cast("array<double>").alias("qv")).collect()
     ]
+    planes = [
+        [_hyperplane(g, d) for d in range(dim)]
+        for g in range(n_tables * n_planes)
+    ]
+    q_data: list[tuple] = []
+    seen: set[tuple] = set()
+    for qid, qv in qrows:
+        bits = [1 if _dot_seq(qv, w) >= 0 else 0 for w in planes]
+        for t in range(n_tables):
+            b0 = 0
+            for p in range(n_planes):
+                b0 ^= bits[t * n_planes + p] << p
+            probes_t = [b0] + (
+                [b0 ^ (1 << p) for p in range(n_planes)] if multi_probe else []
+            )
+            for b in probes_t:
+                key = (qid, t, b)
+                if key not in seen:
+                    seen.add(key)
+                    q_data.append((qid, qv, t, b))
+    qid_type = queries.schema["qid"].dataType.simpleString()
+    q = spark.createDataFrame(
+        q_data, f"qid {qid_type}, qv array<double>, tbl int, bucket long"
+    )
+    probes = sorted({(t, b) for (_, _, t, b) in q_data})
     # OR-of-conjunctions over the two partition columns: each disjunct is a
     # plain equality pair, which the parquet source turns into partition-
     # directory pruning (the probe list is small by construction)
@@ -500,14 +528,14 @@ def ivf_search(
     n_probe: int = 4,
 ) -> DataFrame:
     """Search a prebuilt IVF index (``ivf_build``).  ``queries`` is a tiny
-    DataFrame ``(qid, qv array<double>)``.
-
-    Plan shape: query cell-distances come from the broadcast centroid
-    matrix; the union of probed cells is collected driver-side (≤ |queries|
-    × n_probe ints) and pushed into the scan as a partition filter — the
-    corpus read is partition-pruned to the probed cells, shuffles nothing,
-    and the join is broadcast.  Exact cosine on the candidates, window
-    top-k."""
+    DataFrame ``(qid, qv array<double>)`` — it is COLLECTED and its probe
+    cells are computed driver-side against the meta.json centroid matrix
+    (the sequential squared-L2 fold matches the JVM op order exactly, see
+    ``_dot_seq``), so a search compiles no centroid codegen and runs no
+    probe-collection job.  The probed cells are pushed into the scan as a
+    partition filter — the corpus read is partition-pruned to those cells,
+    shuffles nothing, and the join is broadcast.  Exact cosine on the
+    candidates, window top-k."""
     import json
     import os
 
@@ -516,38 +544,30 @@ def ivf_search(
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
     cents = meta["centroids"]
-    q = (
-        _with_cell_dists(
-            queries.select(
-                F.col("qid"), F.col("qv").cast("array<double>").alias("qv")
-            ),
-            "qv",
-            cents,
-        )
-        .withColumn(
-            "_probes",
-            F.slice(
-                F.transform(
-                    F.sort_array(
-                        F.arrays_zip(
-                            F.col("_cd").alias("d"),
-                            F.sequence(F.lit(0), F.lit(len(cents) - 1)).alias(
-                                "i"
-                            ),
-                        )
-                    ),
-                    lambda s: s["i"],
-                ),
-                1,
-                n_probe,
-            ),
-        )
-        .select("qid", "qv", F.explode("_probes").alias("cell"))
-        .withColumn("cell", F.col("cell").cast("int"))
+    qrows = [
+        (r["qid"], [float(x) for x in r["qv"]])
+        for r in queries.select(
+            "qid", F.col("qv").cast("array<double>").alias("qv")
+        ).collect()
+    ]
+    q_data: list[tuple] = []
+    for qid, qv in qrows:
+        dists = []
+        for c in cents:
+            acc = 0.0
+            for x, y in zip(qv, c):
+                acc += (x - y) * (x - y)
+            dists.append(acc)
+        # ascending (distance, index) — identical tie-break to the JVM
+        # sort_array over struct(d, i)
+        order = sorted(range(len(cents)), key=lambda i: (dists[i], i))
+        for cell in order[:n_probe]:
+            q_data.append((qid, qv, cell))
+    qid_type = queries.schema["qid"].dataType.simpleString()
+    q = spark.createDataFrame(
+        q_data, f"qid {qid_type}, qv array<double>, cell int"
     )
-    # the probed-cell set is tiny by construction — collecting it lets the
-    # parquet scan prune to exactly those partition directories
-    probe_cells = [int(r["cell"]) for r in q.select("cell").distinct().collect()]
+    probe_cells = sorted({c for (_, _, c) in q_data})
     v = (
         spark.read.parquet(os.path.join(index_dir, "cells"))
         .filter(F.col("cell").isin(probe_cells))

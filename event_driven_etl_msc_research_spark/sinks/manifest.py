@@ -1162,10 +1162,19 @@ class ManifestTable:
 
     # ---------- maintenance ----------
 
-    def vacuum(self, keep_versions: int = 1) -> list[str]:
+    def vacuum(self, keep_versions: int = 1, grace_s: float = 600.0) -> list[str]:
         """Remove data dirs unreferenced by the newest ``keep_versions``
         manifests (the lazy cleanup that replaces the reference's eager
-        compensation deletes, ``HandleDataExtractionErrorLambda.py:49-62``)."""
+        compensation deletes, ``HandleDataExtractionErrorLambda.py:49-62``).
+
+        ``grace_s``: dirs modified within the last ``grace_s`` seconds are
+        NEVER removed even if unreferenced — a CONCURRENT writer's staging
+        dir is unreferenced by definition until its manifest publishes, and
+        deleting it mid-write would corrupt that writer's commit.  This is
+        the standard object-store GC guard (Iceberg's ``older_than``); a
+        crashed attempt's orphan stays one grace period longer, nothing
+        else changes.  ``grace_s=0`` restores eager single-writer behavior
+        (used by tests)."""
         import shutil
 
         cur = self.current_version()
@@ -1178,9 +1187,18 @@ class ManifestTable:
                     for p in ps:
                         referenced.add(p.split("/")[1])  # data/<dir>/...
         removed = []
+        now = time.time()
         ddir = os.path.join(self.root, _DATA_DIR)
         for d in os.listdir(ddir):
-            if d not in referenced:
-                shutil.rmtree(os.path.join(ddir, d))
-                removed.append(d)
+            if d in referenced:
+                continue
+            path = os.path.join(ddir, d)
+            try:
+                age = now - os.path.getmtime(path)
+            except OSError:
+                continue  # raced with another vacuum
+            if age < grace_s:
+                continue  # possibly an in-flight writer's staging dir
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(d)
         return removed

@@ -33,6 +33,71 @@ from ..sinks.manifest import ManifestTable
 from ..sources.changelog import read_changelog_batch, read_changelog_stream
 
 
+def _progress_listener(lineage: LineageLog, query_name: str):
+    """Spark-engine-side metrics into the lineage log (the reference's
+    CloudWatch ``put_log_events`` metrics, ``CloudsMatricsByQ2.py:168-210``,
+    and the listener wiring SURVEY §2 S15/A4 maps them to): one ``progress``
+    row per micro-batch with input rows, rows/sec, and batch duration,
+    emitted by Spark's ``StreamingQueryListener``.  The listener bus runs on
+    its own thread — safe because LineageLog swaps buffers under a lock.
+    Complements (not replaces) the ``merge`` rows written in
+    ``apply_batch``: those time the engine's commit; these carry the
+    source/trigger-level numbers only Spark knows."""
+    import json as _json
+    import threading as _threading
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _Listener(StreamingQueryListener):
+        def __init__(self):
+            super().__init__()
+            # set on the QueryTerminated event for the bound query id; the
+            # bus is FIFO per listener, so once this fires every progress
+            # event has been delivered — replay() waits on it before
+            # removing the listener (events are async on the bus thread)
+            self.done = _threading.Event()
+            self._query_id = None
+
+        def bind(self, query_id: str) -> None:
+            self._query_id = str(query_id)
+
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            if p.name != query_name:
+                return
+            try:
+                detail = _json.dumps(
+                    {
+                        "numInputRows": p.numInputRows,
+                        "inputRowsPerSecond": p.inputRowsPerSecond,
+                        "processedRowsPerSecond": p.processedRowsPerSecond,
+                        "durationMs": dict(p.durationMs or {}),
+                    }
+                )
+                total_ms = sum((p.durationMs or {}).values())
+                lineage.record_stage(
+                    p.batchId,
+                    "progress",
+                    "Success",
+                    detail=detail,
+                    duration_s=total_ms / 1000.0,
+                )
+            except Exception:
+                pass  # metrics must never break the stream
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            if self._query_id is None or str(event.id) == self._query_id:
+                self.done.set()
+
+    return _Listener()
+
+
 def _payload_schema(change_schema: T.StructType) -> T.StructType:
     return T.StructType(
         [f for f in change_schema.fields if f.name not in ("op", "lsn")]
@@ -54,6 +119,10 @@ class CDCEngine:
         merge_mode: str = "cow",  # "cow" | "delta" (merge-on-read tail path)
         compact_every: int = 0,   # delta mode: fold deltas→base every N epochs
         vacuum_keep_versions: int = 8,  # 0 disables auto-vacuum
+        vacuum_grace_s: float = 600.0,  # never GC dirs younger than this —
+        # a CONCURRENT writer's staging dir (second engine on another
+        # checkpoint, manual merge) is unreferenced until its publish;
+        # 0 = eager single-writer GC
         event_dedup: str | None = None,  # e.g. "1 hour": stateful event-level
         # dedup (dropDuplicatesWithinWatermark on key+lsn) applied to the
         # tail BEFORE foreachBatch — an opt-in for at-least-once transports
@@ -71,6 +140,7 @@ class CDCEngine:
         self.merge_mode = merge_mode
         self.compact_every = compact_every
         self.vacuum_keep_versions = vacuum_keep_versions
+        self.vacuum_grace_s = vacuum_grace_s
         self._epochs_since_compact = 0
         self._epochs_since_vacuum = 0
         self.audit = audit
@@ -189,7 +259,10 @@ class CDCEngine:
         # durably, so a transient vacuum error is logged (as a VACUUM
         # failure, not a merge failure) and retried at the next cadence
         try:
-            removed = self.table.vacuum(keep_versions=self.vacuum_keep_versions)
+            removed = self.table.vacuum(
+                keep_versions=self.vacuum_keep_versions,
+                grace_s=self.vacuum_grace_s,
+            )
         except Exception as e:
             self.lineage.record_stage(
                 epoch_id, "vacuum", "Failed", detail=repr(e)[:2000]
@@ -239,21 +312,34 @@ class CDCEngine:
             stream = dedup_stream_within_watermark(
                 stream, key_cols=[*key_cols, "lsn"], delay=self.event_dedup
             )
+        qname = f"cdc_replay_{abs(hash(self._epoch_scope)) % 10**8:08d}"
+        listener = _progress_listener(self.lineage, qname)
+        self.spark.streams.addListener(listener)
         writer = (
             stream.writeStream.foreachBatch(self.apply_batch)
             .option("checkpointLocation", checkpoint_dir)
-            .queryName("cdc_replay")
+            .queryName(qname)
         )
         if available_now:
             writer = writer.trigger(availableNow=True)
         else:
             writer = writer.trigger(processingTime=processing_time)
         q = writer.start()
+        listener.bind(q.id)
         if available_now:
             try:
                 q.awaitTermination(timeout_s)
             finally:
+                # bus events are async: wait for the terminated event (FIFO
+                # ⇒ all progress rows delivered) before detaching + flushing
+                listener.done.wait(10)
+                self.spark.streams.removeListener(listener)
                 self.lineage.flush()
+        else:
+            # continuous tail: the listener lives as long as the query; the
+            # caller's q.stop() ends progress events, and a leaked listener
+            # filtered to this query name is inert afterwards
+            self._listener = listener
         return q
 
     def apply_batch_once(

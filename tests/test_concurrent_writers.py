@@ -157,3 +157,47 @@ def test_duplicate_epoch_across_writers_is_skipped(spark, tmp_root):
     assert r["status"] == "Skipped"
     assert _state(a) == {("x", 0): "once"}
     assert a.manifest()["applied_epochs"].count("batch:7") == 1
+
+
+def test_vacuum_grace_protects_inflight_staging(spark, tmp_root):
+    """A concurrent writer's staging dir is unreferenced until its manifest
+    publishes; vacuum's grace window must leave young unreferenced dirs
+    alone (deleting them mid-write would corrupt the other writer's
+    commit), while grace_s=0 reclaims them eagerly."""
+    import time as _time
+
+    a, b = _two_tables(spark, tmp_root, "t_grace")
+    a.merge(
+        _changes_df(spark, [("I", 0, 50, "x", 0, "user", "seed", None)]),
+        epoch_id=0,
+    )
+    # simulate writer B's in-flight staging: stage files, never publish
+    class _Abort(Exception):
+        pass
+
+    def crash(_m):
+        raise _Abort()
+
+    try:
+        b.merge(
+            _changes_df(spark, [("I", 1, 60, "y", 0, "user", "inflight", None)]),
+            epoch_id=1,
+            before_publish=crash,
+        )
+    except _Abort:
+        pass
+    data_dir = os.path.join(a.root, "data")
+    orphans_before = {
+        d for d in os.listdir(data_dir)
+    } - {
+        p.split("/")[1]
+        for ps in a.manifest()["files"].values()
+        for p in ps
+    }
+    assert orphans_before  # the aborted attempt staged files
+
+    removed = a.vacuum(keep_versions=1)  # default grace: must NOT touch them
+    assert removed == []
+
+    removed = a.vacuum(keep_versions=1, grace_s=0)  # eager: reclaims
+    assert set(removed) >= orphans_before

@@ -127,7 +127,11 @@ def test_tail_event_dedup_drops_cross_epoch_redelivery(spark, tmp_root):
 
     merged_keys = 0
     lin = eng.lineage.lineage().toPandas()
-    for d in lin.loc[lin["stage"] == "merge", "detail"].dropna():
+    ok = lin[(lin["stage"] == "merge") & (lin["status"] == "Success")]
+    for d in ok["detail"].dropna():
+        # Failed rows carry exception reprs, not dict literals — a transient
+        # epoch failure is the engine's normal checkpoint-retry path and is
+        # excluded here (final-state equality above already proves recovery)
         stats = ast.literal_eval(d)
         if stats.get("status") == "Success":
             merged_keys += int(stats.get("n_change_keys") or 0)

@@ -187,7 +187,9 @@ def test_crash_before_publish_then_retry(spark, table):
     assert r["status"] == "Success"
     assert _state(table) == {("a", 0): "hello"}
     # the orphaned staging dir from the crashed attempt is vacuumable
-    removed = table.vacuum(keep_versions=1)
+    # (grace_s=0: eager single-writer GC; the default grace protects
+    # concurrent writers' in-flight staging dirs)
+    removed = table.vacuum(keep_versions=1, grace_s=0)
     assert any("-a0" in d for d in removed)
     assert _state(table) == {("a", 0): "hello"}
 

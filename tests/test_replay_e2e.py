@@ -76,3 +76,31 @@ def test_lineage_and_metrics_recorded(spark, tmp_root):
     reg = eng.lineage.chunk_registry().toPandas()
     assert (reg["n_records"] > 0).all()
     assert set(reg["stage"]) == {"merge"}
+
+
+def test_progress_listener_records_engine_metrics(spark, tmp_root):
+    """SURVEY §2 S15/A4: Spark's StreamingQueryListener feeds per-batch
+    source/trigger metrics (input rows, rates, durations) into the lineage
+    log alongside the engine's own merge rows."""
+    import json
+
+    log_dir = os.path.join(tmp_root, "wal")
+    spec = ChangeStreamSpec(
+        n_events=2_000, n_convs=30, segment_size=500, seed=9, dup_segments=()
+    )
+    generate_change_stream(log_dir, spec)
+    eng = CDCEngine(
+        spark, os.path.join(tmp_root, "table"),
+        change_schema=CHANGE_EVENT_SCHEMA_EVOLVED, n_buckets=4,
+    )
+    eng.replay(log_dir, os.path.join(tmp_root, "cp"), max_files_per_trigger=2)
+
+    lin = eng.lineage.lineage().toPandas()
+    prog = lin[lin["stage"] == "progress"]
+    assert len(prog) >= 2  # one row per micro-batch
+    total_input = 0
+    for d in prog["detail"]:
+        payload = json.loads(d)
+        assert {"numInputRows", "durationMs"} <= set(payload)
+        total_input += int(payload["numInputRows"])
+    assert total_input == spec.n_events

@@ -86,6 +86,7 @@ def test_crash_between_stage_and_publish_then_resume(spark, tmp_root):
         change_schema=CHANGE_EVENT_SCHEMA_EVOLVED,
         n_buckets=8,
         vacuum_keep_versions=1,
+        vacuum_grace_s=0,  # single-writer test: eager GC, no grace window
     )
     eng.replay(log, cp, max_files_per_trigger=4)
     got = eng.read_table().orderBy("conv_id", "turn_idx").toPandas()
