@@ -240,6 +240,15 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     (``CAST('0x'||substr(md5(tok),1,15) AS BIGINT)``), making the whole
     SimHash pipeline oracle-checkable (xxhash64 had no DuckDB twin).
     """
+    # Formulation note (measured, round 3): a shuffle-free per-doc variant
+    # (bind the token-hash array, 60 ``F.aggregate`` folds per row) is the
+    # asymptotically attractive shape but measured 15.3 s vs 3.2 s at sf0.1
+    # — higher-order-function lambdas are interpreted per element, outside
+    # whole-stage codegen, so 60 folds lose badly to this codegen'd
+    # 60-buffer hash aggregate.  The shuffle here moves one ±1 row per
+    # (doc, token) with full map-side partial aggregation — at 100 TB the
+    # partials collapse to one 60-int row per doc per map task before the
+    # exchange.
     toks = spread_small_input(docs).select(
         F.col(id_col).alias("did"),
         F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("tok"),
