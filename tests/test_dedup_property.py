@@ -60,3 +60,50 @@ def test_dedup_matches_fold_oracle(spark, pdf):
             for r in impl(df, ["conv_id", "turn_idx"], ["ts", "lsn"]).collect()
         }
         assert got == exp, impl.__name__
+
+
+def test_packed_version_is_injective_and_order_preserving(spark):
+    """The (ts, lsn) → decimal(38,0) packing must order exactly like the
+    lexicographic (ts NULLS FIRST, lsn NULLS FIRST) tuple — including the
+    boundary the old ts*10^18+lsn packing got wrong: (ts=T, lsn=NULL) must
+    NOT collide with (ts=T-1, lsn=10^18-1)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from event_driven_etl_msc_research_spark.operators.dedup import (
+        _packed_version,
+    )
+
+    max_lsn = 10**18 - 1
+    cases = [
+        (None, None),
+        (None, 0),
+        (None, max_lsn),
+        (0, None),
+        (0, 0),
+        (0, max_lsn),
+        (1, None),        # the old encoding tied this with (0, max_lsn)
+        (1, 0),
+        (1, max_lsn),
+        (2, None),
+        (1_700_000_000_000_000, max_lsn),  # realistic unix-micros ts
+    ]
+    schema = T.StructType(
+        [T.StructField("ts", T.LongType()), T.StructField("lsn", T.LongType())]
+    )
+    # list-of-tuples, NOT via pandas: a pandas int column containing None
+    # becomes float64 and silently rounds 10**18-1 to 1e18 before any
+    # astype("object") can save it
+    df = spark.createDataFrame(cases, schema)
+    packed = [
+        r["p"] for r in df.select(_packed_version(df, ["ts", "lsn"]).alias("p"))
+        .collect()
+    ]
+    # injective
+    assert len(set(packed)) == len(cases)
+    # order == lexicographic with None lowest
+    key = lambda c: (c[0] if c[0] is not None else -1, c[1] if c[1] is not None else -1)
+    expect_order = [cases.index(c) for c in sorted(cases, key=key)]
+    got_order = sorted(range(len(cases)), key=lambda i: packed[i])
+    assert got_order == expect_order
