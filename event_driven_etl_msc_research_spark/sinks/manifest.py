@@ -578,7 +578,9 @@ class ManifestTable:
             changes, key_cols, ["ts", "lsn"], salt_buckets=salt_buckets
         )
 
-        # 3. normalize to internal row shape; cache — used by count + join(s)
+        # 3. normalize to internal row shape (evaluated once: both the delta
+        # path and the stage-first CoW path write this plan straight to
+        # parquet and work from the staged files after)
         payload_names = [f.name for f in new_schema.fields]
         new_types = {f.name: f.dataType for f in new_schema.fields}
         change_rows = deduped.select(
