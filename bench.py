@@ -68,6 +68,7 @@ HEADLINE = [
     "url_ops_docs",
     "dedup_exact_docs",
     "dedup_minhash_lsh",
+    "dedup_near_keep_best",
     "dedup_simhash",
     "knn_bruteforce",
     "knn_lsh",

@@ -1041,6 +1041,73 @@ FROM bands a JOIN bands b
 """
 
 
+def dedup_near_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup canonicalization — the curation cut that FOLLOWS pair
+    finding: MinHash-LSH near-dup pairs + per-doc quality scores → drop
+    every doc beaten by a higher-quality near-duplicate (greedy, the
+    standard practice; ties break to the lower doc_id).  Scale shape: the
+    pair set is tiny relative to the corpus, so losers is a small distinct
+    list and the final filter is a broadcast anti-join — the corpus is
+    never shuffled."""
+    docs = _docs(spark, sf_dir)
+    pairs = docops.minhash_lsh_pairs(
+        docs, num_hashes=_MINHASH_K, bands=_MINHASH_BANDS
+    ).select("id_a", "id_b")
+    b = docs.select("doc_id", F.lower(F.col("text")).alias("_lt")).select(
+        "doc_id", "_lt", TXT.ws_tokens(F.col("_lt")).alias("_ltoks")
+    )
+    q = b.select(
+        "doc_id",
+        TXT.quality_score_of(F.col("_ltoks"), F.col("_lt")).alias("q"),
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(q.select(F.col("doc_id").alias("id_a"), F.col("q").alias("qa"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(q.select(F.col("doc_id").alias("id_b"), F.col("q").alias("qb"))),
+            "id_b",
+        )
+    )
+    losers = scored.select(
+        F.when(F.col("qa") > F.col("qb"), F.col("id_b"))
+        .when(F.col("qa") < F.col("qb"), F.col("id_a"))
+        .otherwise(F.greatest("id_a", "id_b"))
+        .alias("doc_id")
+    ).distinct()
+    return docs.join(F.broadcast(losers), "doc_id", "left_anti").select("doc_id")
+
+
+def _keep_best_sql() -> str:
+    return f"""
+WITH pairs AS ({_minhash_sql()}),
+base AS (
+  SELECT doc_id, lower(text) AS lt, {_D_TOKS.format(c='lower(text)')} AS ltoks
+  FROM documents
+), q AS (
+  SELECT doc_id,
+    ROUND(0.5 * least(CAST(len(ltoks) AS DOUBLE) / 200.0, 1.0)
+      + 0.3 * (1.0 - CASE WHEN length(lt) > 0
+          THEN CAST(length(regexp_replace(lt, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(lt)
+          ELSE 0.0 END)
+      + 0.2 * (1.0 - CASE WHEN len(ltoks) > 0
+          THEN CAST(len(list_filter(ltoks, t -> t IN ({_D_STOPS}))) AS DOUBLE) / len(ltoks)
+          ELSE 0.0 END), 4) AS q
+  FROM base
+), losers AS (
+  SELECT DISTINCT CASE WHEN qa.q > qb.q THEN p.id_b
+                       WHEN qa.q < qb.q THEN p.id_a
+                       ELSE greatest(p.id_a, p.id_b) END AS doc_id
+  FROM pairs p
+  JOIN q qa ON qa.doc_id = p.id_a
+  JOIN q qb ON qb.doc_id = p.id_b
+)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5-derived 60-bit hash → the DuckDB twin below reproduces the whole
     # pipeline (token hash → bit sums → pack → quarter-block → hamming)
@@ -1510,6 +1577,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_token_jaccard_dfcut": (dedup_token_jaccard_dfcut, JACCARD_DFCUT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _minhash_sql()),
+    "dedup_near_keep_best": (dedup_near_keep_best, _keep_best_sql()),
     "dedup_simhash": (dedup_simhash, _simhash_sql()),
     "dedup_embedding_cosine": (dedup_embedding_cosine, EMB_COSINE_SQL),
     "knn_bruteforce": (knn_bruteforce, KNN_SQL),
