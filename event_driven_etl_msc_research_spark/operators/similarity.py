@@ -273,6 +273,22 @@ def lsh_build(
     return meta
 
 
+_MAX_QUERY_BATCH = 100_000
+
+
+def _guard_query_batch(n: int, fn: str, inline_fn: str) -> None:
+    """Fail loud on a query batch too large for the collect-and-broadcast
+    search path (the driver would silently balloon instead): the index
+    searches are point-lookup-shaped by contract; a bulk all-pairs workload
+    belongs on the inline distributed operator."""
+    if n > _MAX_QUERY_BATCH:
+        raise ValueError(
+            f"{fn}: {n} query vectors exceeds the collect-and-broadcast "
+            f"limit ({_MAX_QUERY_BATCH}); for bulk query sets use the "
+            f"distributed {inline_fn} instead"
+        )
+
+
 def _dot_seq(a: list, b: list) -> float:
     """Sequential left-to-right double dot product — the EXACT operation
     order of the JVM ``aggregate(zip_with(a, b, x*y), 0.0, acc+x)`` fold, so
@@ -313,6 +329,7 @@ def lsh_search(
         (r["qid"], [float(x) for x in r["qv"]])
         for r in queries.select("qid", F.col("qv").cast("array<double>").alias("qv")).collect()
     ]
+    _guard_query_batch(len(qrows), "lsh_search", "knn_lsh_bucketed")
     planes = [
         [_hyperplane(g, d) for d in range(dim)]
         for g in range(n_tables * n_planes)
@@ -550,6 +567,7 @@ def ivf_search(
             "qid", F.col("qv").cast("array<double>").alias("qv")
         ).collect()
     ]
+    _guard_query_batch(len(qrows), "ivf_search", "knn_ivf")
     q_data: list[tuple] = []
     for qid, qv in qrows:
         dists = []

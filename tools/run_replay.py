@@ -37,6 +37,14 @@ def main() -> int:
                          "drain-and-stop (AvailableNow)")
     ap.add_argument("--evolved-schema", action="store_true",
                     help="accept the tool_meta additive column")
+    ap.add_argument("--event-dedup", default=None, metavar="DELAY",
+                    help="e.g. '1 hour': stateful event-level dedup "
+                         "(dropDuplicatesWithinWatermark on key+lsn) for "
+                         "at-least-once transports that redeliver events "
+                         "across epochs")
+    ap.add_argument("--vacuum-grace-s", type=float, default=600.0,
+                    help="never GC unreferenced data dirs younger than this "
+                         "(protects concurrent writers' in-flight staging)")
     args = ap.parse_args()
 
     # import AFTER arg parsing so --help works without the zip on sys.path
@@ -62,6 +70,8 @@ def main() -> int:
         tenant_id=args.tenant,
         merge_mode=args.mode,
         compact_every=args.compact_every if args.mode == "delta" else 0,
+        event_dedup=args.event_dedup,
+        vacuum_grace_s=args.vacuum_grace_s,
     )
     engine.replay(
         args.changelog,
