@@ -97,3 +97,40 @@ def test_asof_and_rangejoin_no_cross_product(spark):
         plan = _plan(q(spark, SF))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_keep_best_is_broadcast_anti_join(spark):
+    """dedup_near_keep_best's final filter must be a broadcast LeftAnti —
+    the corpus is never shuffled for the loser subtraction (the 100 TB
+    property of the canonicalization cut)."""
+    plan = _plan(DQ.dedup_near_keep_best(spark, SF))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    # no sort-merge anti-join (that would shuffle the corpus by doc_id)
+    import re
+
+    anti_lines = [l for l in plan.splitlines() if "LeftAnti" in l]
+    assert anti_lines and all("SortMergeJoin" not in l for l in anti_lines)
+
+
+def test_pruned_read_query_opens_one_week(spark):
+    """cdc_events_time_window's bounded snapshot read plans ONLY the
+    queried week's file(s) — manifest file-stats pruning end-to-end on the
+    driver query itself."""
+    df = DQ.cdc_events_time_window(spark, SF)
+    files = [p for p in df.inputFiles() if "/data/" in p or "_pb=" in p]
+    assert len(files) == 1, files
+
+
+def test_sample_stratified_filter_is_narrow(spark):
+    """deterministic_sample must stay a pure narrow filter: no exchange
+    between the documents scan and the sample predicate (the aggregation
+    after it is the query's only shuffle)."""
+    from event_driven_etl_msc_research_spark.operators.docops import (
+        deterministic_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(deterministic_sample(docs, "doc_id", 25).select("doc_id"))
+    assert "Exchange" not in plan
+    assert "Filter" in plan
