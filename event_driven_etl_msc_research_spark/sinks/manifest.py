@@ -74,6 +74,80 @@ def _bucket_expr(n_buckets: int, bucket_col: str = "conv_id"):
     return F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets)).cast("int")
 
 
+def _split_epoch_key(key: str) -> tuple[str, int] | None:
+    scope, _, tail = key.rpartition(":")
+    if not scope:
+        return None
+    try:
+        return scope, int(tail)
+    except ValueError:
+        return None
+
+
+def _epoch_applied(m: dict[str, Any], epoch_key: str) -> bool:
+    """Exactly-once membership check: the explicit tail list OR the folded
+    per-scope contiguous ranges (see ``_fold_applied``)."""
+    if epoch_key in m["applied_epochs"]:
+        return True
+    parsed = _split_epoch_key(epoch_key)
+    if parsed is None:
+        return False
+    scope, eid = parsed
+    r = (m.get("applied_ranges") or {}).get(scope)
+    return bool(r) and r[0] <= eid <= r[1]
+
+
+def _fold_applied(
+    applied: list[str], ranges: dict[str, list[int]], max_entries: int
+) -> tuple[list[str], dict[str, list[int]]]:
+    """Bound the applied-epochs metadata: when the explicit list exceeds
+    ``max_entries``, fold each scope's CONTIGUOUS run of epoch ids into a
+    single inclusive ``[lo, hi]`` range (extending an existing range only
+    through ids adjacent to it, so a range never claims an id that was not
+    actually applied).
+
+    Without this a long tail rewrites an ever-growing epoch list into
+    EVERY manifest — O(n²) metadata bytes over the stream's life.  With
+    it the common case (streaming epochs commit in order per checkpoint
+    scope) folds to one range per scope plus a bounded tail of recent /
+    out-of-order entries."""
+    if len(applied) <= max_entries:
+        return applied, ranges
+    by_scope: dict[str, list[int]] = {}
+    passthrough: list[str] = []
+    for key in applied:
+        parsed = _split_epoch_key(key)
+        if parsed is None:
+            passthrough.append(key)
+            continue
+        by_scope.setdefault(parsed[0], []).append(parsed[1])
+    new_ranges = {s: list(r) for s, r in ranges.items()}
+    kept: list[str] = list(passthrough)
+    for scope, ids in by_scope.items():
+        ids = sorted(set(ids))
+        r = new_ranges.get(scope)
+        if r is None:
+            # open a range at the scope's smallest id and absorb the
+            # contiguous run from there
+            lo = hi = ids[0]
+            rest = ids[1:]
+        else:
+            lo, hi = r
+            rest = ids
+        for i in rest:
+            if i == hi + 1:
+                hi = i
+            elif lo <= i <= hi:
+                continue  # already inside the range
+            else:
+                # below lo or past a gap: stays explicit — a range must
+                # never claim an id that was not actually applied, and
+                # dropping an id below lo would lose its membership
+                kept.append(f"{scope}:{i}")
+        new_ranges[scope] = [lo, hi]
+    return kept, new_ranges
+
+
 def _stat_to_json(v):
     """JSON-encode a parquet footer statistic (datetime → ISO string)."""
     import datetime as _dt
@@ -140,6 +214,11 @@ class ManifestTable:
     """A snapshot-versioned, bucket-partitioned Parquet table with
     exactly-once MERGE, additive schema evolution, and time travel."""
 
+    # explicit applied-epoch entries retained before folding contiguous
+    # runs into per-scope ranges (``_fold_applied`` — bounds manifest
+    # metadata growth on long tails)
+    max_epoch_entries: int = 1024
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
@@ -183,6 +262,7 @@ class ManifestTable:
             "tenant_id": tenant_id,
             "files": {},
             "file_stats": {},
+            "applied_ranges": {},
             "stats_cols": stats_cols
             or [c for c in (["ts"] + kc) if c in have],
             "applied_epochs": [],
@@ -486,7 +566,13 @@ class ManifestTable:
         return base, deltas
 
     def applied_epochs(self) -> set:
+        """Explicit (unfolded) applied-epoch keys; long-tail history lives
+        compactly in the manifest's ``applied_ranges`` — membership checks
+        go through ``epoch_applied``."""
         return set(self.manifest()["applied_epochs"])
+
+    def epoch_applied(self, epoch_id: int, epoch_scope: str = "batch") -> bool:
+        return _epoch_applied(self.manifest(), f"{epoch_scope}:{epoch_id}")
 
     # ---------- MERGE (the one join-shaped op; SURVEY.md §2.4) ----------
 
@@ -553,7 +639,7 @@ class ManifestTable:
         # (checkpoint lineage, epoch) — the exactly-once contract is
         # per-checkpoint, cross-restart
         epoch_key = f"{epoch_scope}:{epoch_id}"
-        if epoch_key in m["applied_epochs"]:
+        if _epoch_applied(m, epoch_key):
             return {
                 "status": "Skipped",
                 "epoch_id": epoch_id,
@@ -812,6 +898,11 @@ class ManifestTable:
                     for k, v in (mc.get("delta_rows") or {}).items()
                     if int(k) not in touched
                 }
+            applied_c, ranges_c = _fold_applied(
+                mc["applied_epochs"] + [epoch_key],
+                mc.get("applied_ranges") or {},
+                self.max_epoch_entries,
+            )
             return {
                 "version": mc["version"] + 1,
                 "parent": mc["version"],
@@ -825,7 +916,8 @@ class ManifestTable:
                 "file_stats": self._fold_stats(mc, files, delta_files),
                 "stats_cols": mc.get("stats_cols") or [],
                 "bucket_rows": bucket_rows,
-                "applied_epochs": mc["applied_epochs"] + [epoch_key],
+                "applied_epochs": applied_c,
+                "applied_ranges": ranges_c,
                 "added_cols": added_c,
                 "total_rows": total_rows,  # base rows; MOR live count needs read()
                 "delta_rows": delta_rows,
@@ -837,7 +929,7 @@ class ManifestTable:
         for attempt in range(max(1, retries)):
             if attempt:
                 mc = self.manifest()  # re-read the winner's manifest
-                if epoch_key in mc["applied_epochs"]:
+                if _epoch_applied(mc, epoch_key):
                     # another writer (a racing retry of the same stream)
                     # already committed THIS epoch — exactly-once holds
                     return {
@@ -1054,6 +1146,7 @@ class ManifestTable:
                 **rows_by_bucket,
             },
             "applied_epochs": m["applied_epochs"],
+            "applied_ranges": m.get("applied_ranges") or {},
             "added_cols": [],
             "total_rows": m["total_rows"] - self._rows_in(m, cand) + staged_rows,
             "delta_rows": delta_rows,

@@ -266,3 +266,59 @@ def test_merge_job_counts(spark, tmp_root):
     )
     assert p == "shuffle"
     assert n_shuf <= 2 * n_delta
+
+
+def test_applied_epochs_fold_bounds_metadata(spark, tmp_root):
+    """Long-tail manifest metadata stays bounded: contiguous epoch runs
+    fold into per-scope ranges; membership (exactly-once) is preserved for
+    folded, explicit, and never-applied epochs alike."""
+    t = ManifestTable.create(
+        spark, os.path.join(tmp_root, "fold"), TRANSCRIPT_SCHEMA, n_buckets=2
+    )
+    t.max_epoch_entries = 4
+    for e in range(12):
+        df = _changes_df(spark, [("I", e, 100 + e, f"c{e}", 0, "user", f"t{e}", None)])
+        assert t.merge(df, epoch_id=e, mode="delta")["status"] == "Success"
+    m = t.manifest()
+    assert len(m["applied_epochs"]) <= 4
+    assert m["applied_ranges"]["batch"][0] == 0
+    assert m["applied_ranges"]["batch"][1] >= 7
+    # folded epochs still dedupe (exactly-once across the fold)
+    r = t.merge(
+        _changes_df(spark, [("I", 0, 100, "c0", 0, "user", "dup", None)]),
+        epoch_id=0,
+        mode="delta",
+    )
+    assert r["status"] == "Skipped"
+    # a never-applied epoch id inside no range/list applies normally
+    r2 = t.merge(
+        _changes_df(spark, [("I", 99, 500, "z", 0, "user", "new", None)]),
+        epoch_id=99,
+        mode="delta",
+    )
+    assert r2["status"] == "Success"
+    assert _state(t)[("z", 0)] == "new"
+
+
+def test_fold_applied_never_claims_unapplied_ids():
+    """Unit: gaps and below-range ids must stay explicit — a range may only
+    cover ids that were actually applied."""
+    from event_driven_etl_msc_research_spark.sinks.manifest import (
+        _epoch_applied,
+        _fold_applied,
+    )
+
+    applied = [f"s:{i}" for i in (5, 6, 7, 9, 2)] + ["compact-ish-key"]
+    kept, ranges = _fold_applied(applied, {}, max_entries=2)
+    m = {"applied_epochs": kept, "applied_ranges": ranges}
+    for i in (5, 6, 7, 9, 2):
+        assert _epoch_applied(m, f"s:{i}"), i
+    for i in (3, 4, 8, 10, 1, 0):
+        assert not _epoch_applied(m, f"s:{i}"), i
+    assert "compact-ish-key" in kept  # unparseable keys pass through
+    # second fold with the existing range absorbs newly contiguous ids
+    kept2, ranges2 = _fold_applied(kept + ["s:8", "s:10"], ranges, max_entries=1)
+    m2 = {"applied_epochs": kept2, "applied_ranges": ranges2}
+    for i in (2, 5, 6, 7, 8, 9, 10):
+        assert _epoch_applied(m2, f"s:{i}"), i
+    assert not _epoch_applied(m2, "s:4")
