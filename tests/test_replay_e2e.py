@@ -104,3 +104,60 @@ def test_progress_listener_records_engine_metrics(spark, tmp_root):
         assert {"numInputRows", "durationMs"} <= set(payload)
         total_input += int(payload["numInputRows"])
     assert total_input == spec.n_events
+
+
+def test_parquet_wal_replay_matches_oracle(spark, tmp_root):
+    """The changelog source's parquet segment format (the realistic WAL
+    encoding at scale — columnar segments instead of JSONL) replays to the
+    identical final state."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spec = ChangeStreamSpec(
+        n_events=4_000, n_convs=50, segment_size=1_000, seed=13, dup_segments=()
+    )
+    json_dir = os.path.join(tmp_root, "wal_json")
+    gen = generate_change_stream(json_dir, spec)
+    pq_dir = os.path.join(tmp_root, "wal_pq")
+    os.makedirs(pq_dir)
+    for p in gen.segment_paths:
+        pdf = pd.read_json(p, lines=True, convert_dates=["ts"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"], utc=True)
+        cols = ["op", "lsn", "ts", "conv_id", "turn_idx", "role", "text",
+                "tool", "tool_meta"]
+        for c in cols:
+            if c not in pdf.columns:
+                pdf[c] = None
+        # exact physical types of the change schema: us-precision UTC
+        # timestamps (pandas' ns default lands as TIMESTAMP(NANOS), which
+        # Spark's TimestampType rejects) and int32 turn_idx
+        arrow_schema = pa.schema(
+            [
+                pa.field("op", pa.string()),
+                pa.field("lsn", pa.int64()),
+                pa.field("ts", pa.timestamp("us", tz="UTC")),
+                pa.field("conv_id", pa.string()),
+                pa.field("turn_idx", pa.int32()),
+                pa.field("role", pa.string()),
+                pa.field("text", pa.string()),
+                pa.field("tool", pa.string()),
+                pa.field("tool_meta", pa.string()),
+            ]
+        )
+        table = pa.Table.from_pandas(
+            pdf[cols], preserve_index=False
+        ).cast(arrow_schema)
+        pq.write_table(
+            table,
+            os.path.join(pq_dir, os.path.basename(p).replace(".jsonl", ".parquet")),
+        )
+
+    eng = CDCEngine(
+        spark, os.path.join(tmp_root, "table_pq"),
+        change_schema=CHANGE_EVENT_SCHEMA_EVOLVED, n_buckets=8,
+    )
+    eng.replay(pq_dir, os.path.join(tmp_root, "cp_pq"), fmt="parquet",
+               max_files_per_trigger=2)
+    got = eng.read_table().orderBy("conv_id", "turn_idx").toPandas()
+    assert_pdf_equal(got, oracle_final_state(spec), COLS)
