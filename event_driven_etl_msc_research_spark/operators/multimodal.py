@@ -79,6 +79,44 @@ def extract_binary_features(docs_with_payload: DataFrame) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = (
+    "doc_id long, out_w int, out_h int, n_bytes_out int, resized_md5 string"
+)
+
+
+def resize_stub(
+    docs_with_payload: DataFrame, width: int = 64, height: int = 64
+) -> DataFrame:
+    """Image-resize plumbing via Arrow-batched ``mapInPandas``.
+
+    The real operator decodes the payload, resizes to (width, height), and
+    re-encodes inside the batch loop — gated exactly like
+    ``_decode_image`` (no imaging libs in this container).  The
+    deterministic stand-in 'resize' is byte truncation to width×height
+    bytes, so the batch iteration, output schema, and per-row digest are
+    all real and oracle-checkable end-to-end."""
+    target = width * height
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            data = pdf["payload"].map(lambda b: bytes(b)[:target])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_w": pd.Series([width] * len(pdf), dtype="int32"),
+                    "out_h": pd.Series([height] * len(pdf), dtype="int32"),
+                    "n_bytes_out": data.map(len).astype("int32"),
+                    "resized_md5": data.map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                }
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        rs, schema=RESIZE_SCHEMA
+    )
+
+
 def frame_sample_stub(docs_with_payload: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: emits (doc_id, frame_idx) rows for a
     deterministic fake frame count derived from payload size (1 frame per

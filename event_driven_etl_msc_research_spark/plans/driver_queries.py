@@ -31,6 +31,7 @@ from ..operators.dedup import dedup_latest
 from ..operators.multimodal import (
     extract_binary_features,
     frame_sample_stub,
+    resize_stub,
     with_binary_payload,
 )
 from ..operators.transform import (
@@ -1529,6 +1530,25 @@ FROM documents
 """
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # resize plumbing (mapInPandas batch shape + digest); the fake resize is
+    # byte truncation to 64x64 — the oracle truncates the STRING, identical
+    # because the synthetic corpus is pure ascii (1 char = 1 byte; asserted
+    # by the md5 equality itself: any multibyte char would hash-mismatch)
+    docs = with_binary_payload(_t(spark, sf_dir, "documents"))
+    return resize_stub(docs, width=64, height=64)
+
+
+RESIZE_SQL = """
+SELECT doc_id,
+  CAST(64 AS INT) AS out_w,
+  CAST(64 AS INT) AS out_h,
+  CAST(least(octet_length(encode(text)), 4096) AS INT) AS n_bytes_out,
+  md5(substring(text, 1, least(length(text), 4096))) AS resized_md5
+FROM documents
+"""
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_binary_payload(_t(spark, sf_dir, "documents"))
     return frame_sample_stub(docs, every_n=10)
@@ -1589,5 +1609,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "docs_topk_per_lang": (docs_topk_per_lang, _topk_per_lang_sql()),
     "doc_fingerprints": (doc_fingerprints, FINGERPRINT_SQL),
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
+    "multimodal_resize": (multimodal_resize, RESIZE_SQL),
     "multimodal_frame_sample": (multimodal_frame_sample, FRAME_SQL),
 }
