@@ -177,12 +177,15 @@ class LineageLog:
         file per epoch, and an unbounded tiny-file tail would eventually
         dominate `lineage()` read planning.  Returns files removed.
 
-        Single-writer, same-cadence-as-vacuum: called from the engine's
-        maintenance hook, never concurrently with itself.  Crash window: the
-        combined file is fully written (tmp + rename) before the inputs are
-        deleted, so a crash can duplicate already-compacted rows but never
-        lose rows — lineage is observability, and the table state it
-        describes is guarded solely by the manifest commit."""
+        Multi-instance safe: only THIS instance's shards (filenames carry
+        ``self._tag``) are folded — two engines logging to one table root
+        (a supported multi-writer config) each compact their own files and
+        can never concurrently fold, double-write, or unlink each other's.
+        Crash window: the combined file is fully written (tmp + rename)
+        before the inputs are deleted, so a crash can duplicate
+        already-compacted rows but never lose rows — lineage is
+        observability, and the table state it describes is guarded solely
+        by the manifest commit."""
         removed = 0
         for out_dir in (self.lineage_dir, self.registry_dir):
             if not os.path.isdir(out_dir):
@@ -190,7 +193,7 @@ class LineageLog:
             parts = sorted(
                 f
                 for f in os.listdir(out_dir)
-                if f.endswith(".parquet")
+                if f.endswith(".parquet") and self._tag in f
             )
             if len(parts) <= max_files:
                 continue

@@ -364,6 +364,22 @@ def embedding_cosine_pairs(
     )
 
 
+def sample_bucket(id_col: str, salt: int = 0):
+    """The 0-99 hash bucket column behind ``deterministic_sample`` — a pure
+    Column expression, exposed so callers needing a membership FLAG (e.g.
+    stratified sample counting) compute it inline instead of materializing
+    the sampled ids and joining them back."""
+    m31 = 2_147_483_648  # 2^31
+    return (
+        F.pmod(
+            F.pmod(F.col(id_col).cast("long") + F.lit(salt), F.lit(m31))
+            * F.lit(2_654_435_761),
+            F.lit(m31),
+        )
+        % 100
+    )
+
+
 def deterministic_sample(
     df: DataFrame, id_col: str, rate_pct: int, salt: int = 0
 ) -> DataFrame:
@@ -382,10 +398,4 @@ def deterministic_sample(
     The id is reduced mod 2^31 before multiplying so the product stays in
     int64 for any bigint id.
     """
-    m31 = 2_147_483_648  # 2^31
-    bucket = F.pmod(
-        F.pmod(F.col(id_col).cast("long") + F.lit(salt), F.lit(m31))
-        * F.lit(2_654_435_761),
-        F.lit(m31),
-    ) % 100
-    return df.filter(bucket < rate_pct)
+    return df.filter(sample_bucket(id_col, salt) < rate_pct)

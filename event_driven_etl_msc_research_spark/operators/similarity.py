@@ -229,12 +229,16 @@ def lsh_build(
     instead of inside every query call, and the partition layout means a
     search reads only the probed (table, bucket) directories — a
     partition-pruned scan, the 10^10-row path.  Idempotent on matching
-    params (hyperplanes are pure functions of indices, so a rebuild would
-    reproduce the same table)."""
+    params AND corpus row count (hyperplanes are pure functions of indices,
+    so a rebuild over the same corpus reproduces the same table; a
+    regenerated corpus at the same path triggers a rebuild — a same-count
+    different-content corpus still needs a fresh ``index_dir``, which the
+    driver wrapper guarantees by keying on the corpus file signature)."""
     import json
     import os
 
     meta_path = os.path.join(index_dir, "meta.json")
+    n_vectors = emb.count()
     params = {
         "kind": "lsh",
         "n_planes": n_planes,
@@ -242,6 +246,7 @@ def lsh_build(
         "dim": dim,
         "id_col": id_col,
         "vec_col": vec_col,
+        "n_vectors": n_vectors,
     }
     if os.path.exists(meta_path):
         with open(meta_path) as f:
@@ -486,19 +491,25 @@ def ivf_build(
     layout is the 10^10-row story: a search reads ONLY the probed cells'
     files (partition-pruned scan), never the whole corpus.
 
-    Idempotent: an existing ``meta.json`` with matching params short-circuits
-    (the deterministic trainer would reproduce it anyway).
+    Idempotent: an existing ``meta.json`` with matching params AND matching
+    corpus row count short-circuits (the deterministic trainer would
+    reproduce it).  The count check catches the common stale-index case —
+    a regenerated/extended corpus at the same path; a same-count
+    different-content corpus still needs a fresh ``index_dir`` (the driver
+    wrapper keys the dir on the corpus file signature for exactly this).
     """
     import json
     import os
 
     meta_path = os.path.join(index_dir, "meta.json")
+    n_vectors = emb.count()
     params = {
         "kind": "ivf",
         "n_cells": n_cells,
         "iters": iters,
         "id_col": id_col,
         "vec_col": vec_col,
+        "n_vectors": n_vectors,
     }
     if os.path.exists(meta_path):
         with open(meta_path) as f:

@@ -1061,16 +1061,15 @@ def dedup_near_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         TXT.quality_score_of(F.col("_ltoks"), F.col("_lt")).alias("q"),
     )
-    scored = (
-        pairs.join(
-            F.broadcast(q.select(F.col("doc_id").alias("id_a"), F.col("q").alias("qa"))),
-            "id_a",
-        )
-        .join(
-            F.broadcast(q.select(F.col("doc_id").alias("id_b"), F.col("q").alias("qb"))),
-            "id_b",
-        )
+    # broadcast the SMALL side at every step: pairs (tiny) against the
+    # corpus-sized quality table, then the pairs-sized result again — the
+    # quality table is scanned, never shuffled, never broadcast
+    half = q.select(F.col("doc_id").alias("id_a"), F.col("q").alias("qa")).join(
+        F.broadcast(pairs), "id_a"
     )
+    scored = q.select(
+        F.col("doc_id").alias("id_b"), F.col("q").alias("qb")
+    ).join(F.broadcast(half), "id_b")
     losers = scored.select(
         F.when(F.col("qa") > F.col("qb"), F.col("id_b"))
         .when(F.col("qa") < F.col("qb"), F.col("id_a"))
@@ -1401,23 +1400,27 @@ def docs_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 25% curation sample with per-language stratum counts.
 
     The sample membership is a reproducible cross-engine hash of doc_id
-    (``docops.deterministic_sample`` — a pure narrow filter, no shuffle, the
-    property ``df.sample`` lacks), so the oracle recomputes the identical
-    sample in DuckDB; the per-stratum (n_docs, n_sampled) aggregate pins
-    both the membership and the stratification."""
+    (``docops.sample_bucket`` — a pure Column expression, no shuffle/join,
+    the property ``df.sample`` lacks), so the oracle recomputes the
+    identical sample in DuckDB; the per-stratum (n_docs, n_sampled)
+    aggregate pins both the membership and the stratification."""
     docs = _docs(spark, sf_dir)
     scored = docs.select(
         "doc_id", TXT.ws_tokens(F.lower(F.col("text"))).alias("_ltoks")
-    ).select("doc_id", TXT.lang_id_of_tokens(F.col("_ltoks")).alias("lang_pred"))
-    sampled = docops.deterministic_sample(docs, "doc_id", 25).select("doc_id")
-    flagged = scored.join(
-        F.broadcast(sampled.withColumn("_s", F.lit(1))), "doc_id", "left"
+    ).select(
+        "doc_id",
+        TXT.lang_id_of_tokens(F.col("_ltoks")).alias("lang_pred"),
+        # membership computed INLINE — one scan, zero joins; the sampled-id
+        # set never materializes anywhere
+        F.when(docops.sample_bucket("doc_id") < 25, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("_s"),
     )
     return (
-        flagged.groupBy("lang_pred")
+        scored.groupBy("lang_pred")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum(F.coalesce(F.col("_s"), F.lit(0))).cast("long").alias("n_sampled"),
+            F.sum("_s").cast("long").alias("n_sampled"),
         )
     )
 

@@ -113,15 +113,15 @@ def evolve_sql(identifier: str, added: list[T.StructField]) -> str:
     return f"ALTER TABLE {identifier} ADD COLUMNS ({cols})"
 
 
-def widen_sql(identifier: str, widened: list[T.StructField]) -> str:
+def widen_sql(identifier: str, widened: list[T.StructField]) -> list[str]:
     """Same-family numeric type widening (int→long, float→double — the
     promotions Iceberg's spec allows and ``ManifestTable._widens`` mirrors)
-    as ``ALTER COLUMN ... TYPE`` statements, one per column, ';'-joined."""
-    return "; ".join(
+    as ``ALTER COLUMN ... TYPE`` statements, one list entry per column."""
+    return [
         f"ALTER TABLE {identifier} ALTER COLUMN {f.name} "
         f"TYPE {f.dataType.simpleString()}"
         for f in widened
-    )
+    ]
 
 
 class IcebergTable:
@@ -204,7 +204,7 @@ class IcebergTable:
             )
         if added:
             self.spark.sql(evolve_sql(self.identifier, added))
-        for stmt in widen_sql(self.identifier, widened).split("; ") if widened else []:
+        for stmt in widen_sql(self.identifier, widened):
             self.spark.sql(stmt)
         deduped = dedup_latest(changes, self.key_cols, ["ts", "lsn"])
         deduped.createOrReplaceTempView("_changes")

@@ -149,36 +149,67 @@ def _fold_applied(
 
 
 def _stat_to_json(v):
-    """JSON-encode a parquet footer statistic (datetime → ISO string)."""
+    """JSON-encode a parquet footer statistic.  TOTAL over every stat type
+    pyarrow can hand back (datetime, date, Decimal, bytes, scalars) — an
+    unknown type returns None so the COLUMN'S STAT IS DROPPED rather than
+    json.dump blowing up the manifest publish (a commit must never fail
+    because one column's statistic is exotic)."""
     import datetime as _dt
+    import decimal as _dec
 
     if isinstance(v, _dt.datetime):
         if v.tzinfo is None:  # parquet UTC-adjusted timestamps are instants
             v = v.replace(tzinfo=_dt.timezone.utc)
         return {"_ts": v.isoformat()}
+    if isinstance(v, _dt.date):
+        return {"_d": v.isoformat()}
+    if isinstance(v, _dec.Decimal):
+        return {"_n": str(v)}
     if isinstance(v, (bytes, bytearray)):
         return v.decode("utf-8", errors="replace")
-    return v
+    if isinstance(v, (str, int, float, bool)):
+        return v
+    return None  # unknown stat type: drop, never crash the commit
 
 
 def _stat_from_json(v):
     import datetime as _dt
+    import decimal as _dec
 
     if isinstance(v, dict) and "_ts" in v:
         return _dt.datetime.fromisoformat(v["_ts"])
+    if isinstance(v, dict) and "_d" in v:
+        return _dt.date.fromisoformat(v["_d"])
+    if isinstance(v, dict) and "_n" in v:
+        return _dec.Decimal(v["_n"])
     return v
 
 
-def _norm_bound(v):
-    """Normalize a query bound for comparison against decoded stats."""
+def _norm_bound(v, dtype: T.DataType | None = None):
+    """Normalize a query bound for comparison against decoded stats.
+
+    TYPE-AWARE: string→datetime parsing happens ONLY when the column's
+    declared type is temporal — otherwise a date-like string bound on a
+    STRING column (e.g. the week-keyed table's 'yyyy-MM-dd' keys, or
+    all-digit conv ids, which ``fromisoformat`` happily parses) would be
+    silently coerced into a timestamp literal and empty the read."""
     import datetime as _dt
 
-    if isinstance(v, str):
+    temporal = dtype is None or isinstance(
+        dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)
+    )
+    if isinstance(v, str) and temporal and dtype is not None:
         try:
+            if isinstance(dtype, T.DateType):
+                return _dt.date.fromisoformat(v)
             d = _dt.datetime.fromisoformat(v)
             return d.replace(tzinfo=_dt.timezone.utc) if d.tzinfo is None else d
         except ValueError:
             return v
+    if isinstance(v, str) and dtype is None:
+        # no type context (legacy callers): keep the string untouched —
+        # never guess
+        return v
     if isinstance(v, _dt.datetime) and v.tzinfo is None:
         return v.replace(tzinfo=_dt.timezone.utc)
     return v
@@ -206,7 +237,9 @@ def _footer_minmax(md, stats_cols: list[str]) -> dict[str, list]:
             lo = st.min if lo is None or st.min < lo else lo
             hi = st.max if hi is None or st.max > hi else hi
         if ok:
-            out[col] = [_stat_to_json(lo), _stat_to_json(hi)]
+            lo_j, hi_j = _stat_to_json(lo), _stat_to_json(hi)
+            if lo_j is not None and hi_j is not None:
+                out[col] = [lo_j, hi_j]
     return out
 
 
@@ -468,11 +501,12 @@ class ManifestTable:
             df = dedup_latest(df, m["key_cols"], ["ts", "_lsn"])
         df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
         if where:
+            dtypes = {f.name: f.dataType for f in ischema.fields}
             for c, (lo, hi) in where.items():
                 if lo is not None:
-                    df = df.filter(F.col(c) >= F.lit(_norm_bound(lo)))
+                    df = df.filter(F.col(c) >= F.lit(_norm_bound(lo, dtypes.get(c))))
                 if hi is not None:
-                    df = df.filter(F.col(c) <= F.lit(_norm_bound(hi)))
+                    df = df.filter(F.col(c) <= F.lit(_norm_bound(hi, dtypes.get(c))))
         if not include_internal:
             df = df.select(*[f.name for f in self.schema(version).fields])
         return df
@@ -485,8 +519,13 @@ class ManifestTable:
         Files with no recorded stats for a bound column are always kept."""
         key_cols = set(m["key_cols"])
         stats = m.get("file_stats") or {}
+        dtypes = {
+            f.name: f.dataType
+            for f in T.StructType.fromJson(m["schema"]).fields
+        }
         nb = {
-            c: (_norm_bound(lo), _norm_bound(hi)) for c, (lo, hi) in where.items()
+            c: (_norm_bound(lo, dtypes.get(c)), _norm_bound(hi, dtypes.get(c)))
+            for c, (lo, hi) in where.items()
         }
 
         def keep(p: str, usable: list[str]) -> bool:
@@ -1247,13 +1286,15 @@ class ManifestTable:
         return sum(int(br.get(str(b), 0)) for b in buckets)
 
     def _staging_relpath(self, version: int, epoch_id) -> str:
-        # unique per attempt: a crashed attempt's dir is never referenced and
-        # never collides with the retry (vacuum removes orphans)
-        base = os.path.join(_DATA_DIR, f"v{version:012d}-e{epoch_id}")
-        attempt = 0
-        while os.path.exists(os.path.join(self.root, f"{base}-a{attempt}")):
-            attempt += 1
-        return f"{base}-a{attempt}"
+        # unique per attempt AND per writer: the suffix is a process/clock
+        # nonce, not a check-then-act counter — two writers staging the
+        # same (version, epoch) concurrently (racing redeliveries of one
+        # stream) can never pick the same dir and overwrite each other's
+        # staged files mid-merge.  A crashed attempt's dir is never
+        # referenced and never collides with the retry (vacuum removes
+        # orphans).
+        nonce = f"{os.getpid():x}-{time.monotonic_ns():x}"
+        return os.path.join(_DATA_DIR, f"v{version:012d}-e{epoch_id}-a{nonce}")
 
     # ---------- maintenance ----------
 
@@ -1262,14 +1303,18 @@ class ManifestTable:
         manifests (the lazy cleanup that replaces the reference's eager
         compensation deletes, ``HandleDataExtractionErrorLambda.py:49-62``).
 
-        ``grace_s``: dirs modified within the last ``grace_s`` seconds are
-        NEVER removed even if unreferenced — a CONCURRENT writer's staging
-        dir is unreferenced by definition until its manifest publishes, and
-        deleting it mid-write would corrupt that writer's commit.  This is
-        the standard object-store GC guard (Iceberg's ``older_than``); a
-        crashed attempt's orphan stays one grace period longer, nothing
-        else changes.  ``grace_s=0`` restores eager single-writer behavior
-        (used by tests)."""
+        ``grace_s``: dirs whose NEWEST file (recursive — Spark task commits
+        touch inner files, not the top dir's mtime) is younger than
+        ``grace_s`` seconds are NEVER removed even if unreferenced — a
+        CONCURRENT writer's staging dir is unreferenced by definition until
+        its manifest publishes, and deleting it mid-write would corrupt
+        that writer's commit.  This is the standard object-store GC guard
+        (Iceberg's ``older_than``); a crashed attempt's orphan stays one
+        grace period longer, nothing else changes.  Residual window: a
+        writer idle longer than ``grace_s`` between its last staged write
+        and its publish can still lose its dir — size ``grace_s`` above
+        the slowest expected merge gap (default 600 s).  ``grace_s=0``
+        restores eager single-writer behavior (used by tests)."""
         import shutil
 
         cur = self.current_version()
@@ -1289,10 +1334,20 @@ class ManifestTable:
                 continue
             path = os.path.join(ddir, d)
             try:
-                age = now - os.path.getmtime(path)
+                newest = os.path.getmtime(path)
+                if grace_s > 0:
+                    # newest mtime across the tree: an in-flight write job
+                    # keeps committing task files inside subdirs without
+                    # ever touching the top dir's mtime
+                    for dirpath, _dirs, files in os.walk(path):
+                        for f in files:
+                            newest = max(
+                                newest,
+                                os.path.getmtime(os.path.join(dirpath, f)),
+                            )
             except OSError:
-                continue  # raced with another vacuum
-            if age < grace_s:
+                continue  # raced with another vacuum / an active writer
+            if now - newest < grace_s:
                 continue  # possibly an in-flight writer's staging dir
             shutil.rmtree(path, ignore_errors=True)
             removed.append(d)

@@ -312,7 +312,18 @@ class CDCEngine:
             stream = dedup_stream_within_watermark(
                 stream, key_cols=[*key_cols, "lsn"], delay=self.event_dedup
             )
-        qname = f"cdc_replay_{abs(hash(self._epoch_scope)) % 10**8:08d}"
+        # unique per replay CALL (monotonic nonce): a leaked tail listener
+        # from a previous replay can never match a new query's name, so
+        # progress rows are recorded exactly once per micro-batch
+        qname = f"cdc_replay_{time.monotonic_ns():x}"
+        if getattr(self, "_listener", None) is not None:
+            # a previous continuous tail registered a listener this engine
+            # owns — detach it before adding the new one
+            try:
+                self.spark.streams.removeListener(self._listener)
+            except Exception:
+                pass
+            self._listener = None
         listener = _progress_listener(self.lineage, qname)
         self.spark.streams.addListener(listener)
         writer = (
@@ -337,8 +348,10 @@ class CDCEngine:
                 self.lineage.flush()
         else:
             # continuous tail: the listener lives as long as the query; the
-            # caller's q.stop() ends progress events, and a leaked listener
-            # filtered to this query name is inert afterwards
+            # caller's q.stop() ends progress events.  The query name is
+            # unique per replay call, so even if this listener is never
+            # removed it can never match a later query; the next replay()
+            # on this engine detaches it explicitly (above)
             self._listener = listener
         return q
 

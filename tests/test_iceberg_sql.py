@@ -103,9 +103,9 @@ def test_widen_sql_golden(spark):
             T.StructField("score", T.DoubleType()),
         ],
     )
-    assert stmts == (
-        "ALTER TABLE cat.db.transcripts ALTER COLUMN turn_idx TYPE bigint; "
-        "ALTER TABLE cat.db.transcripts ALTER COLUMN score TYPE double"
-    )
-    for s in stmts.split("; "):
+    assert stmts == [
+        "ALTER TABLE cat.db.transcripts ALTER COLUMN turn_idx TYPE bigint",
+        "ALTER TABLE cat.db.transcripts ALTER COLUMN score TYPE double",
+    ]
+    for s in stmts:
         _parse(spark, s)

@@ -190,7 +190,7 @@ def test_crash_before_publish_then_retry(spark, table):
     # (grace_s=0: eager single-writer GC; the default grace protects
     # concurrent writers' in-flight staging dirs)
     removed = table.vacuum(keep_versions=1, grace_s=0)
-    assert any("-a0" in d for d in removed)
+    assert any("-e0-a" in d for d in removed)  # the crashed attempt's dir
     assert _state(table) == {("a", 0): "hello"}
 
 
