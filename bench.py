@@ -82,6 +82,9 @@ HEADLINE = [
 ]
 
 CDC_REPLAY = "cdc_replay"
+CDC_REPLAY_COW = "cdc_replay_cow"  # opt-in (--only): the copy-on-write
+# tail for comparison — not headline because delta IS the designed
+# binlog-tail path at scale (BENCH.md)
 
 
 def _force(df) -> None:
@@ -116,7 +119,8 @@ def bench_stream_spec(n_events: int) -> ChangeStreamSpec:
 
 
 def bench_cdc_replay(
-    spark, n_events: int, cpus: int, stream_dir: str | None = None
+    spark, n_events: int, cpus: int, stream_dir: str | None = None,
+    merge_mode: str = "delta",
 ) -> tuple[float, float]:
     """Replay a change stream through the full engine path.
 
@@ -154,7 +158,7 @@ def bench_cdc_replay(
             n_buckets=max(2 * cpus, 16),
             salt_buckets=max(2 * cpus, 16),
             audit="counts",
-            merge_mode="delta",
+            merge_mode=merge_mode,
         )
         warm.replay(warm_dir, os.path.join(work, "warm_ckpt"),
                     available_now=True, timeout_s=600)
@@ -166,7 +170,7 @@ def bench_cdc_replay(
             n_buckets=max(2 * cpus, 16),
             salt_buckets=max(2 * cpus, 16),
             audit="counts",
-            merge_mode="delta",  # the designed binlog-tail path at scale
+            merge_mode=merge_mode,  # delta = the designed tail path at scale
         )
         t0 = time.monotonic()
         engine.replay(
@@ -221,6 +225,7 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     events_per_sec = None
+    cow_events_per_sec = None
     ann_built = False
     for name in names:
         if name in ("knn_lsh", "knn_ivf") and not ann_built:
@@ -242,6 +247,14 @@ def main() -> int:
             timings["cdc_compact"] = round(cdt, 3)
             events_per_sec = round(eps, 1)
             continue
+        if name == CDC_REPLAY_COW:
+            dt, _cdt, eps = bench_cdc_replay(
+                spark, args.events, cpus, stream_dir=args.stream_dir,
+                merge_mode="cow",
+            )
+            timings[name] = round(dt, 3)
+            cow_events_per_sec = round(eps, 1)
+            continue
         fn = QUERIES[name][0]
         # warm nothing: each timing includes plan + execution (cold path)
         t0 = time.monotonic()
@@ -257,6 +270,7 @@ def main() -> int:
         "sf": sf,
         "cpus": cpus,
         "cdc_events_per_sec": events_per_sec,
+        "cdc_cow_events_per_sec": cow_events_per_sec,
         "cdc_replay_events": args.events if CDC_REPLAY in names else None,
     }
     line = json.dumps(out)
