@@ -322,3 +322,39 @@ def test_fold_applied_never_claims_unapplied_ids():
     for i in (2, 5, 6, 7, 8, 9, 10):
         assert _epoch_applied(m2, f"s:{i}"), i
     assert not _epoch_applied(m2, "s:4")
+
+
+def test_fold_applied_membership_property():
+    """Property (hypothesis): for ANY applied-id multiset and fold cadence,
+    folding never changes membership — every applied id stays applied,
+    every unapplied id stays unapplied (the exactly-once invariant)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from event_driven_etl_msc_research_spark.sinks.manifest import (
+        _epoch_applied,
+        _fold_applied,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        ids=st.lists(st.integers(0, 40), min_size=0, max_size=60),
+        max_entries=st.integers(0, 10),
+        n_folds=st.integers(1, 3),
+    )
+    def check(ids, max_entries, n_folds):
+        applied = [f"s:{i}" for i in ids]
+        ranges: dict = {}
+        # fold repeatedly, feeding each fold's output (plus nothing new)
+        # back in — repeated folding must be stable and lossless
+        kept = applied
+        for _ in range(n_folds):
+            kept, ranges = _fold_applied(kept, ranges, max_entries)
+        m = {"applied_epochs": kept, "applied_ranges": ranges}
+        applied_set = set(ids)
+        for i in range(45):
+            assert _epoch_applied(m, f"s:{i}") == (i in applied_set), (
+                i, sorted(applied_set), kept, ranges,
+            )
+
+    check()
