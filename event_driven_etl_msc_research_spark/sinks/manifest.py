@@ -1296,6 +1296,97 @@ class ManifestTable:
         nonce = f"{os.getpid():x}-{time.monotonic_ns():x}"
         return os.path.join(_DATA_DIR, f"v{version:012d}-e{epoch_id}-a{nonce}")
 
+    def rebucket(self, n_buckets: int, before_publish=None) -> dict[str, Any]:
+        """Change the table's hash-bucket count (Iceberg's partition-spec
+        evolution for the bucket transform): fold the full current state
+        (base + deltas), re-assign every row's bucket under the new count,
+        rewrite all files, publish one manifest.
+
+        An operational necessity at 10^10-row scale — a table outgrows its
+        create-time ``n_buckets`` (bucket files too large ⇒ CoW epochs too
+        expensive, point lookups too broad).  Cost is one full rewrite
+        (O(table)), the same as any repartitioning maintenance; subsequent
+        merges bucket by the new count.  Exactly-once bookkeeping carries
+        through unchanged (maintenance, not an epoch), and the commit is
+        the same optimistic put-if-absent — on a lost race to an ingest
+        commit it returns Skipped to be retried at a quieter moment."""
+        t0 = time.monotonic()
+        m = self.manifest()
+        if n_buckets == m["n_buckets"]:
+            return {
+                "status": "Skipped",
+                "reason": "n_buckets unchanged",
+                "version": m["version"],
+                "duration_s": time.monotonic() - t0,
+            }
+        key_cols = m["key_cols"]
+        ischema = self._internal_schema()
+        df = self._read_files(self._all_files(m), ischema)
+        if self._all_delta_files(m):
+            df = dedup_latest(df, key_cols, ["ts", "_lsn"])
+        rebucketed = df.withColumn(
+            "_bucket", _bucket_expr(n_buckets, key_cols[0])
+        )
+        version = m["version"] + 1
+        stage_rel = self._staging_relpath(version, f"rebucket{n_buckets}")
+        stage_dir = os.path.join(self.root, stage_rel)
+        obs = Observation()
+        (
+            rebucketed.observe(obs, F.count(F.lit(1)).alias("rows"))
+            .withColumn("_pb", F.col("_bucket"))
+            .repartition(max(n_buckets, 1), F.col("_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("_pb")
+            .parquet(stage_dir)
+        )
+        staged_files, rows_by_bucket, staged_rows = self._scan_staging(
+            stage_dir, stage_rel
+        )
+        if staged_rows != int(obs.get["rows"]):
+            raise RuntimeError(
+                f"rebucket audit failed: observed {int(obs.get['rows'])} vs "
+                f"staged {staged_rows}"
+            )
+        new_manifest = {
+            "version": version,
+            "parent": m["version"],
+            "epoch_id": f"rebucket:{version}",
+            "schema": m["schema"],
+            "key_cols": key_cols,
+            "n_buckets": n_buckets,
+            "tenant_id": m.get("tenant_id"),
+            "files": {str(b): p for b, p in staged_files.items()},
+            "delta_files": {},
+            "file_stats": self._fold_stats(m, staged_files, {}),
+            "stats_cols": m.get("stats_cols") or [],
+            "bucket_rows": rows_by_bucket,
+            "applied_epochs": m["applied_epochs"],
+            "applied_ranges": m.get("applied_ranges") or {},
+            "added_cols": [],
+            "total_rows": staged_rows,
+            "delta_rows": {},
+            "delta_rows_total": 0,
+            "committed_at": time.time(),
+        }
+        if before_publish is not None:
+            before_publish(new_manifest)
+        try:
+            self._publish(new_manifest)
+        except ManifestConflict:
+            return {
+                "status": "Skipped",
+                "reason": "lost manifest race to a concurrent writer",
+                "version": self.current_version(),
+                "duration_s": time.monotonic() - t0,
+            }
+        return {
+            "status": "Success",
+            "version": version,
+            "n_buckets": n_buckets,
+            "staged_rows": staged_rows,
+            "duration_s": time.monotonic() - t0,
+        }
+
     # ---------- maintenance ----------
 
     def vacuum(self, keep_versions: int = 1, grace_s: float = 600.0) -> list[str]:

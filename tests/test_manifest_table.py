@@ -358,3 +358,38 @@ def test_fold_applied_membership_property():
             )
 
     check()
+
+
+def test_rebucket_preserves_state_and_rescales(spark, tmp_root):
+    """Bucket-count evolution: a rebucket folds MOR state, rewrites every
+    row under the new hash count, keeps semantics (state, tombstones,
+    exactly-once, point lookups) identical, and subsequent merges use the
+    new layout."""
+    t = ManifestTable.create(
+        spark, os.path.join(tmp_root, "rb"), TRANSCRIPT_SCHEMA, n_buckets=2
+    )
+    rows = [("I", i, 100 + i, f"c{i}", 0, "user", f"t{i}", None) for i in range(16)]
+    t.merge(_changes_df(spark, rows), 0)
+    t.merge(_changes_df(spark, [("D", 99, 900, "c3", 0, None, None, None)]), 1,
+            mode="delta")
+    before = _state(t)
+    assert ("c3", 0) not in before and len(before) == 15
+
+    r = t.rebucket(8)
+    assert r["status"] == "Success"
+    m = t.manifest()
+    assert m["n_buckets"] == 8 and not m.get("delta_files")
+    assert len([b for b, ps in m["files"].items() if ps]) > 2
+    assert _state(t) == before
+    # tombstone survives the rewrite: an older update still cannot resurrect
+    t.merge(_changes_df(spark, [("U", 50, 500, "c3", 0, "user", "zombie", None)]), 2)
+    assert ("c3", 0) not in _state(t)
+    # exactly-once carries through: epoch 0 is still applied
+    assert t.merge(_changes_df(spark, rows), 0)["status"] == "Skipped"
+    # merges + point lookups work under the new count
+    t.merge(_changes_df(spark, [("U", 100, 1000, "c5", 0, "user", "upd", None)]), 3)
+    got = t.read(where={"conv_id": ("c5", "c5")})
+    assert [r["text"] for r in got.collect()] == ["upd"]
+    assert len({p.split("/_pb=")[1].split("/")[0] for p in got.inputFiles()}) == 1
+    # no-op rebucket is skipped
+    assert t.rebucket(8)["status"] == "Skipped"
