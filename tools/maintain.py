@@ -1,0 +1,55 @@
+"""spark-submit maintenance entry point: compact / vacuum / rebucket a table.
+
+Background maintenance runs OFF the ingest critical path (the production
+MOR pattern — Iceberg/Paimon/Hudi compaction services)::
+
+    spark-submit --master <cluster> --py-files dist/engine.zip \\
+        tools/maintain.py --table /lake/transcripts compact
+    ... maintain.py --table /lake/transcripts vacuum --keep-versions 8
+    ... maintain.py --table /lake/transcripts rebucket --n-buckets 256
+
+Safe against a concurrently running tail: every operation commits through
+the same optimistic put-if-absent manifest protocol (a lost race returns
+Skipped — rerun later), and vacuum's grace window never touches another
+writer's in-flight staging dirs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--table", required=True, help="table root dir")
+    sub = ap.add_subparsers(dest="op", required=True)
+    sc = sub.add_parser("compact", help="fold delta files into base")
+    sc.add_argument("--min-delta-files", type=int, default=1)
+    sv = sub.add_parser("vacuum", help="GC unreferenced data dirs")
+    sv.add_argument("--keep-versions", type=int, default=8)
+    sv.add_argument("--grace-s", type=float, default=600.0)
+    sr = sub.add_parser("rebucket", help="change the hash bucket count")
+    sr.add_argument("--n-buckets", type=int, required=True)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from event_driven_etl_msc_research_spark.sinks.manifest import ManifestTable
+
+    spark = SparkSession.builder.appName(f"maintain_{args.op}").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    t = ManifestTable(spark, args.table)
+    if args.op == "compact":
+        out = t.compact(min_delta_files=args.min_delta_files)
+    elif args.op == "vacuum":
+        removed = t.vacuum(keep_versions=args.keep_versions, grace_s=args.grace_s)
+        out = {"status": "Success", "removed_dirs": len(removed)}
+    else:
+        out = t.rebucket(args.n_buckets)
+    print(json.dumps(out))
+    return 0 if out.get("status") in ("Success", "Skipped") else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
