@@ -747,8 +747,8 @@ class ManifestTable:
                 .repartition(max(n_buckets, 1), F.col("_bucket"))
             )
             writer.write.mode("overwrite").partitionBy("_pb").parquet(stage_dir)
-            staged_files, rows_by_bucket, staged_rows = self._scan_staging(
-                stage_dir, stage_rel
+            staged_files, rows_by_bucket, staged_rows, staged_stats = (
+                self._scan_staging(stage_dir, stage_rel)
             )
             touched = sorted(staged_files)
             n_change_keys = staged_rows
@@ -775,8 +775,8 @@ class ManifestTable:
                 .partitionBy("_pb")
                 .parquet(ch_dir)
             )
-            ch_files, ch_rows_by_bucket, n_change_keys = self._scan_staging(
-                ch_dir, ch_rel
+            ch_files, ch_rows_by_bucket, n_change_keys, ch_stats = (
+                self._scan_staging(ch_dir, ch_rel)
             )
             if n_change_keys != int(ch_obs.get["rows"]):
                 raise RuntimeError(
@@ -807,8 +807,8 @@ class ManifestTable:
             if not touched_files:
                 # empty target: the staged batch (one row per key) IS the
                 # merged result — publish its files, no second job
-                staged_files, rows_by_bucket, staged_rows = (
-                    ch_files, ch_rows_by_bucket, n_change_keys,
+                staged_files, rows_by_bucket, staged_rows, staged_stats = (
+                    ch_files, ch_rows_by_bucket, n_change_keys, ch_stats,
                 )
                 merge_path = "initial"
             else:
@@ -844,8 +844,8 @@ class ManifestTable:
                 writer.write.mode("overwrite").partitionBy("_pb").parquet(
                     merged_dir
                 )
-                staged_files, rows_by_bucket, staged_rows = self._scan_staging(
-                    merged_dir, merged_rel, buckets=touched
+                staged_files, rows_by_bucket, staged_rows, staged_stats = (
+                    self._scan_staging(merged_dir, merged_rel, buckets=touched)
                 )
 
         # ---- audit (write-audit-publish; cf. the per-chunk record counts the
@@ -947,12 +947,18 @@ class ManifestTable:
                 "parent": mc["version"],
                 "epoch_id": epoch_key,
                 "schema": schema_c.jsonValue(),
-                "key_cols": key_cols,
-                "n_buckets": n_buckets,
+                # layout comes from the BASE manifest, not merge-start locals:
+                # the retry loop guarantees they agree (a layout change redoes
+                # the merge), and taking them from mc makes that invariant
+                # structural rather than assumed
+                "key_cols": mc["key_cols"],
+                "n_buckets": mc["n_buckets"],
                 "tenant_id": mc.get("tenant_id"),
                 "files": {str(b): p for b, p in files.items()},
                 "delta_files": {str(b): p for b, p in delta_files.items() if p},
-                "file_stats": self._fold_stats(mc, files, delta_files),
+                "file_stats": self._fold_stats(
+                    mc, files, delta_files, staged_stats
+                ),
                 "stats_cols": mc.get("stats_cols") or [],
                 "bucket_rows": bucket_rows,
                 "applied_epochs": applied_c,
@@ -978,11 +984,18 @@ class ManifestTable:
                         "reason": "epoch committed by concurrent writer",
                         "duration_s": time.monotonic() - t0,
                     }
-                if mode != "delta":
+                stale = mc["n_buckets"] != n_buckets or mc["key_cols"] != key_cols
+                # a layout change (the winner was rebucket()) invalidates the
+                # staged files in EVERY mode: they are hashed under the OLD
+                # bucket count, and appending them (delta) or republishing
+                # the old layout (CoW _assemble) would silently revert the
+                # rebucket and mis-bucket data — point-lookup pruning would
+                # then skip buckets that hold the key.  Redo the whole merge
+                # against the fresh manifest (staged dirs orphan → vacuumed).
+                if not stale and mode != "delta":
                     # our merged rewrite folded the touched buckets' state
                     # AS OF m; if the winner changed any of them the staged
-                    # output is stale — redo the whole merge against the
-                    # fresh manifest (staged dirs orphan → vacuumed)
+                    # output is stale — same recovery
                     od = m.get("delta_files") or {}
                     nd = mc.get("delta_files") or {}
                     stale = any(
@@ -990,22 +1003,22 @@ class ManifestTable:
                         or nd.get(str(b)) != od.get(str(b))
                         for b in touched
                     )
-                    if stale:
-                        return self.merge(
-                            changes,
-                            epoch_id,
-                            salt_buckets=salt_buckets,
-                            files_per_bucket=files_per_bucket,
-                            audit=audit,
-                            strategy=strategy,
-                            broadcast_threshold=broadcast_threshold,
-                            epoch_scope=epoch_scope,
-                            before_publish=before_publish,
-                            mode=mode,
-                            retries=retries - attempt,
-                        )
-                    # delta rebase is always safe: delta commits only append
-                    # per-bucket file lists, they never read target state
+                if stale:
+                    return self.merge(
+                        changes,
+                        epoch_id,
+                        salt_buckets=salt_buckets,
+                        files_per_bucket=files_per_bucket,
+                        audit=audit,
+                        strategy=strategy,
+                        broadcast_threshold=broadcast_threshold,
+                        epoch_scope=epoch_scope,
+                        before_publish=before_publish,
+                        mode=mode,
+                        retries=retries - attempt,
+                    )
+                # same-layout delta rebase is safe: delta commits only append
+                # per-bucket file lists, they never read target state
             new_manifest = _assemble(mc)
             if before_publish is not None:
                 # test/chaos hook: crash after staging, before the commit
@@ -1047,26 +1060,36 @@ class ManifestTable:
 
     def _scan_staging(
         self, stage_dir: str, stage_rel: str, buckets: list[int] | None = None
-    ) -> tuple[dict[int, list[str]], dict[str, int], int]:
+    ) -> tuple[dict[int, list[str]], dict[str, int], int, dict[str, dict]]:
         """Driver-side footer audit of a staged write: list ``_pb=*`` dirs,
         read each parquet footer (pyarrow — no Spark job), return
-        (files_by_bucket, rows_by_bucket, total_rows).  A truncated or
-        unreadable file fails here, before publish.
+        (files_by_bucket, rows_by_bucket, total_rows, file_stats).  A
+        truncated or unreadable file fails here, before publish.
 
-        Side effect: per-file min/max ranges of the manifest's
-        ``stats_cols`` are harvested from the SAME footers into
-        ``self._pending_stats[relpath]`` — zero extra I/O; ``merge`` /
-        ``compact`` fold them into the published manifest for scan pruning."""
+        Footer reads are parallelized on a thread pool (pure I/O — one small
+        ranged read each); results are merged deterministically by sorted
+        path, so the manifest is byte-identical to a sequential scan.  At
+        hundreds of staged files per epoch this keeps driver commit latency
+        flat instead of serializing on footer round-trips.
+
+        ``file_stats``: per-file min/max ranges of the manifest's
+        ``stats_cols``, harvested from the SAME footers (zero extra I/O) and
+        returned EXPLICITLY — callers pass them to ``_fold_stats`` for the
+        published manifest.  No instance state is threaded, so interleaved
+        scans on one ManifestTable (threaded merge + compact/rebucket) can
+        never clobber each other's harvested stats."""
         import pyarrow.parquet as pq
+        from concurrent.futures import ThreadPoolExecutor
 
         stats_cols = list(self.manifest().get("stats_cols") or [])
-        self._pending_stats = {}
+        file_stats: dict[str, dict] = {}
         files_by_bucket: dict[int, list[str]] = {}
         rows_by_bucket: dict[str, int] = {}
         total = 0
         if buckets is not None:
             files_by_bucket = {b: [] for b in buckets}
             rows_by_bucket = {str(b): 0 for b in buckets}
+        work: list[tuple[int, str, str]] = []  # (bucket, fullpath, relpath)
         if os.path.isdir(stage_dir):
             for d in sorted(os.listdir(stage_dir)):
                 if not d.startswith("_pb="):
@@ -1074,21 +1097,30 @@ class ManifestTable:
                 b = int(d.split("=", 1)[1])
                 if buckets is not None and b not in files_by_bucket:
                     continue
-                rel, rows = [], 0
+                files_by_bucket.setdefault(b, [])
+                rows_by_bucket.setdefault(str(b), 0)
                 for f in sorted(os.listdir(os.path.join(stage_dir, d))):
                     if f.endswith(".parquet"):
-                        fp = os.path.join(stage_dir, d, f)
-                        md = pq.ParquetFile(fp).metadata
-                        rows += md.num_rows
-                        relpath = os.path.join(stage_rel, d, f)
-                        rel.append(relpath)
-                        st = _footer_minmax(md, stats_cols)
-                        if st:
-                            self._pending_stats[relpath] = st
-                files_by_bucket[b] = rel
-                rows_by_bucket[str(b)] = rows
+                        work.append(
+                            (b, os.path.join(stage_dir, d, f),
+                             os.path.join(stage_rel, d, f))
+                        )
+
+        def _footer(item):
+            b, fp, relpath = item
+            md = pq.ParquetFile(fp).metadata
+            return b, relpath, md.num_rows, _footer_minmax(md, stats_cols)
+
+        if work:
+            with ThreadPoolExecutor(max_workers=min(16, len(work))) as pool:
+                results = list(pool.map(_footer, work))
+            for b, relpath, rows, st in results:  # work order = sorted order
+                files_by_bucket[b].append(relpath)
+                rows_by_bucket[str(b)] += rows
                 total += rows
-        return files_by_bucket, rows_by_bucket, total
+                if st:
+                    file_stats[relpath] = st
+        return files_by_bucket, rows_by_bucket, total, file_stats
 
     # ---------- compaction (MOR maintenance) ----------
 
@@ -1147,8 +1179,8 @@ class ManifestTable:
             .partitionBy("_pb")
             .parquet(stage_dir)
         )
-        staged_files, rows_by_bucket, staged_rows = self._scan_staging(
-            stage_dir, stage_rel, buckets=cand
+        staged_files, rows_by_bucket, staged_rows, staged_stats = (
+            self._scan_staging(stage_dir, stage_rel, buckets=cand)
         )
         if staged_rows != int(obs.get["rows"]):
             raise RuntimeError(
@@ -1174,7 +1206,7 @@ class ManifestTable:
             "tenant_id": m.get("tenant_id"),
             "files": {str(b): p for b, p in files.items()},
             "delta_files": {str(b): p for b, p in delta_files.items()},
-            "file_stats": self._fold_stats(m, files, delta_files),
+            "file_stats": self._fold_stats(m, files, delta_files, staged_stats),
             "stats_cols": m.get("stats_cols") or [],
             "bucket_rows": {
                 **{
@@ -1264,12 +1296,13 @@ class ManifestTable:
         old_manifest: dict[str, Any],
         files: dict[Any, list[str]],
         delta_files: dict[Any, list[str]],
+        pending: dict[str, dict] | None = None,
     ) -> dict[str, dict[str, list]]:
         """file_stats for the new manifest: freshly harvested footer stats
-        (``_pending_stats`` from the last ``_scan_staging``) for newly
-        staged files, carried-over entries for kept files, dropped entries
-        for removed files."""
-        pending = getattr(self, "_pending_stats", None) or {}
+        (``pending``, returned by the ``_scan_staging`` call that staged the
+        files) for newly staged files, carried-over entries for kept files,
+        dropped entries for removed files."""
+        pending = pending or {}
         old = old_manifest.get("file_stats") or {}
         published = [
             p for ps in files.values() for p in ps
@@ -1339,8 +1372,8 @@ class ManifestTable:
             .partitionBy("_pb")
             .parquet(stage_dir)
         )
-        staged_files, rows_by_bucket, staged_rows = self._scan_staging(
-            stage_dir, stage_rel
+        staged_files, rows_by_bucket, staged_rows, staged_stats = (
+            self._scan_staging(stage_dir, stage_rel)
         )
         if staged_rows != int(obs.get["rows"]):
             raise RuntimeError(
@@ -1357,7 +1390,7 @@ class ManifestTable:
             "tenant_id": m.get("tenant_id"),
             "files": {str(b): p for b, p in staged_files.items()},
             "delta_files": {},
-            "file_stats": self._fold_stats(m, staged_files, {}),
+            "file_stats": self._fold_stats(m, staged_files, {}, staged_stats),
             "stats_cols": m.get("stats_cols") or [],
             "bucket_rows": rows_by_bucket,
             "applied_epochs": m["applied_epochs"],

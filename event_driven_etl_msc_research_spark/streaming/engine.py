@@ -57,9 +57,19 @@ def _progress_listener(lineage: LineageLog, query_name: str):
             # removing the listener (events are async on the bus thread)
             self.done = _threading.Event()
             self._query_id = None
+            # terminations seen BEFORE bind(): the id is only known after
+            # start(), so a stale query terminating in that window must not
+            # set done early (it would let replay() detach the listener
+            # before the bound query's final progress events drain).  They
+            # are buffered and re-checked at bind time.
+            self._early_terminated: set[str] = set()
+            self._lock = _threading.Lock()
 
         def bind(self, query_id: str) -> None:
-            self._query_id = str(query_id)
+            with self._lock:
+                self._query_id = str(query_id)
+                if self._query_id in self._early_terminated:
+                    self.done.set()
 
         def onQueryStarted(self, event):
             pass
@@ -92,8 +102,11 @@ def _progress_listener(lineage: LineageLog, query_name: str):
             pass
 
         def onQueryTerminated(self, event):
-            if self._query_id is None or str(event.id) == self._query_id:
-                self.done.set()
+            with self._lock:
+                if self._query_id is None:
+                    self._early_terminated.add(str(event.id))
+                elif str(event.id) == self._query_id:
+                    self.done.set()
 
     return _Listener()
 

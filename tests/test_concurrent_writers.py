@@ -201,3 +201,71 @@ def test_vacuum_grace_protects_inflight_staging(spark, tmp_root):
 
     removed = a.vacuum(keep_versions=1, grace_s=0)  # eager: reclaims
     assert set(removed) >= orphans_before
+
+
+def test_rebucket_wins_race_against_delta_merge(spark, tmp_root):
+    """If rebucket() wins the manifest race against an in-flight delta merge,
+    the merge's staged files are hashed under the OLD bucket count — a naive
+    delta rebase would republish the stale n_buckets and mis-bucket data
+    (breaking only_bucket point-lookup pruning).  The merge must detect the
+    layout change and redo itself against the fresh manifest."""
+    a, b = _two_tables(spark, tmp_root, "t_rebucket_race")
+    seed = [(f"c{i}", i) for i in range(8)]
+    a.merge(
+        _changes_df(
+            spark,
+            [("I", i, 50, c, t, "user", "seed", None) for i, (c, t) in enumerate(seed)],
+        ),
+        epoch_id=0,
+    )
+    r = a.merge(
+        _changes_df(spark, [("I", 100, 200, "newconv", 0, "user", "late", None)]),
+        epoch_id=1,
+        mode="delta",
+        before_publish=_one_shot(lambda: b.rebucket(9)),
+    )
+    assert r["status"] == "Success"
+    m = a.manifest()
+    # the rebucketed layout survives — the losing merge must NOT revert it
+    assert m["n_buckets"] == 9
+    st = _state(a)
+    assert st[("newconv", 0)] == "late"
+    assert len(st) == 9
+    # point-lookup pruning still finds the key merged after the rebucket
+    got = {
+        (row["conv_id"], row["turn_idx"]): row["text"]
+        for row in a.read(where={"conv_id": ("newconv", "newconv")}).collect()
+    }
+    assert got == {("newconv", 0): "late"}
+    # every delta file must live in the bucket dir matching the NEW layout:
+    # re-reading each delta bucket's files, all rows hash to that bucket
+    from event_driven_etl_msc_research_spark.sinks.manifest import _bucket_expr
+
+    for bkt, paths in (m.get("delta_files") or {}).items():
+        rows = (
+            spark.read.parquet(*[os.path.join(a.root, p) for p in paths])
+            .select(_bucket_expr(m["n_buckets"]).alias("b"))
+            .distinct()
+            .collect()
+        )
+        assert {row["b"] for row in rows} == {int(bkt)}
+
+
+def test_rebucket_wins_race_against_cow_merge(spark, tmp_root):
+    """Same race on the CoW path: the existing touched-bucket staleness check
+    fires (rebucket rewrites every file), and the redo must publish under the
+    winner's NEW bucket count."""
+    a, b = _two_tables(spark, tmp_root, "t_rebucket_race_cow")
+    a.merge(
+        _changes_df(spark, [("I", 0, 50, "k", 0, "user", "seed", None)]),
+        epoch_id=0,
+    )
+    r = a.merge(
+        _changes_df(spark, [("U", 100, 200, "k", 0, "user", "A", None)]),
+        epoch_id=1,
+        before_publish=_one_shot(lambda: b.rebucket(7)),
+    )
+    assert r["status"] == "Success"
+    m = a.manifest()
+    assert m["n_buckets"] == 7
+    assert _state(a) == {("k", 0): "A"}
