@@ -53,6 +53,7 @@ from pyspark.sql import types as T
 
 from ..operators.dedup import dedup_latest
 from ..schemas import KEY_COLS
+from .storage import LocalFSStorage, TableStorage
 
 _MANIFEST_DIR = "_manifest"
 _DATA_DIR = "data"
@@ -252,9 +253,19 @@ class ManifestTable:
     # metadata growth on long tails)
     max_epoch_entries: int = 1024
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        storage: TableStorage | None = None,
+    ):
         self.spark = spark
         self.root = root
+        # every metadata operation goes through the TableStorage verbs
+        # (put-if-absent / get / list / delete) — see sinks/storage.py; the
+        # default is the POSIX backend, and the object-store fake is proven
+        # equivalent by the parameterized concurrency/chaos/vacuum suites
+        self.storage = storage or LocalFSStorage(root)
         self._manifest: dict[str, Any] | None = None
 
     # ---------- bootstrap ----------
@@ -269,6 +280,7 @@ class ManifestTable:
         n_buckets: int = 16,
         tenant_id: str | None = None,
         stats_cols: list[str] | None = None,
+        storage: TableStorage | None = None,
     ) -> "ManifestTable":
         """Idempotent create (cf. ``IF NOT EXISTS`` DDL, ``Phase3-DataLoad.py:86,104``).
 
@@ -278,11 +290,10 @@ class ManifestTable:
         capability Iceberg's per-file stats add over the reference's
         MSCK-partition model (``Phase3-DataLoad.py:169-175``): a bounded
         ``read(where=...)`` opens only overlapping files."""
-        t = cls(spark, root)
+        t = cls(spark, root, storage=storage)
         if t.exists():
             return t
-        os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
-        os.makedirs(os.path.join(root, _DATA_DIR), exist_ok=True)
+        t.storage.ensure_root()
         kc = key_cols or KEY_COLS
         have = {f.name for f in schema.fields}
         manifest = {
@@ -310,51 +321,43 @@ class ManifestTable:
 
     # ---------- manifest plumbing ----------
 
-    def _manifest_path(self, version: int) -> str:
-        return os.path.join(self.root, _MANIFEST_DIR, f"v{version:012d}.json")
+    def _manifest_key(self, version: int) -> str:
+        return f"{_MANIFEST_DIR}/v{version:012d}.json"
+
+    def _list_versions(self) -> list[int]:
+        versions = []
+        for o in self.storage.list(_MANIFEST_DIR):
+            name = o.key.rsplit("/", 1)[-1]
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    versions.append(int(name[1:-5]))
+                except ValueError:
+                    continue  # an in-flight .tmp or foreign file
+        return sorted(versions)
 
     def current_version(self) -> int | None:
-        mdir = os.path.join(self.root, _MANIFEST_DIR)
-        if not os.path.isdir(mdir):
-            return None
-        versions = [
-            int(f[1:-5])
-            for f in os.listdir(mdir)
-            if f.startswith("v") and f.endswith(".json")
-        ]
-        return max(versions) if versions else None
+        versions = self._list_versions()
+        return versions[-1] if versions else None
 
     def manifest(self, version: int | None = None) -> dict[str, Any]:
         v = self.current_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no manifest at {self.root}")
-        with open(self._manifest_path(v)) as f:
-            return json.load(f)
+        return json.loads(self.storage.get(self._manifest_key(v)))
 
     def _publish(self, manifest: dict[str, Any]) -> None:
-        """Atomic publish: write tmp in the same dir, fsync, then CLAIM the
-        version with ``os.link`` — link fails with EEXIST atomically if
-        another writer claimed it first (a check-then-rename would be TOCTOU:
-        POSIX rename silently overwrites).  Readers can never observe a
-        partial manifest; the link IS the commit point (SURVEY.md §7 hard
-        parts).  Raises ``ManifestConflict`` on a lost race — ``merge``
-        rebases and retries.  On an S3-style object store this maps to a
-        put-if-absent / preconditioned PUT of the same version key."""
-        final = self._manifest_path(manifest["version"])
-        tmp = f"{final}.{os.getpid():x}-{time.monotonic_ns():x}.tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(tmp, final)
-        except FileExistsError:
+        """Atomic publish: a conditional PUT of the version key — the
+        storage backend claims it atomically (POSIX: tmp+fsync+hard-link,
+        EEXIST = lost race; object store: ``If-None-Match: *`` PUT).
+        Readers can never observe a partial manifest; the PUT IS the commit
+        point (SURVEY.md §7 hard parts).  Raises ``ManifestConflict`` on a
+        lost race — ``merge`` rebases and retries."""
+        key = self._manifest_key(manifest["version"])
+        if not self.storage.put_if_absent(key, json.dumps(manifest).encode()):
             raise ManifestConflict(
                 f"manifest v{manifest['version']} was committed by a "
                 f"concurrent writer"
-            ) from None
-        finally:
-            os.unlink(tmp)
+            )
         self._manifest = manifest
 
     # ---------- schema ----------
@@ -434,14 +437,14 @@ class ManifestTable:
 
     def _all_files(self, manifest: dict[str, Any]) -> list[str]:
         return [
-            os.path.join(self.root, p)
+            self.storage.spark_path(p)
             for paths in manifest["files"].values()
             for p in paths
         ] + self._all_delta_files(manifest)
 
     def _all_delta_files(self, manifest: dict[str, Any]) -> list[str]:
         return [
-            os.path.join(self.root, p)
+            self.storage.spark_path(p)
             for paths in (manifest.get("delta_files") or {}).values()
             for p in paths
         ]
@@ -491,7 +494,7 @@ class ManifestTable:
             base_files, delta_files = self._pruned_files(m, where)
         else:
             base_files = [
-                os.path.join(self.root, p)
+                self.storage.spark_path(p)
                 for paths in m["files"].values()
                 for p in paths
             ]
@@ -593,14 +596,14 @@ class ManifestTable:
                 key_bounds if str(b) in delta_by_bucket else list(nb)
             )
             base += [
-                os.path.join(self.root, p) for p in ps if keep(p, usable)
+                self.storage.spark_path(p) for p in ps if keep(p, usable)
             ]
         deltas: list[str] = []
         for b, ps in delta_by_bucket.items():
             if only_bucket is not None and int(b) != only_bucket:
                 continue
             deltas += [
-                os.path.join(self.root, p) for p in ps if keep(p, key_bounds)
+                self.storage.spark_path(p) for p in ps if keep(p, key_bounds)
             ]
         return base, deltas
 
@@ -735,7 +738,7 @@ class ManifestTable:
         }
         version = m["version"] + 1
         stage_rel = self._staging_relpath(version, epoch_id)
-        stage_dir = os.path.join(self.root, stage_rel)
+        stage_dir = self.storage.spark_path(stage_rel)
         obs = Observation()
 
         if mode == "delta":
@@ -748,7 +751,7 @@ class ManifestTable:
             )
             writer.write.mode("overwrite").partitionBy("_pb").parquet(stage_dir)
             staged_files, rows_by_bucket, staged_rows, staged_stats = (
-                self._scan_staging(stage_dir, stage_rel)
+                self._scan_staging(stage_rel)
             )
             touched = sorted(staged_files)
             n_change_keys = staged_rows
@@ -765,7 +768,7 @@ class ManifestTable:
             # the CoW floor (find-touched + rewrite, the same two-phase
             # shape as Delta Lake's MERGE), vs delta mode's single job.
             ch_rel = os.path.join(stage_rel, "changes")
-            ch_dir = os.path.join(self.root, ch_rel)
+            ch_dir = self.storage.spark_path(ch_rel)
             ch_obs = Observation()
             (
                 change_rows.observe(ch_obs, F.count(F.lit(1)).alias("rows"))
@@ -776,7 +779,7 @@ class ManifestTable:
                 .parquet(ch_dir)
             )
             ch_files, ch_rows_by_bucket, n_change_keys, ch_stats = (
-                self._scan_staging(ch_dir, ch_rel)
+                self._scan_staging(ch_rel)
             )
             if n_change_keys != int(ch_obs.get["rows"]):
                 raise RuntimeError(
@@ -786,12 +789,12 @@ class ManifestTable:
                 )
             touched = sorted(ch_files)
             touched_files = [
-                os.path.join(self.root, p)
+                self.storage.spark_path(p)
                 for b in touched
                 for p in old_files.get(b, []) + old_delta.get(b, [])
             ]
             staged_changes = self._read_files(
-                [os.path.join(self.root, p) for ps in ch_files.values() for p in ps],
+                [self.storage.spark_path(p) for ps in ch_files.values() for p in ps],
                 ischema,
             )
             target = self._read_files(touched_files, ischema)
@@ -828,7 +831,7 @@ class ManifestTable:
 
                 # stage: write under an unreferenced dir; publish via manifest
                 merged_rel = os.path.join(stage_rel, "merged")
-                merged_dir = os.path.join(self.root, merged_rel)
+                merged_dir = self.storage.spark_path(merged_rel)
                 writer = merged.observe(obs, F.count(F.lit(1)).alias("rows"))
                 writer = writer.withColumn("_pb", F.col("_bucket"))
                 if files_per_bucket > 1:
@@ -845,7 +848,7 @@ class ManifestTable:
                     merged_dir
                 )
                 staged_files, rows_by_bucket, staged_rows, staged_stats = (
-                    self._scan_staging(merged_dir, merged_rel, buckets=touched)
+                    self._scan_staging(merged_rel, buckets=touched)
                 )
 
         # ---- audit (write-audit-publish; cf. the per-chunk record counts the
@@ -862,7 +865,7 @@ class ManifestTable:
                 )
         if audit == "keys" and staged_rows:
             staged_paths = [
-                os.path.join(self.root, p)
+                self.storage.spark_path(p)
                 for ps in staged_files.values()
                 for p in ps
             ]
@@ -1041,10 +1044,7 @@ class ManifestTable:
             # and are never referenced by any manifest; drop them now rather
             # than letting them ride inside the (referenced) version dir,
             # which vacuum only collects at top-dir granularity
-            import shutil
-
-            shutil.rmtree(os.path.join(self.root, stage_rel, "changes"),
-                          ignore_errors=True)
+            self.storage.delete_prefix(os.path.join(stage_rel, "changes"))
         return {
             "status": "Success",
             "epoch_id": epoch_id,
@@ -1059,7 +1059,7 @@ class ManifestTable:
         }
 
     def _scan_staging(
-        self, stage_dir: str, stage_rel: str, buckets: list[int] | None = None
+        self, stage_rel: str, buckets: list[int] | None = None
     ) -> tuple[dict[int, list[str]], dict[str, int], int, dict[str, dict]]:
         """Driver-side footer audit of a staged write: list ``_pb=*`` dirs,
         read each parquet footer (pyarrow — no Spark job), return
@@ -1089,26 +1089,33 @@ class ManifestTable:
         if buckets is not None:
             files_by_bucket = {b: [] for b in buckets}
             rows_by_bucket = {str(b): 0 for b in buckets}
-        work: list[tuple[int, str, str]] = []  # (bucket, fullpath, relpath)
-        if os.path.isdir(stage_dir):
-            for d in sorted(os.listdir(stage_dir)):
-                if not d.startswith("_pb="):
-                    continue
-                b = int(d.split("=", 1)[1])
-                if buckets is not None and b not in files_by_bucket:
-                    continue
-                files_by_bucket.setdefault(b, [])
-                rows_by_bucket.setdefault(str(b), 0)
-                for f in sorted(os.listdir(os.path.join(stage_dir, d))):
-                    if f.endswith(".parquet"):
-                        work.append(
-                            (b, os.path.join(stage_dir, d, f),
-                             os.path.join(stage_rel, d, f))
-                        )
+        # one LIST over the staging prefix (keys are already sorted) — no
+        # directory walks, no per-file stats: the same call an object store
+        # serves as ListObjectsV2
+        work: list[tuple[int, str]] = []  # (bucket, relpath)
+        plen = len(stage_rel.rstrip("/")) + 1
+        for o in self.storage.list(stage_rel):
+            rest = o.key[plen:]
+            parts = rest.split("/")
+            # exactly _pb=<b>/<file>.parquet directly under the prefix —
+            # skips _SUCCESS markers, task temp dirs, and nested stages
+            if (
+                len(parts) != 2
+                or not parts[0].startswith("_pb=")
+                or not parts[1].endswith(".parquet")
+            ):
+                continue
+            b = int(parts[0].split("=", 1)[1])
+            if buckets is not None and b not in files_by_bucket:
+                continue
+            files_by_bucket.setdefault(b, [])
+            rows_by_bucket.setdefault(str(b), 0)
+            work.append((b, o.key))
 
         def _footer(item):
-            b, fp, relpath = item
-            md = pq.ParquetFile(fp).metadata
+            b, relpath = item
+            with self.storage.open_input(relpath) as fh:
+                md = pq.ParquetFile(fh).metadata
             return b, relpath, md.num_rows, _footer_minmax(md, stats_cols)
 
         if work:
@@ -1160,7 +1167,7 @@ class ManifestTable:
         ischema = self._internal_schema()
         old_files = {int(b): ps for b, ps in m["files"].items()}
         inputs = [
-            os.path.join(self.root, p)
+            self.storage.spark_path(p)
             for b in cand
             for p in old_files.get(b, []) + old_delta[b]
         ]
@@ -1169,7 +1176,7 @@ class ManifestTable:
         )
         version = m["version"] + 1
         stage_rel = self._staging_relpath(version, f"compact{version}")
-        stage_dir = os.path.join(self.root, stage_rel)
+        stage_dir = self.storage.spark_path(stage_rel)
         obs = Observation()
         (
             merged.observe(obs, F.count(F.lit(1)).alias("rows"))
@@ -1180,7 +1187,7 @@ class ManifestTable:
             .parquet(stage_dir)
         )
         staged_files, rows_by_bucket, staged_rows, staged_stats = (
-            self._scan_staging(stage_dir, stage_rel, buckets=cand)
+            self._scan_staging(stage_rel, buckets=cand)
         )
         if staged_rows != int(obs.get["rows"]):
             raise RuntimeError(
@@ -1362,7 +1369,7 @@ class ManifestTable:
         )
         version = m["version"] + 1
         stage_rel = self._staging_relpath(version, f"rebucket{n_buckets}")
-        stage_dir = os.path.join(self.root, stage_rel)
+        stage_dir = self.storage.spark_path(stage_rel)
         obs = Observation()
         (
             rebucketed.observe(obs, F.count(F.lit(1)).alias("rows"))
@@ -1373,7 +1380,7 @@ class ManifestTable:
             .parquet(stage_dir)
         )
         staged_files, rows_by_bucket, staged_rows, staged_stats = (
-            self._scan_staging(stage_dir, stage_rel)
+            self._scan_staging(stage_rel)
         )
         if staged_rows != int(obs.get["rows"]):
             raise RuntimeError(
@@ -1424,27 +1431,31 @@ class ManifestTable:
 
     def vacuum(self, keep_versions: int = 1, grace_s: float = 600.0) -> list[str]:
         """Remove data dirs unreferenced by the newest ``keep_versions``
-        manifests (the lazy cleanup that replaces the reference's eager
-        compensation deletes, ``HandleDataExtractionErrorLambda.py:49-62``).
+        SURVIVING manifests (the lazy cleanup that replaces the reference's
+        eager compensation deletes, ``HandleDataExtractionErrorLambda.py:49-62``;
+        "surviving" matters after ``expire_snapshots`` removes old manifest
+        objects).
 
-        ``grace_s``: dirs whose NEWEST file (recursive — Spark task commits
-        touch inner files, not the top dir's mtime) is younger than
-        ``grace_s`` seconds are NEVER removed even if unreferenced — a
-        CONCURRENT writer's staging dir is unreferenced by definition until
-        its manifest publishes, and deleting it mid-write would corrupt
-        that writer's commit.  This is the standard object-store GC guard
-        (Iceberg's ``older_than``); a crashed attempt's orphan stays one
-        grace period longer, nothing else changes.  Residual window: a
-        writer idle longer than ``grace_s`` between its last staged write
-        and its publish can still lose its dir — size ``grace_s`` above
-        the slowest expected merge gap (default 600 s).  ``grace_s=0``
-        restores eager single-writer behavior (used by tests)."""
-        import shutil
+        ``grace_s``: dirs whose NEWEST object (from the storage LISTING's
+        per-object metadata — Spark task commits land inner files, so the
+        listing sees in-flight writes) is younger than ``grace_s`` seconds
+        are NEVER removed even if unreferenced — a CONCURRENT writer's
+        staging dir is unreferenced by definition until its manifest
+        publishes, and deleting it mid-write would corrupt that writer's
+        commit.  This is the standard object-store GC guard (Iceberg's
+        ``older_than``); a crashed attempt's orphan stays one grace period
+        longer, nothing else changes.  Residual window: a writer idle longer
+        than ``grace_s`` between its last staged write and its publish can
+        still lose its dir — size ``grace_s`` above the slowest expected
+        merge gap (default 600 s).  ``grace_s=0`` restores eager
+        single-writer behavior (used by tests).
 
-        cur = self.current_version()
-        keep = range(max(0, cur - keep_versions + 1), cur + 1)
+        Cost shape: referenced dirs are skipped on the cheap top-level
+        ``list_dirs`` alone; the per-object listing runs ONLY over removal
+        candidates, so steady-state vacuum work is O(garbage), not O(table)."""
+        versions = self._list_versions()
         referenced: set[str] = set()
-        for v in keep:
+        for v in versions[-max(1, keep_versions):]:
             m = self.manifest(v)
             for d in (m["files"], m.get("delta_files") or {}):
                 for ps in d.values():
@@ -1452,27 +1463,17 @@ class ManifestTable:
                         referenced.add(p.split("/")[1])  # data/<dir>/...
         removed = []
         now = time.time()
-        ddir = os.path.join(self.root, _DATA_DIR)
-        for d in os.listdir(ddir):
+        for d in self.storage.list_dirs(_DATA_DIR):
             if d in referenced:
                 continue
-            path = os.path.join(ddir, d)
-            try:
-                newest = os.path.getmtime(path)
-                if grace_s > 0:
-                    # newest mtime across the tree: an in-flight write job
-                    # keeps committing task files inside subdirs without
-                    # ever touching the top dir's mtime
-                    for dirpath, _dirs, files in os.walk(path):
-                        for f in files:
-                            newest = max(
-                                newest,
-                                os.path.getmtime(os.path.join(dirpath, f)),
-                            )
-            except OSError:
-                continue  # raced with another vacuum / an active writer
-            if now - newest < grace_s:
-                continue  # possibly an in-flight writer's staging dir
-            shutil.rmtree(path, ignore_errors=True)
+            prefix = f"{_DATA_DIR}/{d}"
+            if grace_s > 0:
+                newest = max(
+                    (o.last_modified for o in self.storage.list(prefix)),
+                    default=0.0,  # no objects yet = nothing to corrupt
+                )
+                if now - newest < grace_s:
+                    continue  # possibly an in-flight writer's staging dir
+            self.storage.delete_prefix(prefix)
             removed.append(d)
         return removed

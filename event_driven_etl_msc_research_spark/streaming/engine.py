@@ -145,6 +145,9 @@ class CDCEngine:
         # makes any duplicate that slips past it harmless anyway
         fail_after_stage_write: bool = False,  # chaos hook (cf. the reference's
         # live 'Intentional exception', Phase3-Data-Extraction-Async.py:44)
+        storage=None,  # TableStorage backend for the sink table (defaults to
+        # the POSIX LocalFSStorage; pass FakeObjectStorage or an object-store
+        # client implementation — see sinks/storage.py)
     ):
         self.spark = spark
         self.change_schema = change_schema
@@ -166,6 +169,7 @@ class CDCEngine:
             key_cols=key_cols or KEY_COLS,
             n_buckets=n_buckets,
             tenant_id=tenant_id,
+            storage=storage,
         )
         # high flush_every so intra-epoch record calls buffer; apply_batch
         # flushes once per epoch (one small pyarrow file per epoch instead

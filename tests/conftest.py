@@ -45,3 +45,18 @@ def assert_pdf_equal(got, exp, cols=None):
             g[c] = pd.to_datetime(g[c], utc=True)
             e[c] = pd.to_datetime(e[c], utc=True)
     pd.testing.assert_frame_equal(g, e)
+
+
+@pytest.fixture(params=["local", "object"])
+def storage_factory(request):
+    """Parameterizes table suites over BOTH storage backends: the POSIX
+    default and the in-process fake object store (conditional PUT, no
+    rename/link/mtime-walk).  Passing the factory (not an instance) lets a
+    test build several handles on one root, like concurrent writers do."""
+    from event_driven_etl_msc_research_spark.sinks.storage import (
+        FakeObjectStorage,
+        LocalFSStorage,
+    )
+
+    cls = LocalFSStorage if request.param == "local" else FakeObjectStorage
+    return lambda root: cls(root)

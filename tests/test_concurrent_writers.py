@@ -52,15 +52,20 @@ def _one_shot(fn):
     return hook
 
 
-def _two_tables(spark, tmp_root, name):
+def _two_tables(spark, tmp_root, name, storage_factory):
     root = os.path.join(tmp_root, name)
-    a = ManifestTable.create(spark, root, TRANSCRIPT_SCHEMA, n_buckets=4)
-    b = ManifestTable(spark, root)  # second writer handle on the same root
+    a = ManifestTable.create(
+        spark, root, TRANSCRIPT_SCHEMA, n_buckets=4,
+        storage=storage_factory(root),
+    )
+    # second writer handle on the same root (own storage handle, as two
+    # processes would hold two clients)
+    b = ManifestTable(spark, root, storage=storage_factory(root))
     return a, b
 
 
-def test_interleaved_delta_merges_both_commit(spark, tmp_root):
-    a, b = _two_tables(spark, tmp_root, "t_delta")
+def test_interleaved_delta_merges_both_commit(spark, tmp_root, storage_factory):
+    a, b = _two_tables(spark, tmp_root, storage_factory=storage_factory, name="t_delta")
     rows_a = [("I", 1, 100, "convA", 0, "user", "a0", None)]
     rows_b = [("I", 2, 100, "convB", 0, "user", "b0", None)]
 
@@ -82,8 +87,8 @@ def test_interleaved_delta_merges_both_commit(spark, tmp_root):
     assert _state(a) == {("convA", 0): "a0", ("convB", 0): "b0"}
 
 
-def test_interleaved_cow_disjoint_buckets_rebases(spark, tmp_root):
-    a, b = _two_tables(spark, tmp_root, "t_cow")
+def test_interleaved_cow_disjoint_buckets_rebases(spark, tmp_root, storage_factory):
+    a, b = _two_tables(spark, tmp_root, storage_factory=storage_factory, name="t_cow")
     # seed so both writers hit the non-initial CoW path
     seed = [(f"c{i}", i) for i in range(8)]
     a.merge(
@@ -121,8 +126,8 @@ def test_interleaved_cow_disjoint_buckets_rebases(spark, tmp_root):
     assert st[(ca, int(ca[1:]))] == "A" and st[("c0", 0)] == "B"
 
 
-def test_interleaved_cow_same_bucket_redoes_merge(spark, tmp_root):
-    a, b = _two_tables(spark, tmp_root, "t_cow_conflict")
+def test_interleaved_cow_same_bucket_redoes_merge(spark, tmp_root, storage_factory):
+    a, b = _two_tables(spark, tmp_root, storage_factory=storage_factory, name="t_cow_conflict")
     a.merge(
         _changes_df(spark, [("I", 0, 50, "k", 0, "user", "seed", None)]),
         epoch_id=0,
@@ -142,8 +147,8 @@ def test_interleaved_cow_same_bucket_redoes_merge(spark, tmp_root):
     assert _state(a) == {("k", 0): "A", ("k", 1): "B"}
 
 
-def test_duplicate_epoch_across_writers_is_skipped(spark, tmp_root):
-    a, b = _two_tables(spark, tmp_root, "t_dup")
+def test_duplicate_epoch_across_writers_is_skipped(spark, tmp_root, storage_factory):
+    a, b = _two_tables(spark, tmp_root, storage_factory=storage_factory, name="t_dup")
     df_rows = [("I", 1, 100, "x", 0, "user", "once", None)]
     r = a.merge(
         _changes_df(spark, df_rows),
@@ -159,14 +164,14 @@ def test_duplicate_epoch_across_writers_is_skipped(spark, tmp_root):
     assert a.manifest()["applied_epochs"].count("batch:7") == 1
 
 
-def test_vacuum_grace_protects_inflight_staging(spark, tmp_root):
+def test_vacuum_grace_protects_inflight_staging(spark, tmp_root, storage_factory):
     """A concurrent writer's staging dir is unreferenced until its manifest
     publishes; vacuum's grace window must leave young unreferenced dirs
     alone (deleting them mid-write would corrupt the other writer's
     commit), while grace_s=0 reclaims them eagerly."""
     import time as _time
 
-    a, b = _two_tables(spark, tmp_root, "t_grace")
+    a, b = _two_tables(spark, tmp_root, storage_factory=storage_factory, name="t_grace")
     a.merge(
         _changes_df(spark, [("I", 0, 50, "x", 0, "user", "seed", None)]),
         epoch_id=0,
@@ -203,13 +208,13 @@ def test_vacuum_grace_protects_inflight_staging(spark, tmp_root):
     assert set(removed) >= orphans_before
 
 
-def test_rebucket_wins_race_against_delta_merge(spark, tmp_root):
+def test_rebucket_wins_race_against_delta_merge(spark, tmp_root, storage_factory):
     """If rebucket() wins the manifest race against an in-flight delta merge,
     the merge's staged files are hashed under the OLD bucket count — a naive
     delta rebase would republish the stale n_buckets and mis-bucket data
     (breaking only_bucket point-lookup pruning).  The merge must detect the
     layout change and redo itself against the fresh manifest."""
-    a, b = _two_tables(spark, tmp_root, "t_rebucket_race")
+    a, b = _two_tables(spark, tmp_root, storage_factory=storage_factory, name="t_rebucket_race")
     seed = [(f"c{i}", i) for i in range(8)]
     a.merge(
         _changes_df(
@@ -251,11 +256,11 @@ def test_rebucket_wins_race_against_delta_merge(spark, tmp_root):
         assert {row["b"] for row in rows} == {int(bkt)}
 
 
-def test_rebucket_wins_race_against_cow_merge(spark, tmp_root):
+def test_rebucket_wins_race_against_cow_merge(spark, tmp_root, storage_factory):
     """Same race on the CoW path: the existing touched-bucket staleness check
     fires (rebucket rewrites every file), and the redo must publish under the
     winner's NEW bucket count."""
-    a, b = _two_tables(spark, tmp_root, "t_rebucket_race_cow")
+    a, b = _two_tables(spark, tmp_root, storage_factory=storage_factory, name="t_rebucket_race_cow")
     a.merge(
         _changes_df(spark, [("I", 0, 50, "k", 0, "user", "seed", None)]),
         epoch_id=0,

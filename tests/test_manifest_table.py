@@ -46,15 +46,21 @@ def _state(table, version=None):
 
 
 @pytest.fixture()
-def table(spark, tmp_root):
+def table(spark, tmp_root, storage_factory):
+    # parameterized over both TableStorage backends (POSIX + fake object
+    # store): every test below proves the commit protocol on each
+    root = os.path.join(tmp_root, "t")
     return ManifestTable.create(
-        spark, os.path.join(tmp_root, "t"), TRANSCRIPT_SCHEMA, n_buckets=4
+        spark, root, TRANSCRIPT_SCHEMA, n_buckets=4,
+        storage=storage_factory(root),
     )
 
 
-def test_create_is_idempotent(spark, tmp_root, table):
+def test_create_is_idempotent(spark, tmp_root, table, storage_factory):
+    root = os.path.join(tmp_root, "t")
     t2 = ManifestTable.create(
-        spark, os.path.join(tmp_root, "t"), TRANSCRIPT_SCHEMA, n_buckets=4
+        spark, root, TRANSCRIPT_SCHEMA, n_buckets=4,
+        storage=storage_factory(root),
     )
     assert t2.current_version() == 0
 
