@@ -45,6 +45,7 @@ def token_jaccard_pairs(
     text_col: str = "text",
     max_df: int | None = None,
     ngram: int = 1,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Exact token-SET Jaccard similar pairs via inverted index.
 
@@ -67,7 +68,15 @@ def token_jaccard_pairs(
     contract: a qualifying pair is found iff it shares ≥1 sub-cut token;
     pairs similar ONLY through super-common tokens are deliberately missed
     (documented trade — at threshold ≥ 0.5 such pairs are stop-word shells).
+
+    ``max_df_frac``: the same cut as a corpus FRACTION, with the threshold
+    ``greatest(2, floor(n_docs * frac))`` derived INSIDE the plan (a 1-row
+    count aggregate broadcast into the token-df filter) — no separate
+    driver-side ``count()`` job before the query runs.  Mutually exclusive
+    with ``max_df``.
     """
+    if max_df is not None and max_df_frac is not None:
+        raise ValueError("pass max_df or max_df_frac, not both")
     elems = (
         F.array_distinct(F.col("_t"))
         if ngram <= 1
@@ -79,13 +88,24 @@ def token_jaccard_pairs(
     ).select("did", elems.alias("toks"))
     toks = base.select("did", F.explode("toks").alias("tok"))
     idx = toks
-    if max_df is not None:
-        hot = (
-            toks.groupBy("tok")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("tok")
-        )
+    if max_df is not None or max_df_frac is not None:
+        dfs = toks.groupBy("tok").agg(F.count("*").alias("df"))
+        if max_df is not None:
+            hot = dfs.filter(F.col("df") > max_df).select("tok")
+        else:
+            # corpus size as broadcast DATA (1-row aggregate), not a
+            # pre-computed literal: the cut threshold is part of this one
+            # query's plan instead of a separate count() job
+            total = docs.select(F.count("*").alias("_n"))
+            cut = F.greatest(
+                F.lit(2).cast("long"),
+                F.floor(F.col("_n") * F.lit(max_df_frac)).cast("long"),
+            )
+            hot = (
+                dfs.crossJoin(F.broadcast(total))
+                .filter(F.col("df") > cut)
+                .select("tok")
+            )
         idx = toks.join(F.broadcast(hot), "tok", "left_anti")
     a, b = idx.alias("a"), idx.alias("b")
     cand = (

@@ -221,6 +221,7 @@ def lsh_build(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_signature: str | None = None,
 ) -> dict:
     """Build a persistent LSH bucket table: the corpus exploded to
     ``(tbl, bucket, nid, nv)``, written PARTITIONED BY (tbl, bucket).
@@ -229,16 +230,18 @@ def lsh_build(
     instead of inside every query call, and the partition layout means a
     search reads only the probed (table, bucket) directories — a
     partition-pruned scan, the 10^10-row path.  Idempotent on matching
-    params AND corpus row count (hyperplanes are pure functions of indices,
-    so a rebuild over the same corpus reproduces the same table; a
-    regenerated corpus at the same path triggers a rebuild — a same-count
-    different-content corpus still needs a fresh ``index_dir``, which the
-    driver wrapper guarantees by keying on the corpus file signature)."""
+    params (hyperplanes are pure functions of indices, so a rebuild over
+    the same corpus reproduces the same table).  Staleness guard, in order
+    of preference: a caller-supplied ``corpus_signature`` (any opaque
+    string derived from the corpus — the driver wrapper hashes the corpus
+    file's (size, mtime)) is compared meta-side with NO Spark job; without
+    one, fall back to an ``emb.count()`` row-count comparison — correct but
+    a full footer-scan job per call, which at 10^10 vectors is a pointless
+    scan on every warm lookup."""
     import json
     import os
 
     meta_path = os.path.join(index_dir, "meta.json")
-    n_vectors = emb.count()
     params = {
         "kind": "lsh",
         "n_planes": n_planes,
@@ -246,13 +249,19 @@ def lsh_build(
         "dim": dim,
         "id_col": id_col,
         "vec_col": vec_col,
-        "n_vectors": n_vectors,
     }
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
-        if {k: meta.get(k) for k in params} == params:
+        if {k: meta.get(k) for k in params} == params and (
+            meta.get("corpus_signature") == corpus_signature
+            if corpus_signature is not None
+            else meta.get("n_vectors") == emb.count()
+        ):
             return meta
+    n_vectors = emb.count()
+    params["n_vectors"] = n_vectors
+    params["corpus_signature"] = corpus_signature
     bits, keys = _lsh_projections(dim, n_planes, n_tables, multi_probe=0)
     v = (
         emb.select(
@@ -480,6 +489,7 @@ def ivf_build(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_signature: str | None = None,
 ) -> dict:
     """Build a persistent IVF index: train the coarse quantizer once, write
     the corpus cell assignments as a parquet table PARTITIONED BY cell plus
@@ -491,31 +501,37 @@ def ivf_build(
     layout is the 10^10-row story: a search reads ONLY the probed cells'
     files (partition-pruned scan), never the whole corpus.
 
-    Idempotent: an existing ``meta.json`` with matching params AND matching
-    corpus row count short-circuits (the deterministic trainer would
-    reproduce it).  The count check catches the common stale-index case —
-    a regenerated/extended corpus at the same path; a same-count
-    different-content corpus still needs a fresh ``index_dir`` (the driver
-    wrapper keys the dir on the corpus file signature for exactly this).
+    Idempotent: an existing ``meta.json`` with matching params
+    short-circuits (the deterministic trainer would reproduce it).
+    Staleness guard, in order of preference: a caller-supplied
+    ``corpus_signature`` compared meta-side with NO Spark job (the driver
+    wrapper hashes the corpus file's (size, mtime)); without one, fall back
+    to an ``emb.count()`` row-count comparison — correct, but a footer-scan
+    job on every warm call.
     """
     import json
     import os
 
     meta_path = os.path.join(index_dir, "meta.json")
-    n_vectors = emb.count()
     params = {
         "kind": "ivf",
         "n_cells": n_cells,
         "iters": iters,
         "id_col": id_col,
         "vec_col": vec_col,
-        "n_vectors": n_vectors,
     }
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
-        if {k: meta.get(k) for k in params} == params:
+        if {k: meta.get(k) for k in params} == params and (
+            meta.get("corpus_signature") == corpus_signature
+            if corpus_signature is not None
+            else meta.get("n_vectors") == emb.count()
+        ):
             return meta
+    n_vectors = emb.count()
+    params["n_vectors"] = n_vectors
+    params["corpus_signature"] = corpus_signature
     cents = ivf_train(
         emb, n_cells=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
     )

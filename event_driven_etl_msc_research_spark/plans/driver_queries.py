@@ -926,13 +926,13 @@ def dedup_token_jaccard_dfcut(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus are pruned from the inverted index before the candidate join
     (the quadratic-bucket guard at 10^10 docs); exact Jaccard still computed
     on full token sets.  The DuckDB twin implements the identical cut, so
-    the recall trade itself is pinned cross-engine."""
-    docs = _docs(spark, sf_dir)
-    # floor (= Python int for positives) matched by the oracle's CAST(floor(
-    # ...)): a bare CAST in DuckDB rounds half away from zero, which would
-    # disagree on odd document counts
-    max_df = max(2, int(docs.count() * 0.5))
-    return docops.token_jaccard_pairs(docs, threshold=0.95, max_df=max_df)
+    the recall trade itself is pinned cross-engine.  The cut threshold
+    greatest(2, floor(n * 0.5)) is derived INSIDE the plan (max_df_frac):
+    both engines compute it from the same corpus in the same query, and the
+    Spark side launches no separate count() job before the action."""
+    return docops.token_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.95, max_df_frac=0.5
+    )
 
 
 JACCARD_SQL = f"""
@@ -1207,23 +1207,31 @@ SELECT qid, nid, cosine, rank FROM (
 """
 
 
+def _corpus_sig(sf_dir: str) -> str:
+    """Opaque corpus signature: (size, mtime_ns) of the embeddings file.
+    Doubles as the index-dir key AND the builds' no-job staleness guard —
+    a regenerated corpus changes the signature, so it can never be served
+    from a stale index, while a warm call over an unchanged corpus is a
+    pure meta.json comparison (zero Spark jobs)."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(emb_path)
+        return f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        return "none"
+
+
 def _ann_index_dir(sf_dir: str, kind: str, params: str) -> str:
     """Deterministic per-(corpus, params) index location under the system
     temp dir — the build-once/search-many contract: the first query call
     builds the index (idempotent, deterministic), every later call (and
     every later session over the same corpus) searches it.  The key hashes
-    the corpus file's (size, mtime) so a regenerated corpus can never be
-    served from a stale index."""
+    the corpus file signature so a regenerated corpus can never be served
+    from a stale index."""
     import hashlib
 
-    emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(emb_path)
-        sig = f"{st.st_size}:{st.st_mtime_ns}"
-    except OSError:
-        sig = "none"
     h = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{sig}|{kind}|{params}".encode()
+        f"{os.path.abspath(sf_dir)}|{_corpus_sig(sf_dir)}|{kind}|{params}".encode()
     ).hexdigest()[:16]
     return os.path.join(tempfile.gettempdir(), "edem_spark_ann", f"{kind}-{h}")
 
@@ -1239,12 +1247,14 @@ def ann_build_indexes(spark: SparkSession, sf_dir: str) -> None:
         n_planes=4,
         n_tables=3,
         dim=64,
+        corpus_signature=_corpus_sig(sf_dir),
     )
     similarity.ivf_build(
         _emb(spark, sf_dir),
         _ann_index_dir(sf_dir, "ivf", "c16i1"),
         n_cells=16,
         iters=1,
+        corpus_signature=_corpus_sig(sf_dir),
     )
 
 
@@ -1270,7 +1280,8 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pinned from the deterministic sf0.01 corpus (KNN_LSH_GOLDEN_SQL).
     idx = _ann_index_dir(sf_dir, "lsh", "p4t3d64")
     similarity.lsh_build(
-        _emb(spark, sf_dir), idx, n_planes=4, n_tables=3, dim=64
+        _emb(spark, sf_dir), idx, n_planes=4, n_tables=3, dim=64,
+        corpus_signature=_corpus_sig(sf_dir),
     )
     return similarity.lsh_search(
         spark, idx, _queries_df(spark, sf_dir), k=10, multi_probe=1
@@ -1286,7 +1297,10 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embeddings.  Oracle: golden neighbor set pinned from the
     # deterministic sf0.01 corpus (KNN_IVF_GOLDEN_SQL).
     idx = _ann_index_dir(sf_dir, "ivf", "c16i1")
-    similarity.ivf_build(_emb(spark, sf_dir), idx, n_cells=16, iters=1)
+    similarity.ivf_build(
+        _emb(spark, sf_dir), idx, n_cells=16, iters=1,
+        corpus_signature=_corpus_sig(sf_dir),
+    )
     return similarity.ivf_search(
         spark, idx, _queries_df(spark, sf_dir), k=10, n_probe=6
     )

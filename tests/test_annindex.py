@@ -112,3 +112,57 @@ def test_lsh_search_scan_is_partition_pruned(spark, tmp_root):
     )
     assert seg is not None, plan
     assert seg.count("bucket#") >= 1 and "=" in seg
+
+
+def _jobs_in(spark, tag, fn):
+    sc = spark.sparkContext
+    sc.setJobGroup(tag, tag)
+    r = fn()
+    sc.setJobGroup("_idle", "_idle")
+    return len(sc.statusTracker().getJobIdsForGroup(tag)), r
+
+
+def test_warm_build_with_signature_launches_no_jobs(spark, tmp_root):
+    """Round-4 closure of 'count() on every warm lookup': with a caller
+    corpus signature, a warm lsh_build/ivf_build is a pure meta.json
+    comparison — ZERO Spark jobs (no corpus footer scan), so a steady-state
+    knn search pays only the pruned probe scan itself."""
+    sig = "corpus-v1"
+    li = os.path.join(tmp_root, "lsh_warm")
+    vi = os.path.join(tmp_root, "ivf_warm")
+    similarity.lsh_build(_emb(spark), li, n_planes=4, n_tables=2, dim=64,
+                         corpus_signature=sig)
+    similarity.ivf_build(_emb(spark), vi, n_cells=8, iters=1,
+                         corpus_signature=sig)
+
+    # hoist the DataFrame construction: spark.read.parquet's one-off
+    # listing/schema job belongs to the read, not to the warm build
+    emb = _emb(spark)
+    n_lsh, m1 = _jobs_in(
+        spark, "warm-lsh",
+        lambda: similarity.lsh_build(emb, li, n_planes=4, n_tables=2,
+                                     dim=64, corpus_signature=sig))
+    n_ivf, m2 = _jobs_in(
+        spark, "warm-ivf",
+        lambda: similarity.ivf_build(emb, vi, n_cells=8, iters=1,
+                                     corpus_signature=sig))
+    assert n_lsh == 0 and n_ivf == 0
+    assert m1["corpus_signature"] == sig and m2["corpus_signature"] == sig
+
+    # a CHANGED signature must force a rebuild (stale-index guard intact)
+    meta = os.path.join(vi, "meta.json")
+    t0 = os.path.getmtime(meta)
+    similarity.ivf_build(_emb(spark), vi, n_cells=8, iters=1,
+                         corpus_signature="corpus-v2")
+    assert os.path.getmtime(meta) > t0
+
+
+def test_warm_build_without_signature_still_short_circuits(spark, tmp_root):
+    """Fallback path: no signature → row-count staleness guard (one count
+    job, no retrain/rewrite)."""
+    idx = os.path.join(tmp_root, "ivf_nosig")
+    similarity.ivf_build(_emb(spark), idx, n_cells=8, iters=1)
+    meta = os.path.join(idx, "meta.json")
+    t0 = os.path.getmtime(meta)
+    similarity.ivf_build(_emb(spark), idx, n_cells=8, iters=1)
+    assert os.path.getmtime(meta) == t0
