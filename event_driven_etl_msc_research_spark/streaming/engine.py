@@ -310,11 +310,11 @@ class CDCEngine:
         processing_time: str = "1 seconds",
         timeout_s: float | None = None,
     ):
-        """Run the streaming query. ``available_now=True`` = drain-and-stop
-        replay; otherwise a continuous tail with ``processing_time`` trigger."""
-        import os
-
-        self._epoch_scope = os.path.abspath(checkpoint_dir)
+        """Run the streaming query over a change-log DIRECTORY (the file
+        transport).  ``available_now=True`` = drain-and-stop replay;
+        otherwise a continuous tail with ``processing_time`` trigger.
+        Convenience wrapper over ``replay_stream`` — the tail itself is
+        transport-agnostic."""
         stream = read_changelog_stream(
             self.spark,
             changelog_dir,
@@ -322,6 +322,64 @@ class CDCEngine:
             fmt=fmt,
             max_files_per_trigger=max_files_per_trigger,
         )
+        return self.replay_stream(
+            stream,
+            checkpoint_dir,
+            available_now=available_now,
+            processing_time=processing_time,
+            timeout_s=timeout_s,
+        )
+
+    def replay_stream(
+        self,
+        stream_df: DataFrame,
+        checkpoint_dir: str,
+        available_now: bool = True,
+        processing_time: str = "1 seconds",
+        timeout_s: float | None = None,
+    ):
+        """Drive the dedup→MERGE→commit tail from ANY streaming DataFrame —
+        a Kafka/Kinesis topic's parsed payload, a rate-source synthetic
+        feed, a socket stream — not just a file directory.  The transport
+        seam the reference's event trigger occupies (S3 upload → state
+        machine, ``AWS-Step-function/prototype-etl.json:3-14``): here the
+        caller maps their transport to the change-event columns and hands
+        the unstarted stream over; exactly-once, checkpoint resume, schema
+        evolution, and lineage all behave identically to the directory path
+        because they live in ``foreachBatch``/the sink, not in the source.
+
+        ``stream_df`` must carry every column of ``change_schema``; columns
+        are selected in schema order and cast to the schema's types (a
+        Kafka value parsed with ``from_json`` or a rate source's LongType
+        ``value`` arithmetic both normalize cleanly).  Extra columns are
+        dropped — the payload contract is the schema.
+        """
+        import os
+
+        from pyspark.sql import functions as F
+
+        if not stream_df.isStreaming:
+            raise ValueError(
+                "replay_stream requires a STREAMING DataFrame "
+                "(spark.readStream...); for a batch apply use apply_batch_once"
+            )
+        missing = [
+            f.name
+            for f in self.change_schema.fields
+            if f.name not in stream_df.columns
+        ]
+        if missing:
+            raise ValueError(
+                f"change stream is missing required columns {missing}; "
+                f"expected {[f.name for f in self.change_schema.fields]}"
+            )
+        stream = stream_df.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in self.change_schema.fields
+            ]
+        )
+        self._epoch_scope = os.path.abspath(checkpoint_dir)
         if self.event_dedup:
             from .windows import dedup_stream_within_watermark
 

@@ -1,0 +1,133 @@
+"""Transport-agnostic tail (round-4 directive #2): ``CDCEngine.replay_stream``
+drives the same foreachBatch→MERGE path from a NON-FILE streaming source.
+
+No Kafka broker exists in the sandbox, so the transport is Spark's
+deterministic ``rate-micro-batch`` source with the monotonically increasing
+``value`` mapped to change events — proving the seam is the streaming
+DataFrame, not the directory: a Kafka topic parsed with ``from_json`` plugs
+into the identical call.
+
+Event mapping (pure arithmetic on ``value``, so the expected table state is
+computable for ANY processed prefix 0..M-1):
+
+* key      = ("rc" + value % NK, 1)   — NK hot keys, continuous upserts
+* op       = U when value % 3 == 0 else I (both upsert paths)
+* lsn      = value; ts = fixed       — max-(ts, lsn) winner per key is the
+                                       LARGEST processed value of that key
+* text     = "text-" + value         — winner text encodes its value
+
+Because epochs commit in order and ``value`` is contiguous from 0, the final
+table after stopping at ANY point is exactly the fold of 0..M-1 where
+M-1 = max value visible in the table — an oracle with no hidden state.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_driven_etl_msc_research_spark import CDCEngine
+
+NK = 20
+_FIXED_TS = "2024-01-01 00:00:00"
+
+
+def _change_stream(spark, rows_per_batch: int = 100):
+    rate = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("numPartitions", 2)
+        .load()
+    )
+    return rate.select(
+        F.when(F.col("value") % 3 == 0, F.lit("U")).otherwise(F.lit("I")).alias("op"),
+        F.col("value").alias("lsn"),
+        F.lit(_FIXED_TS).cast("timestamp").alias("ts"),
+        F.concat(F.lit("rc"), (F.col("value") % NK).cast("string")).alias("conv_id"),
+        F.lit(1).alias("turn_idx"),  # LongType here — replay_stream casts to int
+        F.lit("user").alias("role"),
+        F.concat(F.lit("text-"), F.col("value").cast("string")).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("extra").alias("transport_junk"),  # must be dropped by the seam
+    )
+
+
+def _assert_state_is_fold_of_prefix(rows) -> int:
+    """Check the table equals the oracle fold of values 0..M-1 and return M."""
+    assert rows, "no rows reached the table"
+    by_key = {}
+    for r in rows:
+        v = int(re.fullmatch(r"text-(\d+)", r["text"]).group(1))
+        assert r["conv_id"] == f"rc{v % NK}" and r["turn_idx"] == 1
+        by_key[r["conv_id"]] = v
+    m = max(by_key.values()) + 1
+    # fold of 0..m-1: each key rc{k} holds the largest value ≡ k (mod NK) < m
+    expect = {}
+    for k in range(min(NK, m)):
+        last = m - 1 - ((m - 1 - k) % NK)
+        expect[f"rc{k}"] = last
+    assert by_key == expect
+    return m
+
+
+def _drain_until(engine, q, min_version: int, timeout_s: float = 120.0):
+    t0 = time.monotonic()
+    while engine.table.current_version() < min_version:
+        if time.monotonic() - t0 > timeout_s:
+            q.stop()
+            raise AssertionError(
+                f"no progress: version {engine.table.current_version()} "
+                f"< {min_version} after {timeout_s}s"
+            )
+        if q.exception() is not None:
+            raise AssertionError(f"query failed: {q.exception()}")
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+
+
+def test_replay_stream_from_rate_source_converges_to_oracle(spark, tmp_root):
+    root = os.path.join(tmp_root, "rate_tbl")
+    eng = CDCEngine(spark, root, n_buckets=4, merge_mode="delta")
+    q = eng.replay_stream(
+        _change_stream(spark),
+        os.path.join(tmp_root, "rate_cp"),
+        available_now=False,
+        processing_time="0 seconds",
+    )
+    _drain_until(eng, q, min_version=3)
+
+    rows = eng.read_table().collect()
+    m1 = _assert_state_is_fold_of_prefix(rows)
+    assert m1 >= 100  # at least the first micro-batch applied
+    assert len(rows) == min(NK, m1)
+
+    # resume from the SAME checkpoint: offsets continue (no reprocessing
+    # from zero — M strictly grows), state stays exactly the prefix fold
+    v1 = eng.table.current_version()
+    q2 = eng.replay_stream(
+        _change_stream(spark),
+        os.path.join(tmp_root, "rate_cp"),
+        available_now=False,
+        processing_time="0 seconds",
+    )
+    _drain_until(eng, q2, min_version=v1 + 2)
+    m2 = _assert_state_is_fold_of_prefix(eng.read_table().collect())
+    assert m2 > m1
+
+
+def test_replay_stream_rejects_batch_df_and_missing_columns(spark, tmp_root):
+    eng = CDCEngine(spark, os.path.join(tmp_root, "rej_tbl"), n_buckets=2)
+    with pytest.raises(ValueError, match="STREAMING"):
+        eng.replay_stream(
+            spark.range(3).selectExpr("'I' op"), os.path.join(tmp_root, "rej_cp")
+        )
+    rate = spark.readStream.format("rate-micro-batch").option(
+        "rowsPerBatch", 1
+    ).load()
+    with pytest.raises(ValueError, match="missing required columns"):
+        eng.replay_stream(rate, os.path.join(tmp_root, "rej_cp"))
