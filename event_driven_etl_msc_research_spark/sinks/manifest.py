@@ -1477,3 +1477,108 @@ class ManifestTable:
             self.storage.delete_prefix(prefix)
             removed.append(d)
         return removed
+
+    def history(self) -> DataFrame:
+        """Snapshot metadata table (Iceberg's ``snapshots``/``history``
+        analogue): one row per SURVIVING manifest version, read from the
+        manifest chain — the audit surface ("what committed yesterday, by
+        which epoch?") without parsing raw manifest JSON.
+
+        ``operation`` is derived from the stamped ``epoch_id``: ``create``
+        (v0), ``merge`` (an ingest epoch key ``scope:id``), ``compact``, or
+        ``rebucket``.  ``added_files``/``removed_files`` are diffs against
+        the PARENT manifest and are null when the parent snapshot has been
+        expired (the diff basis is gone — never guessed).
+
+        Driver cost is O(surviving manifests) small-object GETs — the same
+        metadata ``read(version=)`` touches; ``expire_snapshots`` /
+        ``vacuum(keep_versions=)`` bound it."""
+        import datetime as _dt
+
+        versions = self._list_versions()
+        manifests = {v: self.manifest(v) for v in versions}
+
+        def _files_of(m: dict[str, Any]) -> set[str]:
+            return {p for ps in m["files"].values() for p in ps} | {
+                p for ps in (m.get("delta_files") or {}).values() for p in ps
+            }
+
+        rows = []
+        for v in versions:
+            m = manifests[v]
+            ek = m.get("epoch_id")
+            op = (
+                "create"
+                if ek is None
+                else "compact"
+                if str(ek).startswith("compact:")
+                else "rebucket"
+                if str(ek).startswith("rebucket:")
+                else "merge"
+            )
+            fs = _files_of(m)
+            parent = m.get("parent")
+            pm = manifests.get(parent) if parent is not None else None
+            if pm is not None:
+                pf = _files_of(pm)
+                added, removed = len(fs - pf), len(pf - fs)
+            elif parent is None:
+                added, removed = len(fs), 0
+            else:  # parent snapshot expired: no diff basis
+                added = removed = None
+            rows.append(
+                (
+                    v,
+                    parent,
+                    str(ek) if ek is not None else None,
+                    op,
+                    _dt.datetime.fromtimestamp(
+                        m["committed_at"], tz=_dt.timezone.utc
+                    ),
+                    int(m.get("total_rows") or 0),
+                    int(m.get("delta_rows_total") or 0),
+                    len(fs),
+                    added,
+                    removed,
+                )
+            )
+        schema = (
+            "version long, parent long, epoch_id string, operation string, "
+            "committed_at timestamp, total_rows long, delta_rows_total long, "
+            "n_files long, added_files long, removed_files long"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def expire_snapshots(
+        self, older_than_ts=None, keep_last: int = 1
+    ) -> list[int]:
+        """Remove manifest OBJECTS (snapshots) committed before
+        ``older_than_ts`` (epoch seconds, ISO string, or datetime; None =
+        age is no bar), always retaining the newest ``keep_last`` (≥1) —
+        the current snapshot can never expire.  Iceberg's
+        ``expire_snapshots(older_than=ts)`` complement to ``vacuum``'s
+        count-based ``keep_versions``: expiry deletes metadata and thereby
+        RELEASES the data files only old snapshots referenced; the next
+        ``vacuum()`` (which scopes "referenced" to surviving manifests)
+        collects them.  Time travel to an expired version raises
+        ``FileNotFoundError``.  Returns the expired version numbers."""
+        import datetime as _dt
+
+        cutoff = older_than_ts
+        if isinstance(cutoff, str):
+            d = _dt.datetime.fromisoformat(cutoff)
+            if d.tzinfo is None:
+                d = d.replace(tzinfo=_dt.timezone.utc)
+            cutoff = d.timestamp()
+        elif isinstance(cutoff, _dt.datetime):
+            d = cutoff if cutoff.tzinfo else cutoff.replace(tzinfo=_dt.timezone.utc)
+            cutoff = d.timestamp()
+        keep_last = max(1, keep_last)
+        versions = self._list_versions()
+        expired: list[int] = []
+        for v in versions[:-keep_last]:
+            m = json.loads(self.storage.get(self._manifest_key(v)))
+            if cutoff is None or float(m["committed_at"]) < cutoff:
+                self.storage.delete(self._manifest_key(v))
+                expired.append(v)
+        return expired

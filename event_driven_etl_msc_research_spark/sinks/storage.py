@@ -92,6 +92,11 @@ class TableStorage:
         """Delete every object under ``prefix``; returns count removed."""
         raise NotImplementedError
 
+    def delete(self, key: str) -> bool:
+        """DELETE one object; False if it did not exist (idempotent —
+        concurrent expiry of the same snapshot is a harmless no-op)."""
+        raise NotImplementedError
+
 
 class LocalFSStorage(TableStorage):
     """POSIX filesystem backend (single-node / NFS / tests).
@@ -165,6 +170,13 @@ class LocalFSStorage(TableStorage):
         n = sum(len(files) for _, _, files in os.walk(path))
         shutil.rmtree(path, ignore_errors=True)
         return n
+
+    def delete(self, key: str) -> bool:
+        try:
+            os.unlink(os.path.join(self.root, key))
+            return True
+        except FileNotFoundError:
+            return False
 
 
 # process-wide object registries, keyed by absolute root — every
@@ -288,3 +300,13 @@ class FakeObjectStorage(TableStorage):
                 n += 1 if not os.path.exists(os.path.join(self.root, k)) else 0
                 del self._registry[k]
         return n
+
+    def delete(self, key: str) -> bool:
+        with _FAKE_LOCK:
+            existed = self._registry.pop(key, None) is not None
+        path = os.path.join(self.root, key)
+        try:
+            os.unlink(path)
+            return True
+        except FileNotFoundError:
+            return existed

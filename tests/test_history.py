@@ -1,0 +1,115 @@
+"""Snapshot history + expiry (round-4 directive #6): ``ManifestTable.history``
+returns the audit-shaped snapshots table; ``expire_snapshots(older_than)``
+deletes old manifest OBJECTS so the next ``vacuum`` can release the data files
+only they referenced.  Parameterized over both storage backends."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+from event_driven_etl_msc_research_spark.schemas import TRANSCRIPT_SCHEMA
+from event_driven_etl_msc_research_spark.sinks.manifest import ManifestTable
+
+
+def _changes_df(spark, rows):
+    cols = ["op", "lsn", "ts", "conv_id", "turn_idx", "role", "text", "tool"]
+    pdf = pd.DataFrame(rows, columns=cols)
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s", utc=True)
+    fields = [
+        T.StructField("op", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+    ]
+    return spark.createDataFrame(pdf, T.StructType(fields))
+
+
+@pytest.fixture()
+def table(spark, tmp_root, storage_factory):
+    root = os.path.join(tmp_root, "hist_tbl")
+    return ManifestTable.create(
+        spark, root, TRANSCRIPT_SCHEMA, n_buckets=4,
+        storage=storage_factory(root),
+    )
+
+
+def _rows(base, n=12):
+    return [
+        ("I", base + i, 1000 + base + i, f"c{i % 5}", i // 5, "user",
+         f"t{base + i}", None)
+        for i in range(n)
+    ]
+
+
+def test_history_tracks_operations_and_file_diffs(spark, table):
+    table.merge(_changes_df(spark, _rows(0)), 1, mode="delta")
+    table.merge(_changes_df(spark, _rows(100)), 2, mode="delta")
+    table.compact()
+    table.rebucket(8)
+
+    h = {r["version"]: r for r in table.history().collect()}
+    assert [h[v]["operation"] for v in sorted(h)] == [
+        "create", "merge", "merge", "compact", "rebucket"
+    ]
+    assert h[0]["parent"] is None and h[0]["n_files"] == 0
+    assert h[1]["parent"] == 0 and h[1]["epoch_id"] == "batch:1"
+    # delta merges only ADD files; compact/rebucket replace them
+    assert h[1]["added_files"] > 0 and h[1]["removed_files"] == 0
+    assert h[2]["added_files"] > 0 and h[2]["removed_files"] == 0
+    assert h[3]["operation"] == "compact" and h[3]["removed_files"] > 0
+    assert h[4]["removed_files"] == h[3]["n_files"]  # full rewrite
+    assert h[4]["total_rows"] == 12  # both epochs upsert the same 12 keys
+    # committed_at is monotone over the chain
+    times = [h[v]["committed_at"] for v in sorted(h)]
+    assert times == sorted(times)
+
+
+def test_expire_snapshots_releases_data_and_blocks_time_travel(spark, table):
+    for e in range(1, 5):
+        table.merge(_changes_df(spark, _rows(100 * e, n=6)), e)
+    assert table.current_version() == 4
+    n_live = table.read().count()
+
+    cutoff = time.time() + 1  # everything committed so far is "old"
+    expired = table.expire_snapshots(older_than_ts=cutoff, keep_last=2)
+    assert expired == [0, 1, 2]
+    # survivors: current + one parent; current state unaffected
+    assert sorted(table._list_versions()) == [3, 4]
+    assert table.read().count() == n_live
+    assert table.read(version=3).count() > 0  # retained parent still readable
+    with pytest.raises(FileNotFoundError):
+        table.read(version=1).collect()
+
+    # history over the gap: v3's parent (v2) is expired → null diffs
+    h = {r["version"]: r for r in table.history().collect()}
+    assert set(h) == {3, 4}
+    assert h[3]["added_files"] is None and h[3]["removed_files"] is None
+    assert h[4]["added_files"] is not None
+
+    # expiry RELEASES files: vacuum with keep_versions beyond the surviving
+    # chain still only protects surviving manifests' files
+    removed = table.vacuum(keep_versions=10, grace_s=0.0)
+    assert removed  # v1/v2's superseded bucket rewrites are now collectable
+    assert table.read().count() == n_live
+    assert table.read(version=3).count() > 0
+
+    # idempotent / keep_last floor: nothing left to expire
+    assert table.expire_snapshots(older_than_ts=cutoff, keep_last=2) == []
+    # keep_last=1 with no cutoff expires all but current
+    assert table.expire_snapshots() == [3]
+    assert table._list_versions() == [4]
+
+
+def test_expire_accepts_iso_string(spark, table):
+    table.merge(_changes_df(spark, _rows(0, n=4)), 1)
+    assert table.expire_snapshots(older_than_ts="2000-01-01") == []
+    assert table.expire_snapshots(older_than_ts="2100-01-01") == [0]

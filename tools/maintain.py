@@ -7,6 +7,8 @@ MOR pattern — Iceberg/Paimon/Hudi compaction services)::
         tools/maintain.py --table /lake/transcripts compact
     ... maintain.py --table /lake/transcripts vacuum --keep-versions 8
     ... maintain.py --table /lake/transcripts rebucket --n-buckets 256
+    ... maintain.py --table /lake/transcripts history
+    ... maintain.py --table /lake/transcripts expire --older-than 2026-08-01
 
 Safe against a concurrently running tail: every operation commits through
 the same optimistic put-if-absent manifest protocol (a lost race returns
@@ -31,6 +33,15 @@ def main() -> int:
     sv.add_argument("--grace-s", type=float, default=600.0)
     sr = sub.add_parser("rebucket", help="change the hash bucket count")
     sr.add_argument("--n-buckets", type=int, required=True)
+    sh = sub.add_parser("history", help="print the snapshot history table")
+    sh.add_argument("--limit", type=int, default=50, help="newest N rows")
+    se = sub.add_parser("expire", help="expire old snapshots (metadata)")
+    se.add_argument(
+        "--older-than",
+        default=None,
+        help="ISO timestamp / date; omit to expire everything but --keep-last",
+    )
+    se.add_argument("--keep-last", type=int, default=1)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -45,6 +56,15 @@ def main() -> int:
     elif args.op == "vacuum":
         removed = t.vacuum(keep_versions=args.keep_versions, grace_s=args.grace_s)
         out = {"status": "Success", "removed_dirs": len(removed)}
+    elif args.op == "history":
+        h = t.history().orderBy("version", ascending=False).limit(args.limit)
+        h.show(args.limit, truncate=False)
+        out = {"status": "Success", "snapshots": h.count()}
+    elif args.op == "expire":
+        expired = t.expire_snapshots(
+            older_than_ts=args.older_than, keep_last=args.keep_last
+        )
+        out = {"status": "Success", "expired_versions": expired}
     else:
         out = t.rebucket(args.n_buckets)
     print(json.dumps(out))
