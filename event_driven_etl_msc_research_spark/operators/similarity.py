@@ -279,11 +279,200 @@ def lsh_build(
         .parquet(os.path.join(index_dir, "buckets"))
     )
     meta = {**params, "built_at": time.time()}
+    _write_meta(index_dir, meta)
+    return meta
+
+
+def _write_meta(index_dir: str, meta: dict) -> None:
+    import json
+    import os
+
     os.makedirs(index_dir, exist_ok=True)
+    meta_path = os.path.join(index_dir, "meta.json")
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.rename(tmp, meta_path)
+
+
+def _read_meta(index_dir: str, kind: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("kind") != kind:
+        raise ValueError(
+            f"index at {index_dir} is kind={meta.get('kind')!r}, not {kind!r}"
+        )
+    return meta
+
+
+def _chain_signature(old: str | None, new: str | None) -> str | None:
+    """Fold an append batch's signature into the index's cumulative corpus
+    signature (bounded-size hash chain).  None on either side poisons the
+    chain to None — an unsigned batch means the caller tracks staleness
+    themselves, and a half-signed chain would false-match."""
+    import hashlib
+
+    if old is None or new is None:
+        return None
+    return hashlib.md5(f"{old}+{new}".encode()).hexdigest()
+
+
+def lsh_append(
+    emb_new: DataFrame,
+    index_dir: str,
+    corpus_signature: str | None = None,
+) -> dict:
+    """Incrementally index NEW vectors into an existing LSH bucket table
+    (``lsh_build``) — the live-corpus path: table growth appends O(batch)
+    instead of forcing a full O(corpus) rebuild.
+
+    The hyperplanes are pure functions of (plane, dim) indices, so an
+    appended vector lands in EXACTLY the (table, bucket) partitions a full
+    rebuild over the union corpus would put it in — append ≡ rebuild,
+    bit-for-bit (pinned by tests).  The write is parquet append-mode into
+    the same (tbl, bucket) partition layout; searches keep reading only
+    probed partition directories.  ``meta.json`` advances ``n_vectors``
+    and the cumulative signature chain (``_chain_signature``) atomically
+    AFTER the data lands."""
+    meta = _read_meta(index_dir, "lsh")
+    import os
+
+    n_new = emb_new.count()
+    if n_new == 0:
+        return meta
+    bits, keys = _lsh_projections(
+        meta["dim"], meta["n_planes"], meta["n_tables"], multi_probe=0
+    )
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    v = (
+        emb_new.select(
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).cast("array<double>").alias("nv"),
+        )
+        .withColumn("_bits", bits(F.col("nv")))
+        .select("nid", "nv", F.explode(keys(F.col("_bits"), probe=False)).alias("tb"))
+        .select("nid", "nv", "tb.tbl", "tb.bucket")
+    )
+    (
+        v.repartition(max(meta["n_tables"] * 4, 1), "tbl", "bucket")
+        .write.mode("append")
+        .partitionBy("tbl", "bucket")
+        .parquet(os.path.join(index_dir, "buckets"))
+    )
+    meta = {
+        **meta,
+        "n_vectors": meta["n_vectors"] + n_new,
+        "corpus_signature": _chain_signature(
+            meta.get("corpus_signature"), corpus_signature
+        ),
+        "appended_batches": meta.get("appended_batches", 0) + 1,
+        "built_at": time.time(),
+    }
+    _write_meta(index_dir, meta)
+    return meta
+
+
+def ivf_append(
+    emb_new: DataFrame,
+    index_dir: str,
+    corpus_signature: str | None = None,
+    skew_retrain_ratio: float = 8.0,
+    auto_retrain: bool = False,
+) -> dict:
+    """Incrementally index NEW vectors into an existing IVF index
+    (``ivf_build``): assign them to the EXISTING centroids (the trained
+    quantizer is the asset append amortizes) and parquet-append into the
+    cell partition layout — O(batch), no retrain, searches still prune to
+    probed cells.
+
+    Drift guard: per-cell row counts ride in ``meta.json`` (``cell_rows``);
+    when the fullest cell exceeds ``skew_retrain_ratio`` × the mean the
+    quantizer no longer fits the data distribution (appended vectors are
+    piling into few cells — probe cost grows toward a scan).  The append
+    still completes, and ``retrain_recommended`` is set in the returned
+    meta; with ``auto_retrain=True`` the index is instead rebuilt from its
+    own cell table (the union corpus — one read of the index, retrain,
+    rewrite), which re-trains Lloyd's on the full current distribution."""
+    import os
+
+    meta = _read_meta(index_dir, "ivf")
+    n_new = emb_new.count()
+    if n_new == 0:
+        return meta
+    cents = meta["centroids"]
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    assigned = _with_cell_dists(
+        emb_new.select(
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).cast("array<double>").alias("nv"),
+        ),
+        "nv",
+        cents,
+    ).select(
+        "nid",
+        "nv",
+        (F.array_position(F.col("_cd"), F.array_min(F.col("_cd"))) - 1)
+        .cast("int")
+        .alias("cell"),
+    )
+    # per-cell counts of the NEW batch only (n_cells rows to the driver;
+    # the batch plan is evaluated twice — O(batch), never O(index))
+    new_counts = {
+        int(r["cell"]): int(r["n"])
+        for r in assigned.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    cell_rows = {int(k): int(v) for k, v in (meta.get("cell_rows") or {}).items()}
+    for c, n in new_counts.items():
+        cell_rows[c] = cell_rows.get(c, 0) + n
+    total = meta["n_vectors"] + n_new
+    mean = total / max(len(cents), 1)
+    skewed = cell_rows and max(cell_rows.values()) > skew_retrain_ratio * mean
+    chain = _chain_signature(meta.get("corpus_signature"), corpus_signature)
+
+    if skewed and auto_retrain:
+        cells_dir = os.path.join(index_dir, "cells")
+        spark = emb_new.sparkSession
+        # land the batch first so the cell table IS the union corpus, then
+        # rebuild from it (retrains the quantizer on the full distribution)
+        (
+            assigned.repartition(max(len(cents) // 4, 1), "cell")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(cells_dir)
+        )
+        union = spark.read.parquet(cells_dir).select(
+            F.col("nid").alias(id_col), F.col("nv").alias(vec_col)
+        )
+        os.unlink(os.path.join(index_dir, "meta.json"))  # force the rebuild
+        return ivf_build(
+            union,
+            index_dir,
+            n_cells=meta["n_cells"],
+            iters=meta["iters"],
+            id_col=id_col,
+            vec_col=vec_col,
+            corpus_signature=chain,
+        )
+
+    (
+        assigned.repartition(max(len(cents) // 4, 1), "cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_dir, "cells"))
+    )
+    meta = {
+        **meta,
+        "n_vectors": total,
+        "corpus_signature": chain,
+        "cell_rows": {str(c): n for c, n in sorted(cell_rows.items())},
+        "appended_batches": meta.get("appended_batches", 0) + 1,
+        "retrain_recommended": bool(skewed),
+        "built_at": time.time(),
+    }
+    _write_meta(index_dir, meta)
     return meta
 
 
@@ -549,18 +738,30 @@ def ivf_build(
         .cast("int")
         .alias("cell"),
     )
+    cells_dir = os.path.join(index_dir, "cells")
     (
         v.repartition(max(len(cents) // 4, 1), "cell")
         .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(os.path.join(index_dir, "cells"))
+        .parquet(cells_dir)
     )
-    meta = {**params, "centroids": cents, "built_at": time.time()}
-    os.makedirs(index_dir, exist_ok=True)
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.rename(tmp, meta_path)
+    # per-cell row counts for ivf_append's skew guard: a count over the
+    # partition column alone — parquet serves it from footers + dir names,
+    # no vector data is read
+    cell_rows = {
+        str(int(r["cell"])): int(r["n"])
+        for r in emb.sparkSession.read.parquet(cells_dir)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    meta = {
+        **params,
+        "centroids": cents,
+        "cell_rows": cell_rows,
+        "built_at": time.time(),
+    }
+    _write_meta(index_dir, meta)
     return meta
 
 
