@@ -481,10 +481,14 @@ class ManifestTable:
         are ALSO applied as a filter, so results are exact regardless of
         pruning.  MOR correctness rule: key-column bounds prune base AND
         delta files (a file outside the key range holds none of the
-        requested keys); non-key bounds (e.g. ``ts``) prune only in
-        delta-free buckets — in a bucket carrying deltas, dropping an
-        out-of-range base or delta file could hand the per-key fold to a
-        stale in-range row.  An EQUALITY bound on the bucket column
+        requested keys); for non-key bounds (e.g. ``ts``) delta files are
+        always kept, and in a delta-free bucket base files prune freely —
+        in a bucket carrying deltas, a base file prunes on a non-key column
+        only when EVERY delta file of the bucket is provably out of range
+        on it (then any key the pruned file held has an out-of-range winner
+        regardless of which side wins the fold, and no stale in-range base
+        row can resurrect — see ``_pruned_files``).  An EQUALITY bound on
+        the bucket column
         additionally pins the single hash bucket that can hold the key
         (Iceberg bucket-transform analogue) — the O(one-bucket) point
         lookup regardless of stats."""
@@ -531,29 +535,30 @@ class ManifestTable:
             for c, (lo, hi) in where.items()
         }
 
-        def keep(p: str, usable: list[str]) -> bool:
+        def disjoint(p: str, c: str) -> bool:
+            """PROVABLY no row of file ``p`` satisfies the bound on ``c``
+            (recorded stats exist and the ranges cannot overlap)."""
             st = stats.get(p)
-            if not st:
-                return True
-            for c in usable:
-                if c not in st:
-                    continue
-                lo, hi = nb[c]
-                fmin = _stat_from_json(st[c][0])
-                fmax = _stat_from_json(st[c][1])
-                try:
-                    if lo is not None and fmax < lo:
-                        return False
-                    if hi is not None and fmin > hi:
-                        return False
-                except TypeError:  # incomparable bound/stat types: keep
-                    continue
-            return True
+            if not st or c not in st:
+                return False
+            lo, hi = nb[c]
+            fmin = _stat_from_json(st[c][0])
+            fmax = _stat_from_json(st[c][1])
+            try:
+                return (lo is not None and fmax < lo) or (
+                    hi is not None and fmin > hi
+                )
+            except TypeError:  # incomparable bound/stat types: not provable
+                return False
+
+        def keep(p: str, usable: list[str]) -> bool:
+            return not any(disjoint(p, c) for c in usable)
 
         delta_by_bucket = {
             b: ps for b, ps in (m.get("delta_files") or {}).items() if ps
         }
         key_bounds = [c for c in nb if c in key_cols]
+        nonkey_bounds = [c for c in nb if c not in key_cols]
 
         # exact hash-bucket pruning (Iceberg bucket-transform analogue): an
         # EQUALITY bound on the bucket column pins the one bucket that can
@@ -592,9 +597,27 @@ class ManifestTable:
         for b, ps in m["files"].items():
             if only_bucket is not None and int(b) != only_bucket:
                 continue
-            usable = (
-                key_bounds if str(b) in delta_by_bucket else list(nb)
-            )
+            if str(b) not in delta_by_bucket:
+                usable = list(nb)
+            else:
+                # MOR rule, per non-key column: a base file may prune on c
+                # when EVERY delta file of this bucket is PROVABLY disjoint
+                # from the bound on c.  Proof sketch: deltas are always
+                # kept, so pruning base can only drop keys whose winner
+                # would have been filtered anyway — a key with no delta
+                # rows had its (out-of-range) base winner excluded by the
+                # bound filter; a key with delta rows has every delta row
+                # out-of-range on c, so whichever side wins the per-key
+                # max-version fold, the winner is out-of-range and excluded.
+                # No in-range stale base row can resurrect because base
+                # files only prune when they are THEMSELVES out-of-range.
+                # An unprovable delta file (missing stats) disables the
+                # column — conservative, never wrong.
+                usable = key_bounds + [
+                    c
+                    for c in nonkey_bounds
+                    if all(disjoint(p, c) for p in delta_by_bucket[str(b)])
+                ]
             base += [
                 self.storage.spark_path(p) for p in ps if keep(p, usable)
             ]

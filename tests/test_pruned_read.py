@@ -107,8 +107,9 @@ def test_mor_ts_pruning_is_safe_not_stale(spark, tmp_root):
     """The MOR hazard: key k has a base row in the queried ts range and a
     NEWER delta row outside it.  Naive base/delta pruning would return the
     stale base row; the engine must return nothing for k (its live version
-    is out of range) — non-key pruning is disabled for delta-carrying
-    buckets exactly for this."""
+    is out of range).  The in-range base file is KEPT (only provably
+    out-of-range base files ever prune), the delta row wins the fold, and
+    the bound filter excludes it."""
     t = ManifestTable.create(
         spark, os.path.join(tmp_root, "t"), TRANSCRIPT_SCHEMA, n_buckets=2
     )
@@ -176,3 +177,79 @@ def test_point_lookup_prunes_to_one_bucket(spark, tmp_root):
     )
     got2 = t.read(where={"conv_id": ("c3", "c3")})
     assert sorted(r["text"] for r in got2.collect()) == ["d1-c3-1", "d1-c3-2", "upd"]
+
+
+def test_mor_base_prunes_when_all_deltas_out_of_range(spark, tmp_root):
+    """Round-4 rule: in a delta-carrying bucket, a base file prunes on a
+    non-key bound when EVERY delta file of the bucket is provably out of
+    range on it — the winner of any key the pruned file held is
+    out-of-range regardless of which side wins the fold."""
+    t = ManifestTable.create(
+        spark, os.path.join(tmp_root, "t"), TRANSCRIPT_SCHEMA, n_buckets=1
+    )
+    # base: day-1 rows for convs a,b (CoW); delta: day-5 update to a
+    t.merge(_changes_df(spark, _day_rows(1, ["a", "b"], 0)), 0)
+    t.merge(
+        _changes_df(spark, [("U", 99, 5 * DAY, "a", 0, "user", "a-upd", None)]),
+        1,
+        mode="delta",
+    )
+    m = t.manifest()
+    assert m.get("delta_files") and m["files"]  # the one bucket carries both
+
+    def bounds(lo_day, hi_day):
+        return (
+            pd.Timestamp(lo_day * DAY, unit="s", tz="UTC").to_pydatetime(),
+            pd.Timestamp(hi_day * DAY, unit="s", tz="UTC").to_pydatetime(),
+        )
+
+    # query day 10-11: base (day 1) AND delta (day 5) both out of range →
+    # the base file is PRUNED even though its bucket carries deltas
+    base_f, delta_f = t._pruned_files(m, {"ts": bounds(10, 11)})
+    assert base_f == [] and len(delta_f) == 1  # deltas always kept
+    assert t.read(where={"ts": bounds(10, 11)}).count() == 0
+
+    # query day 1 only: delta (day 5) provably disjoint → base may prune on
+    # ts; the day-1 base file is IN range so it is kept — and the fold stays
+    # exact: conv a's winner is the (out-of-range) day-5 update, so only b
+    # comes back, plus a's un-updated turns
+    base_f, delta_f = t._pruned_files(m, {"ts": bounds(1, 2)})
+    assert len(base_f) == 1 and len(delta_f) == 1
+    full = t.read()
+    d1 = bounds(1, 2)
+    exp = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in full.filter((full["ts"] >= d1[0]) & (full["ts"] <= d1[1])).collect()
+    )
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in t.read(where={"ts": d1}).collect()
+    )
+    assert got == exp and ("a", 0, "d1-a-0") not in got and len(got) == 5
+
+    # query day 5: the delta IS in range → not provably disjoint → base
+    # pruning on ts stays disabled (a pruned base winner could otherwise
+    # hand the fold to an in-range LOWER-version delta row — the stale
+    # resurrection hazard); base kept, result exact: only the update
+    base_f, delta_f = t._pruned_files(m, {"ts": bounds(5, 6)})
+    assert len(base_f) == 1 and len(delta_f) == 1
+    assert [r["text"] for r in t.read(where={"ts": bounds(5, 6)}).collect()] == [
+        "a-upd"
+    ]
+
+    # a SECOND delta file overlapping day 1 disables ts-pruning of base
+    # (not every delta is provably disjoint anymore) — conservative again
+    t.merge(
+        _changes_df(spark, [("U", 100, DAY + 10, "b", 1, "user", "b-upd", None)]),
+        2,
+        mode="delta",
+    )
+    m2 = t.manifest()
+    base_f, delta_f = t._pruned_files(m2, {"ts": bounds(1, 2)})
+    assert len(base_f) == 1 and len(delta_f) == 2
+    got2 = sorted(r["text"] for r in t.read(where={"ts": bounds(1, 2)}).collect())
+    assert got2 == ["b-upd", "d1-a-1", "d1-a-2", "d1-b-0", "d1-b-2"]
+    # ...but both deltas ARE disjoint from day 10-11, so base prunes there
+    base_f, delta_f = t._pruned_files(m2, {"ts": bounds(10, 11)})
+    assert base_f == [] and len(delta_f) == 2
+    assert t.read(where={"ts": bounds(10, 11)}).count() == 0
