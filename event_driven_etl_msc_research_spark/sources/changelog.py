@@ -54,3 +54,29 @@ def read_changelog_stream(
     if fmt == "parquet":
         return rdr.parquet(path)
     raise ValueError(f"unsupported changelog format: {fmt}")
+
+
+def parse_change_payload(
+    raw: DataFrame,
+    schema: T.StructType = CHANGE_EVENT_SCHEMA,
+    value_col: str = "value",
+) -> DataFrame:
+    """Map a Kafka/Kinesis-shaped transport frame to change-event columns:
+    the transport's opaque ``value`` (binary or string JSON) is parsed with
+    ``from_json`` against the EXPLICIT change schema and flattened — the
+    standard ``kafka`` source adapter::
+
+        raw = spark.readStream.format("kafka")...load()   # key/value/topic/…
+        engine.replay_stream(parse_change_payload(raw), checkpoint_dir)
+
+    Works identically on batch or streaming frames; a malformed record
+    parses to a null struct → null columns (surfaced, never dropped
+    silently — the merge's NOT NULL key columns fail loudly instead).
+    No Kafka broker exists in the sandbox, so tests drive this through a
+    rate-source-synthesized JSON stream; the parsing plan is the same.
+    """
+    from pyspark.sql import functions as F
+
+    return raw.select(
+        F.from_json(F.col(value_col).cast("string"), schema).alias("_ev")
+    ).select("_ev.*")

@@ -66,6 +66,25 @@ def test_fifty_epoch_tail_stays_bounded(spark, tmp_root):
     assert _count_files(tbl, "data") < 200
     # lineage shards bounded by LineageLog.compact on the vacuum cadence
     assert _count_files(tbl, "_lineage") <= 24
+    # per-epoch driver/commit cost stays FLAT over the tail (round-4
+    # directive #5 done-criterion): the merge stage duration of the last
+    # ten epochs must not grow past the first ten's — the signature of
+    # O(accumulated-files) metadata work per epoch (sequential footer
+    # scans, full-tree GC walks) is a monotonically growing epoch cost.
+    # The bound is a RATIO (not wall-clock) so the overcommitted-VM noise
+    # floor doesn't flake it, and JVM warmup makes early epochs the SLOW
+    # side, which only tightens the check.
+    merges = sorted(
+        (r["epoch_id"], r["duration_s"])
+        for r in eng.lineage.lineage()
+        .filter("stage = 'merge' and status = 'Success'")
+        .collect()
+    )
+    assert len(merges) >= 50
+    first10 = sum(d for _, d in merges[:10]) / 10
+    last10 = sum(d for _, d in merges[-10:]) / 10
+    assert last10 <= 3.0 * first10, (first10, last10)
+
     # manifest stats stay consistent with a full read
     final = eng.read_table()
     got = final.orderBy("conv_id", "turn_idx").toPandas()

@@ -131,3 +131,35 @@ def test_replay_stream_rejects_batch_df_and_missing_columns(spark, tmp_root):
     ).load()
     with pytest.raises(ValueError, match="missing required columns"):
         eng.replay_stream(rate, os.path.join(tmp_root, "rej_cp"))
+
+
+def test_replay_stream_from_json_payload_transport(spark, tmp_root):
+    """The kafka-adapter shape: transport delivers opaque JSON strings in a
+    `value` column; parse_change_payload maps them to change events and the
+    SAME replay_stream call applies them — end-to-end without any file
+    segment (nor an actual broker: the transport frame is synthesized from
+    the rate source, the parsing plan is identical)."""
+    from event_driven_etl_msc_research_spark.schemas import CHANGE_EVENT_SCHEMA
+    from event_driven_etl_msc_research_spark.sources.changelog import (
+        parse_change_payload,
+    )
+
+    transport = _change_stream(spark).select(
+        F.to_json(
+            F.struct("op", "lsn", "ts", "conv_id", "turn_idx", "role", "text", "tool")
+        ).cast("binary").alias("value"),  # kafka hands value as binary
+        F.lit("topic-0").alias("topic"),
+    )
+    events = parse_change_payload(transport, CHANGE_EVENT_SCHEMA)
+
+    root = os.path.join(tmp_root, "kafka_tbl")
+    eng = CDCEngine(spark, root, n_buckets=4, merge_mode="delta")
+    q = eng.replay_stream(
+        events,
+        os.path.join(tmp_root, "kafka_cp"),
+        available_now=False,
+        processing_time="0 seconds",
+    )
+    _drain_until(eng, q, min_version=3)
+    m = _assert_state_is_fold_of_prefix(eng.read_table().collect())
+    assert m >= 100
