@@ -459,6 +459,87 @@ def cdc_merge_events_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDF surface on driver data (``ManifestTable.changes`` — the
+    downstream-incremental-consumer feed): the same change stream as
+    ``cdc_merge_events_delta`` applied as two delta epochs split at a
+    DETERMINISTIC midpoint, then the net row-level diff between the
+    first-epoch snapshot and the final one.  Oracle: a full-outer diff of
+    latest-per-user over ``event_id <= mid`` vs over all events, with the
+    engine's classification (insert/update/delete, post-image for
+    insert/update, pre-image for delete).  The midpoint is
+    ``(min+max)//2`` of ``event_id`` so both engines derive it with plain
+    integer arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("event_id").alias("lsn"),
+        F.col("ts").cast("timestamp"),
+        F.col("user_id").cast("string").alias("user_key"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_key", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    r = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    mid = (int(r[0]) + int(r[1])) // 2
+    root = tempfile.mkdtemp(prefix="cdc_table_changes_")
+    table = ManifestTable.create(
+        spark, root, payload, key_cols=["user_key"], n_buckets=8
+    )
+    table.merge(changes.filter(F.col("lsn") <= mid), 0, mode="delta", epoch_scope="d")
+    v1 = table.current_version()
+    table.merge(changes.filter(F.col("lsn") > mid), 1, mode="delta", epoch_scope="d")
+    return table.changes(v1).select(
+        "user_key",
+        F.col("_change_type").alias("change_type"),
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        "event_type",
+        "value",
+    )
+
+
+CDC_CHANGES_SQL = f"""
+WITH mid AS (
+  SELECT (MIN(event_id) + MAX(event_id)) // 2 AS m FROM events
+),
+a AS (
+  SELECT user_id, ts, event_type, value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE event_id <= (SELECT m FROM mid)
+  ) WHERE rn = 1 AND event_type != 'error'
+),
+b AS (
+  SELECT user_id, ts, event_type, value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1 AND event_type != 'error'
+)
+SELECT CAST(COALESCE(a.user_id, b.user_id) AS VARCHAR) AS user_key,
+       CASE WHEN a.user_id IS NULL THEN 'insert'
+            WHEN b.user_id IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       strftime(CASE WHEN b.user_id IS NULL THEN a.ts ELSE b.ts END,
+                '{_TS_FMT_DUCK}') AS ts,
+       CASE WHEN b.user_id IS NULL THEN a.event_type ELSE b.event_type END
+         AS event_type,
+       CASE WHEN b.user_id IS NULL THEN a.value ELSE b.value END AS value
+FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+WHERE a.user_id IS NULL OR b.user_id IS NULL
+   OR a.ts IS DISTINCT FROM b.ts
+   OR a.event_type IS DISTINCT FROM b.event_type
+   OR a.value IS DISTINCT FROM b.value
+"""
+
+
 def events_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): for every non-error event, the user's
     most recent error event at-or-before it.  Oracle: DuckDB's native ASOF
@@ -1593,6 +1674,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_merge_events": (cdc_merge_events, CDC_MERGE_SQL),
     "cdc_merge_events_delta": (cdc_merge_events_delta, CDC_MERGE_SQL),
     "cdc_events_time_window": (cdc_events_time_window, CDC_TIME_WINDOW_SQL),
+    "cdc_table_changes": (cdc_table_changes, CDC_CHANGES_SQL),
     "events_asof_last_error": (events_asof_last_error, ASOF_SQL),
     "events_asof_next_error": (events_asof_next_error, ASOF_FWD_SQL),
     "events_range_join": (events_range_join, RANGE_JOIN_SQL),
