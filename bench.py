@@ -53,6 +53,7 @@ HEADLINE = [
     "q18_large_volume",
     "top_users_by_value",
     "cdc_latest_event_per_user",
+    "mv_incremental_rollup",
     "events_asof_last_error",
     "events_range_join",
     "users_semi_anti",

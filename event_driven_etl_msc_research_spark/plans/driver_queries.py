@@ -540,6 +540,76 @@ WHERE a.user_id IS NULL OR b.user_id IS NULL
 """
 
 
+def mv_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained derived table (``sinks/derived.DerivedTable``
+    — the materialized-view layer the reference rebuilt from scratch each
+    run, `Phase3-DataLoad.py`): the ``cdc_merge_events_delta`` change stream
+    applied as two delta epochs split at the deterministic ``(min+max)//2``
+    midpoint, with a per-event_type rollup SYNCED after each epoch — the
+    first sync is the full build, the second exercises the O(changed
+    groups) partial-recompute path (change-feed candidates → broadcast
+    semi-join → affected-group re-aggregate → MERGE with tombstones).
+    Oracle: the same GROUP BY over the final latest-per-user state — the
+    incremental maintenance must be indistinguishable from a full
+    recompute."""
+    from ..sinks.derived import DerivedTable
+
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("event_id").alias("lsn"),
+        F.col("ts").cast("timestamp"),
+        F.col("user_id").cast("string").alias("user_key"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_key", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    r = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    mid = (int(r[0]) + int(r[1])) // 2
+    root = tempfile.mkdtemp(prefix="mv_incremental_rollup_")
+    table = ManifestTable.create(
+        spark, root + "/up", payload, key_cols=["user_key"], n_buckets=8
+    )
+    mv = DerivedTable.create(
+        spark,
+        root + "/mv",
+        table,
+        ["event_type"],
+        {
+            "n_users": "count(1)",
+            "total_value": "round(sum(value), 4)",
+            "last_ts": f"date_format(max(ts), '{_TS_FMT_SPARK}')",
+        },
+        n_buckets=4,
+    )
+    table.merge(changes.filter(F.col("lsn") <= mid), 0, mode="delta", epoch_scope="d")
+    mv.sync()  # full build
+    table.merge(changes.filter(F.col("lsn") > mid), 1, mode="delta", epoch_scope="d")
+    mv.sync()  # incremental: partial recompute of affected groups only
+    return mv.read().select("event_type", "n_users", "total_value", "last_ts")
+
+
+MV_ROLLUP_SQL = f"""
+SELECT event_type,
+       COUNT(*) AS n_users,
+       ROUND(SUM(value), 4) AS total_value,
+       strftime(MAX(ts), '{_TS_FMT_DUCK}') AS last_ts
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type != 'error'
+GROUP BY event_type
+"""
+
+
 def events_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): for every non-error event, the user's
     most recent error event at-or-before it.  Oracle: DuckDB's native ASOF
@@ -1675,6 +1745,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_merge_events_delta": (cdc_merge_events_delta, CDC_MERGE_SQL),
     "cdc_events_time_window": (cdc_events_time_window, CDC_TIME_WINDOW_SQL),
     "cdc_table_changes": (cdc_table_changes, CDC_CHANGES_SQL),
+    "mv_incremental_rollup": (mv_incremental_rollup, MV_ROLLUP_SQL),
     "events_asof_last_error": (events_asof_last_error, ASOF_SQL),
     "events_asof_next_error": (events_asof_next_error, ASOF_FWD_SQL),
     "events_range_join": (events_range_join, RANGE_JOIN_SQL),

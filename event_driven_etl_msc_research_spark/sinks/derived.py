@@ -1,0 +1,334 @@
+"""Incrementally-maintained derived tables (materialized views) over a
+ManifestTable, fed by its row-level change feed.
+
+The reference pipeline recomputes downstream analytics tables from scratch
+each run (`Phase3-DataLoad.py` full-table INSERT OVERWRITE shape); at
+10^10 rows a per-sync full recompute is the difference between minutes and
+a day.  `DerivedTable` maintains `SELECT group_cols, aggs FROM upstream
+GROUP BY group_cols` with per-sync cost O(changed groups' data):
+
+  1. `upstream.changes(last_synced, t, images="both")` yields the keys
+     whose live state moved, with pre- AND post-images (so a group column
+     that itself changed contributes BOTH its old and new group to the
+     affected set).
+  2. The affected groups' aggregates are recomputed against snapshot `t`
+     restricted by a (broadcast when small) semi-join — partial recompute,
+     the strategy incremental-view-maintenance systems fall back to for
+     non-distributive aggregates, and the one that is UNCONDITIONALLY
+     correct for any aggregate expression (min/max/count-distinct included,
+     where signed-delta maintenance cannot retract).
+  3. Results are MERGEd into the derived ManifestTable keyed on the group
+     columns — vanished groups become delete tombstones — with
+     `epoch_scope="mv", epoch_id=t`, so the upstream version number IS the
+     exactly-once token: re-syncing the same version is a ledger no-op.
+
+Because step 2 recomputes ABSOLUTE values from the target snapshot (never
+signed deltas), a stale resume point only widens the affected set — the
+sync is self-healing under crashes between commit and hint write, and the
+hint object is exactly that: a hint.  The resume point of record is the
+derived table's own applied-epoch ledger.
+
+All sidecar metadata goes through the TableStorage verbs (append-only
+`put_if_absent` objects, no rename/overwrite), so a DerivedTable is as
+object-store-portable as its ManifestTable.
+"""
+from __future__ import annotations
+
+import datetime as _dt
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .manifest import ManifestTable
+from .storage import TableStorage
+
+_MV_DIR = "_mv"
+_DEF_KEY = f"{_MV_DIR}/definition.json"
+
+# reserved by the merge change-batch shape / internal columns
+_RESERVED = {"op", "lsn", "ts", "_lsn", "_deleted", "_bucket"}
+
+
+class DerivedTable:
+    """An incrementally-synced GROUP BY aggregate of an upstream
+    ManifestTable.  `aggs` maps output column name -> aggregate SQL
+    expression over upstream columns (evaluated with `F.expr`, e.g.
+    ``{"n_turns": "count(1)", "chars": "sum(length(text))"}``) — stored in
+    the definition sidecar so `load()` reconstructs the view without the
+    caller re-supplying it."""
+
+    # above this many affected groups the semi-join shuffles instead of
+    # broadcasting (same guard shape as ManifestTable.changes)
+    broadcast_groups: int = 2_000_000
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        upstream: ManifestTable,
+        group_cols: list[str],
+        aggs: dict[str, str],
+        table: ManifestTable,
+    ):
+        self.spark = spark
+        self.root = root
+        self.upstream = upstream
+        self.group_cols = list(group_cols)
+        self.aggs = dict(aggs)
+        self.table = table
+        self.storage = table.storage
+
+    # ---------- bootstrap ----------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        upstream: ManifestTable,
+        group_cols: list[str],
+        aggs: dict[str, str],
+        n_buckets: int = 16,
+        storage: TableStorage | None = None,
+    ) -> "DerivedTable":
+        """Idempotent create.  Group columns must be plain upstream column
+        names (their values must be readable off a change image); aggregate
+        names must not collide with reserved merge columns."""
+        up_cols = {f.name for f in upstream.schema().fields}
+        missing = [g for g in group_cols if g not in up_cols]
+        if missing:
+            raise ValueError(f"group_cols not in upstream schema: {missing}")
+        bad = (_RESERVED | set(group_cols)) & set(aggs)
+        if bad:
+            raise ValueError(f"aggregate names collide: {sorted(bad)}")
+        if set(group_cols) & _RESERVED:
+            raise ValueError("group_cols may not use reserved names")
+
+        # derive the output schema by planning the aggregate over an empty
+        # upstream-shaped frame (no job runs — schema-only)
+        empty = spark.createDataFrame([], upstream.schema())
+        probe = empty.groupBy(*group_cols).agg(
+            *[F.expr(sql).alias(name) for name, sql in aggs.items()]
+        )
+        schema = T.StructType(
+            list(probe.schema.fields)
+            + [T.StructField("ts", T.TimestampType(), True)]
+        )
+        table = ManifestTable.create(
+            spark,
+            root,
+            schema,
+            key_cols=list(group_cols),
+            n_buckets=n_buckets,
+            storage=storage,
+        )
+        t = cls(spark, root, upstream, group_cols, aggs, table)
+        t.storage.put_if_absent(
+            _DEF_KEY,
+            json.dumps(
+                {
+                    "group_cols": list(group_cols),
+                    "aggs": dict(aggs),
+                    "upstream_root": upstream.root,
+                    # NOTE: no sort_keys — aggs order is part of the
+                    # definition (it fixes the derived schema's column order)
+                },
+            ).encode(),
+        )
+        return t
+
+    @classmethod
+    def load(
+        cls,
+        spark: SparkSession,
+        root: str,
+        upstream: ManifestTable,
+        storage: TableStorage | None = None,
+    ) -> "DerivedTable":
+        table = ManifestTable(spark, root, storage=storage)
+        d = json.loads(table.storage.get(_DEF_KEY))
+        return cls(spark, root, upstream, d["group_cols"], d["aggs"], table)
+
+    # ---------- resume point ----------
+
+    def _hint_synced(self) -> int | None:
+        best = None
+        for o in self.storage.list(_MV_DIR):
+            name = o.key.rsplit("/", 1)[-1]
+            if name.startswith("sync_v") and name.endswith(".json"):
+                try:
+                    v = int(name[len("sync_v"):-5])
+                except ValueError:
+                    continue
+                best = v if best is None else max(best, v)
+        return best
+
+    def _ledger_synced(self) -> int | None:
+        """Resume point of record: the max upstream version the derived
+        table's own applied-epoch ledger has committed under scope
+        ``mv`` (explicit entries + the folded range's hi bound)."""
+        m = self.table.manifest()
+        best = None
+        for key in m["applied_epochs"]:
+            scope, _, eid = key.partition(":")
+            if scope == "mv":
+                try:
+                    v = int(eid)
+                except ValueError:
+                    continue
+                best = v if best is None else max(best, v)
+        r = (m.get("applied_ranges") or {}).get("mv")
+        if r:
+            best = r[1] if best is None else max(best, r[1])
+        return best
+
+    def last_synced_version(self) -> int | None:
+        h, l = self._hint_synced(), self._ledger_synced()
+        if h is None:
+            return l
+        if l is None:
+            return h
+        return max(h, l)
+
+    def _write_hint(self, version: int) -> None:
+        self.storage.put_if_absent(
+            f"{_MV_DIR}/sync_v{version:012d}.json",
+            json.dumps(
+                {"synced_version": version, "written_at": _now_iso()}
+            ).encode(),
+        )
+
+    # ---------- sync ----------
+
+    def _agg_exprs(self):
+        return [F.expr(sql).alias(name) for name, sql in self.aggs.items()]
+
+    def _image_groups(self, ch: DataFrame) -> DataFrame:
+        """Distinct group values across BOTH images of the change rows.
+        Group columns that are upstream key columns live at the top level;
+        payload group columns come off each image struct."""
+        key_cols = set(self.upstream.manifest()["key_cols"])
+        payload_groups = [g for g in self.group_cols if g not in key_cols]
+        if not payload_groups:
+            return ch.select(*self.group_cols).distinct()
+
+        def side(img: str) -> DataFrame:
+            return ch.filter(F.col(img).isNotNull()).select(
+                *[
+                    F.col(g) if g in key_cols else F.col(f"{img}.{g}").alias(g)
+                    for g in self.group_cols
+                ]
+            )
+
+        return side("_pre").unionByName(side("_post")).distinct()
+
+    def _batch(self, live: DataFrame, stale_groups: DataFrame, t: int) -> DataFrame:
+        """Upserts for recomputed groups, tombstones for groups in
+        ``stale_groups`` that no longer exist, stamped (lsn=t, ts=commit
+        time of snapshot t)."""
+        committed = _dt.datetime.fromtimestamp(
+            float(self.upstream.manifest(t)["committed_at"]), tz=_dt.timezone.utc
+        )
+        agg_fields = [
+            f
+            for f in self.table.schema().fields
+            if f.name not in self.group_cols and f.name != "ts"
+        ]
+        ups = live.select(
+            F.lit("U").alias("op"),
+            *self.group_cols,
+            *[F.col(f.name).cast(f.dataType) for f in agg_fields],
+        )
+        dels = (
+            stale_groups.join(
+                live.select(*self.group_cols), on=self.group_cols, how="left_anti"
+            )
+            .select(
+                F.lit("D").alias("op"),
+                *self.group_cols,
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in agg_fields
+                ],
+            )
+        )
+        return (
+            ups.unionByName(dels)
+            .withColumn("lsn", F.lit(int(t)).cast("long"))
+            .withColumn("ts", F.lit(committed))
+        )
+
+    def sync(self, mode: str = "cow", **merge_kwargs) -> dict[str, Any]:
+        """Bring the derived table up to the upstream's current snapshot.
+        Returns the merge result dict (status Success/Skipped/NoChange).
+
+        Cost shape: O(changed groups' data) when the change range is
+        readable; falls back to a full recompute (O(upstream)) only when
+        the resume snapshot has been expired — the same degradation
+        incremental readers of any table format hit when history is GC'd.
+        """
+        t = self.upstream.current_version()
+        sv = self.last_synced_version()
+        if sv is not None and t == sv:
+            return {"status": "NoChange", "version": t}
+        if self.table.epoch_applied(t, epoch_scope="mv"):
+            # committed but the hint write was lost — heal the hint
+            self._write_hint(t)
+            return {"status": "Skipped", "version": t}
+
+        snap = self.upstream.read(version=t)
+        full = sv is None
+        affected = None
+        if not full:
+            try:
+                ch = self.upstream.changes(sv, t, images="both")
+                affected = self._image_groups(ch)
+            except FileNotFoundError:
+                full = True  # resume snapshot expired → full recompute
+
+        if full:
+            live = snap.groupBy(*self.group_cols).agg(*self._agg_exprs())
+            stale = self.table.read().select(*self.group_cols)
+        else:
+            n = affected.count()
+            if n == 0:
+                # nothing moved in (sv, t] — advance the hint only; the
+                # ledger needs no entry because a later sync from sv is
+                # self-healing (absolute recompute, never signed deltas)
+                self._write_hint(t)
+                return {"status": "NoChange", "version": t}
+            cand = (
+                F.broadcast(affected) if n <= self.broadcast_groups else affected
+            )
+            live = (
+                snap.join(cand, on=self.group_cols, how="left_semi")
+                .groupBy(*self.group_cols)
+                .agg(*self._agg_exprs())
+            )
+            stale = affected
+
+        res = self.table.merge(
+            self._batch(live, stale, t),
+            epoch_id=t,
+            epoch_scope="mv",
+            mode=mode,
+            **merge_kwargs,
+        )
+        self._write_hint(t)
+        return res
+
+    # ---------- read ----------
+
+    def read(self, with_refresh_ts: bool = False) -> DataFrame:
+        """Current materialized state.  ``ts`` (the upstream commit time
+        that last refreshed each group) is internal bookkeeping unless
+        asked for."""
+        df = self.table.read()
+        return df if with_refresh_ts else df.drop("ts")
+
+
+def _now_iso() -> str:
+    return _dt.datetime.now(tz=_dt.timezone.utc).isoformat()

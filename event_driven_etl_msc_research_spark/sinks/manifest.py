@@ -1655,7 +1655,10 @@ class ManifestTable:
     changes_broadcast_keys: int = 2_000_000
 
     def changes(
-        self, from_version: int, to_version: int | None = None
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        images: str = "net",
     ) -> DataFrame:
         """Net row-level change feed between two snapshots — the CDF
         surface Iceberg/Delta expose (``table_changes``) so downstream
@@ -1677,7 +1680,16 @@ class ManifestTable:
         instead of broadcasting).  Across a compact/rebucket/CoW rewrite
         the diff is the general key-wise full-outer join of the two
         snapshots — O(table), which is what snapshot diffing across a
-        layout change inherently costs in any table format."""
+        layout change inherently costs in any table format.
+
+        ``images="net"`` (default) returns the flattened single-image rows
+        described above.  ``images="both"`` returns the key columns plus
+        ``_change_type`` and BOTH payload images as structs (``_pre`` null
+        for insert, ``_post`` null for delete) — what an incremental
+        aggregate maintainer needs to retract an update's pre-image (cf.
+        Delta CDF's update_preimage/update_postimage row pairs)."""
+        if images not in ("net", "both"):
+            raise ValueError(f"images must be 'net' or 'both', got {images!r}")
         tv = self.current_version() if to_version is None else to_version
         if from_version > tv:
             raise ValueError(
@@ -1689,10 +1701,20 @@ class ManifestTable:
         key_cols = list(mb["key_cols"])
         to_schema = T.StructType.fromJson(mb["schema"])
         payload_cols = [f.name for f in to_schema.fields if f.name not in key_cols]
+        img_struct = T.StructType(
+            [f for f in to_schema.fields if f.name not in key_cols]
+        )
         out_schema = T.StructType(
             [f for f in to_schema.fields if f.name in key_cols]
             + [T.StructField("_change_type", T.StringType(), False)]
-            + [f for f in to_schema.fields if f.name not in key_cols]
+            + (
+                [f for f in to_schema.fields if f.name not in key_cols]
+                if images == "net"
+                else [
+                    T.StructField("_pre", img_struct, True),
+                    T.StructField("_post", img_struct, True),
+                ]
+            )
         )
         if from_version == tv:
             return self.spark.createDataFrame([], out_schema)
@@ -1736,6 +1758,12 @@ class ManifestTable:
             .when(F.col("_post").isNull(), F.lit("delete"))
             .when(~F.col("_pre").eqNullSafe(F.col("_post")), F.lit("update"))
         )
+        if images == "both":
+            return (
+                j.withColumn("_change_type", change)
+                .filter(F.col("_change_type").isNotNull())
+                .select(*key_cols, "_change_type", "_pre", "_post")
+            )
         img = F.when(
             F.col("_change_type") == "delete", F.col("_pre")
         ).otherwise(F.col("_post"))
