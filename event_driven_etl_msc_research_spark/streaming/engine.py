@@ -182,6 +182,11 @@ class CDCEngine:
         # dir so restarts of the SAME checkpoint dedup, while a new
         # checkpoint (whose epoch ids restart at 0) never collides
         self._epoch_scope = "batch"
+        # derived tables (materialized views) synced behind the tail —
+        # see register_derived()
+        self._derived: list = []
+        self.sync_derived_every = 1
+        self._epochs_since_mv_sync = 0
 
     # ---------- the foreachBatch body ----------
 
@@ -246,6 +251,7 @@ class CDCEngine:
                     self._maybe_vacuum(epoch_id, force=True)
             if stats["status"] == "Success":
                 self._maybe_vacuum(epoch_id)
+                self._maybe_sync_derived(epoch_id)
             return stats
         except Exception as e:  # E2: error payload → lineage, then propagate
             self.lineage.record_stage(
@@ -297,6 +303,50 @@ class CDCEngine:
             self.lineage.record_stage(
                 epoch_id, "lineage_compact", "Failed", detail=repr(e)[:2000]
             )
+
+    def register_derived(self, derived, every: int | None = None) -> None:
+        """Attach a ``sinks.derived.DerivedTable`` built over this engine's
+        table: the tail syncs it after every ``sync_derived_every``-th
+        successful merge epoch (set ``every`` to change the cadence for all
+        registered views).  Sync failure never aborts ingest — the MV's
+        resume point is its own exactly-once ledger and a later sync is
+        self-healing (absolute partial recompute), so a transient failure
+        only delays freshness.  The reference analogue is the downstream
+        analytics load the pipeline re-ran from scratch each execution
+        (`Phase3-DataLoad.py`); here freshness follows ingest at O(changed
+        groups) per epoch."""
+        if derived.upstream.root != self.table.root:
+            raise ValueError(
+                "derived table's upstream is not this engine's table "
+                f"({derived.upstream.root} != {self.table.root})"
+            )
+        self._derived.append(derived)
+        if every is not None:
+            self.sync_derived_every = max(1, int(every))
+
+    def _maybe_sync_derived(self, epoch_id: int) -> None:
+        if not self._derived:
+            return
+        self._epochs_since_mv_sync += 1
+        if self._epochs_since_mv_sync < self.sync_derived_every:
+            return
+        self._epochs_since_mv_sync = 0
+        for mv in self._derived:
+            try:
+                st = mv.sync()
+                self.lineage.record_stage(
+                    epoch_id,
+                    "mv_sync",
+                    st.get("status", "Success"),
+                    detail=f"root={mv.root} version={st.get('version')}",
+                    duration_s=st.get("duration_s"),
+                )
+            except Exception as e:
+                # downstream freshness must never abort ingest (same
+                # advisory contract as vacuum); the next sync catches up
+                self.lineage.record_stage(
+                    epoch_id, "mv_sync", "Failed", detail=repr(e)[:2000]
+                )
 
     # ---------- replay / tail ----------
 

@@ -299,3 +299,60 @@ def test_load_roundtrip(spark, tmp_root):
     assert mv2.group_cols == ["conv_id"]
     assert mv2.aggs == AGGS
     _assert_synced(up, mv2)
+
+
+def test_engine_tail_syncs_registered_mv(spark, tmp_path):
+    """A DerivedTable registered on CDCEngine follows the streaming tail:
+    after the replay drains, the MV equals a full recompute of the final
+    table state, and the lineage log carries mv_sync rows."""
+    from event_driven_etl_msc_research_spark.datagen import (
+        ChangeStreamSpec,
+        generate_change_stream,
+    )
+    from event_driven_etl_msc_research_spark.schemas import (
+        CHANGE_EVENT_SCHEMA_EVOLVED,
+    )
+    from event_driven_etl_msc_research_spark.streaming.engine import CDCEngine
+
+    tmp = str(tmp_path)
+    generate_change_stream(
+        f"{tmp}/wal", ChangeStreamSpec(n_events=3000, seed=7)
+    )
+    eng = CDCEngine(
+        spark,
+        f"{tmp}/transcripts",
+        change_schema=CHANGE_EVENT_SCHEMA_EVOLVED,
+        n_buckets=4,
+        merge_mode="delta",
+        compact_every=2,
+    )
+    mv = DerivedTable.create(
+        spark,
+        f"{tmp}/mv",
+        eng.table,
+        ["conv_id"],
+        {"n_turns": "count(1)", "chars": "sum(length(text))"},
+        n_buckets=2,
+    )
+    eng.register_derived(mv, every=2)
+    eng.replay(f"{tmp}/wal", f"{tmp}/cp", max_files_per_trigger=2)
+    # the cadence may leave the MV one epoch behind — a final sync is the
+    # downstream consumer's drain step
+    mv.sync()
+    _assert_synced(eng.table, mv)
+    stages = {
+        r["stage"] for r in eng.metrics_report().collect()
+    }
+    assert "mv_sync" in stages
+
+    # a foreign upstream is rejected
+    other = ManifestTable.create(
+        spark, f"{tmp}/other", PAYLOAD, key_cols=["conv_id", "turn_idx"],
+        n_buckets=2,
+    )
+    mv2 = DerivedTable.create(
+        spark, f"{tmp}/mv2", other, ["conv_id"], {"n": "count(1)"},
+        n_buckets=2,
+    )
+    with pytest.raises(ValueError, match="not this engine's table"):
+        eng.register_derived(mv2)
