@@ -9,6 +9,7 @@ MOR pattern — Iceberg/Paimon/Hudi compaction services)::
     ... maintain.py --table /lake/transcripts rebucket --n-buckets 256
     ... maintain.py --table /lake/transcripts history
     ... maintain.py --table /lake/transcripts expire --older-than 2026-08-01
+    ... maintain.py --table /lake/transcripts sync-mv --mv /lake/conv_rollup
 
 Safe against a concurrently running tail: every operation commits through
 the same optimistic put-if-absent manifest protocol (a lost race returns
@@ -42,6 +43,13 @@ def main() -> int:
         help="ISO timestamp / date; omit to expire everything but --keep-last",
     )
     se.add_argument("--keep-last", type=int, default=1)
+    sm = sub.add_parser(
+        "sync-mv",
+        help="sync a DerivedTable (materialized view) whose upstream is "
+        "--table; runs the O(changed groups) partial recompute",
+    )
+    sm.add_argument("--mv", required=True, help="derived table root dir")
+    sm.add_argument("--mode", default="cow", choices=["cow", "delta"])
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -65,10 +73,21 @@ def main() -> int:
             older_than_ts=args.older_than, keep_last=args.keep_last
         )
         out = {"status": "Success", "expired_versions": expired}
+    elif args.op == "sync-mv":
+        from event_driven_etl_msc_research_spark.sinks.derived import (
+            DerivedTable,
+        )
+
+        mv = DerivedTable.load(spark, args.mv, t)
+        st = mv.sync(mode=args.mode)
+        out = {
+            "status": st.get("status"),
+            "synced_to_version": st.get("version"),
+        }
     else:
         out = t.rebucket(args.n_buckets)
     print(json.dumps(out))
-    return 0 if out.get("status") in ("Success", "Skipped") else 1
+    return 0 if out.get("status") in ("Success", "Skipped", "NoChange") else 1
 
 
 if __name__ == "__main__":
