@@ -145,6 +145,17 @@ class CDCEngine:
         # makes any duplicate that slips past it harmless anyway
         fail_after_stage_write: bool = False,  # chaos hook (cf. the reference's
         # live 'Intentional exception', Phase3-Data-Extraction-Async.py:44)
+        bad_records: str = "keep",  # "keep" | "quarantine" | "fail" — what to
+        # do with MALFORMED change events (op outside {U,D}, null lsn, or a
+        # null key column): "keep" passes them through (a null-key upsert is
+        # the engine's historical behavior and the zero-cost path),
+        # "quarantine" routes them to <table_root>/_quarantine/<epoch>/ and
+        # merges only the valid rows (the reference's error-payload handling,
+        # HandleDataExtractionErrorLambda.py, as a dead-letter TABLE instead
+        # of a compensation delete), "fail" aborts the epoch naming the
+        # count.  quarantine/fail add one validity-split job per epoch —
+        # an opt-in for untrusted transports; the designed single-job delta
+        # tail is the "keep" default
         storage=None,  # TableStorage backend for the sink table (defaults to
         # the POSIX LocalFSStorage; pass FakeObjectStorage or an object-store
         # client implementation — see sinks/storage.py)
@@ -162,6 +173,11 @@ class CDCEngine:
         self.audit = audit
         self.event_dedup = event_dedup
         self.fail_after_stage_write = fail_after_stage_write
+        if bad_records not in ("keep", "quarantine", "fail"):
+            raise ValueError(
+                f"bad_records must be keep|quarantine|fail, got {bad_records!r}"
+            )
+        self.bad_records = bad_records
         self.table = ManifestTable.create(
             spark,
             table_root,
@@ -196,6 +212,8 @@ class CDCEngine:
         into dedup→merge→commit; Backup is implicit in snapshot retention)."""
         t0 = time.monotonic()
         try:
+            if self.bad_records != "keep":
+                batch_df = self._route_bad_records(batch_df, epoch_id)
             before_publish = None
             if self.fail_after_stage_write:
                 # chaos: fail between staging write and manifest publish —
@@ -303,6 +321,67 @@ class CDCEngine:
             self.lineage.record_stage(
                 epoch_id, "lineage_compact", "Failed", detail=repr(e)[:2000]
             )
+
+    # ---------- malformed-event routing (dead-letter table) ----------
+
+    def _quarantine_prefix(self) -> str:
+        import hashlib
+
+        scope_id = hashlib.md5(self._epoch_scope.encode()).hexdigest()[:12]
+        return f"_quarantine/{scope_id}"
+
+    def _route_bad_records(self, batch_df: DataFrame, epoch_id: int) -> DataFrame:
+        """Split the epoch's batch on the validity predicate (op ∈ {U, D},
+        non-null lsn, non-null key columns).  ``fail`` aborts the epoch
+        naming the count; ``quarantine`` lands the bad rows under
+        ``<root>/_quarantine/<scope>/epoch=<id>/`` (overwrite per epoch —
+        a replayed epoch rewrites the identical set, so re-delivery stays
+        idempotent) and returns only the valid rows.  One validity job per
+        epoch, opt-in."""
+        from pyspark.sql import functions as F
+
+        key_cols = self.table.manifest()["key_cols"]
+        pred = F.col("op").isin("U", "D") & F.col("lsn").isNotNull()
+        for k in key_cols:
+            pred = pred & F.col(k).isNotNull()
+        bad = batch_df.filter(~pred)
+        n_bad = bad.count()
+        if n_bad == 0:
+            return batch_df
+        if self.bad_records == "fail":
+            self.lineage.record_stage(
+                epoch_id, "quarantine", "Failed", detail=f"n_bad={n_bad}"
+            )
+            self.lineage.flush()
+            raise ValueError(
+                f"epoch {epoch_id}: {n_bad} malformed change events "
+                "(op outside {U,D}, null lsn, or null key column); "
+                "bad_records='fail'"
+            )
+        dest = self.table.storage.spark_path(
+            f"{self._quarantine_prefix()}/epoch={epoch_id}"
+        )
+        bad.write.mode("overwrite").parquet(dest)
+        self.lineage.record_stage(
+            epoch_id, "quarantine", "Success", detail=f"n_bad={n_bad}"
+        )
+        return batch_df.filter(pred)
+
+    def read_quarantine(self) -> DataFrame:
+        """The dead-letter table: every malformed event this engine's
+        checkpoint scope routed aside, with its epoch directory layout.
+        Empty (correct schema) when nothing was quarantined."""
+        dirs = self.table.storage.list_dirs(self._quarantine_prefix())
+        if not dirs:
+            return self.spark.createDataFrame([], self.change_schema)
+        return self.spark.read.schema(self.change_schema).parquet(
+            *[
+                self.table.storage.spark_path(
+                    f"{self._quarantine_prefix()}/{d}"
+                )
+                for d in dirs
+            ]
+        )
 
     def register_derived(self, derived, every: int | None = None) -> None:
         """Attach a ``sinks.derived.DerivedTable`` built over this engine's

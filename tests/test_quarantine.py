@@ -1,0 +1,117 @@
+"""Malformed-event routing (`CDCEngine(bad_records=)`): the dead-letter
+surface for untrusted transports — the reference's error-payload Lambda
+(`HandleDataExtractionErrorLambda.py`) re-expressed as a quarantine TABLE
+instead of compensation deletes.
+
+Pins: (1) "quarantine" merges only valid rows and lands the rest under
+`_quarantine/<scope>/epoch=<id>/`, readable via `read_quarantine()` with
+the change schema; (2) re-applying the same epoch is idempotent for BOTH
+the table (ledger skip) and the quarantine (per-epoch overwrite); (3)
+"fail" aborts the epoch naming the count; (4) the default "keep" is
+byte-for-byte the historical behavior (no extra jobs, no quarantine dir).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from event_driven_etl_msc_research_spark.streaming.engine import CDCEngine
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "op string, lsn long, ts string, conv_id string, turn_idx int, "
+        "role string, text string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+ROWS = [
+    ("U", 1, "2024-01-01 00:00:00", "c1", 0, "user", "ok-1"),
+    ("U", 2, "2024-01-01 00:00:01", "c1", 1, "assistant", "ok-2"),
+    ("X", 3, "2024-01-01 00:00:02", "c2", 0, "user", "bad-op"),
+    ("U", None, "2024-01-01 00:00:03", "c2", 1, "user", "bad-lsn"),
+    ("U", 5, "2024-01-01 00:00:04", None, 0, "user", "bad-key"),
+]
+
+
+def _engine(spark, root, mode):
+    return CDCEngine(
+        spark,
+        root,
+        change_schema=SCHEMA,
+        key_cols=["conv_id", "turn_idx"],
+        n_buckets=2,
+        merge_mode="delta",
+        bad_records=mode,
+    )
+
+
+def test_quarantine_routes_and_is_idempotent(spark, tmp_root):
+    eng = _engine(spark, tmp_root + "/t", "quarantine")
+    st = eng.apply_batch(_batch(spark, ROWS), epoch_id=0)
+    assert st["status"] == "Success"
+    assert sorted(
+        (r["conv_id"], r["turn_idx"]) for r in eng.read_table().collect()
+    ) == [("c1", 0), ("c1", 1)]
+    q = eng.read_quarantine()
+    assert q.count() == 3
+    assert set(q.columns) == {f.name for f in SCHEMA.fields}
+    assert sorted(r["text"] for r in q.collect()) == [
+        "bad-key", "bad-lsn", "bad-op",
+    ]
+    stages = [r["stage"] for r in eng.metrics_report().collect()]
+    assert "quarantine" in stages
+
+    # redelivery of the same epoch: table version unchanged, quarantine
+    # rewritten to the identical set
+    v = eng.table.current_version()
+    st2 = eng.apply_batch(_batch(spark, ROWS), epoch_id=0)
+    assert st2["status"] == "Skipped"
+    assert eng.table.current_version() == v
+    assert eng.read_quarantine().count() == 3
+
+
+def test_fail_mode_aborts_naming_count(spark, tmp_root):
+    eng = _engine(spark, tmp_root + "/t", "fail")
+    with pytest.raises(ValueError, match="3 malformed"):
+        eng.apply_batch(_batch(spark, ROWS), epoch_id=0)
+    # nothing merged
+    assert eng.read_table().count() == 0
+
+
+def test_keep_mode_passes_through(spark, tmp_root):
+    eng = _engine(spark, tmp_root + "/t", "keep")
+    st = eng.apply_batch(_batch(spark, ROWS), epoch_id=0)
+    assert st["status"] == "Success"
+    # historical behavior: malformed rows merge as-is (bad-op 'X' is a
+    # non-delete upsert; null-key rows form their own key groups)
+    assert eng.read_quarantine().count() == 0
+    assert eng.read_table().count() == 5
+
+
+def test_clean_batch_no_quarantine_dir(spark, tmp_root):
+    eng = _engine(spark, tmp_root + "/t", "quarantine")
+    eng.apply_batch(_batch(spark, ROWS[:2]), epoch_id=0)
+    assert eng.read_quarantine().count() == 0
+    assert eng.table.storage.list_dirs("_quarantine") == []
+
+
+def test_bad_records_validation():
+    # the mode check fires before any table/session work
+    with pytest.raises(ValueError, match="bad_records"):
+        CDCEngine(None, None, bad_records="nope")
