@@ -285,38 +285,55 @@ class DerivedTable:
         if not full:
             try:
                 ch = self.upstream.changes(sv, t, images="both")
-                affected = self._image_groups(ch)
+                # the affected-group set is tiny (distinct group values) but
+                # its PLAN embeds the whole change-feed diff; it feeds the
+                # count below, the semi-join, and the tombstone anti-join —
+                # cache it so the diff runs once, not three times
+                affected = self._image_groups(ch).persist()
             except FileNotFoundError:
                 full = True  # resume snapshot expired → full recompute
 
-        if full:
-            live = snap.groupBy(*self.group_cols).agg(*self._agg_exprs())
-            stale = self.table.read().select(*self.group_cols)
-        else:
-            n = affected.count()
-            if n == 0:
-                # nothing moved in (sv, t] — advance the hint only; the
-                # ledger needs no entry because a later sync from sv is
-                # self-healing (absolute recompute, never signed deltas)
-                self._write_hint(t)
-                return {"status": "NoChange", "version": t}
-            cand = (
-                F.broadcast(affected) if n <= self.broadcast_groups else affected
-            )
-            live = (
-                snap.join(cand, on=self.group_cols, how="left_semi")
-                .groupBy(*self.group_cols)
-                .agg(*self._agg_exprs())
-            )
-            stale = affected
+        live = None
+        try:
+            if full:
+                live = snap.groupBy(*self.group_cols).agg(*self._agg_exprs())
+                stale = self.table.read().select(*self.group_cols)
+            else:
+                n = affected.count()
+                if n == 0:
+                    # nothing moved in (sv, t] — advance the hint only; the
+                    # ledger needs no entry because a later sync from sv is
+                    # self-healing (absolute recompute, never signed deltas)
+                    self._write_hint(t)
+                    return {"status": "NoChange", "version": t}
+                cand = (
+                    F.broadcast(affected)
+                    if n <= self.broadcast_groups
+                    else affected
+                )
+                live = (
+                    snap.join(cand, on=self.group_cols, how="left_semi")
+                    .groupBy(*self.group_cols)
+                    .agg(*self._agg_exprs())
+                )
+                stale = affected
 
-        res = self.table.merge(
-            self._batch(live, stale, t),
-            epoch_id=t,
-            epoch_scope="mv",
-            mode=mode,
-            **merge_kwargs,
-        )
+            # live feeds both the upsert projection and the tombstone
+            # anti-join — cache the (small) recomputed aggregates so the
+            # restricted snapshot scan runs once
+            live = live.persist()
+            res = self.table.merge(
+                self._batch(live, stale, t),
+                epoch_id=t,
+                epoch_scope="mv",
+                mode=mode,
+                **merge_kwargs,
+            )
+        finally:
+            if affected is not None:
+                affected.unpersist()
+            if live is not None:
+                live.unpersist()
         self._write_hint(t)
         return res
 

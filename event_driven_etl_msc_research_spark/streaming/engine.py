@@ -367,21 +367,35 @@ class CDCEngine:
         )
         return batch_df.filter(pred)
 
-    def read_quarantine(self) -> DataFrame:
-        """The dead-letter table: every malformed event this engine's
-        checkpoint scope routed aside, with its epoch directory layout.
+    def read_quarantine(self, all_scopes: bool = True) -> DataFrame:
+        """The dead-letter table: malformed events routed aside, with their
+        per-epoch directory layout.  ``all_scopes=True`` (default) reads
+        across every checkpoint scope that ever quarantined into this table
+        root — a fresh engine instance sees history it did not write;
+        ``all_scopes=False`` restricts to the scope of the LAST replay on
+        this instance (useful when several checkpoints share a table).
         Empty (correct schema) when nothing was quarantined."""
-        dirs = self.table.storage.list_dirs(self._quarantine_prefix())
-        if not dirs:
-            return self.spark.createDataFrame([], self.change_schema)
-        return self.spark.read.schema(self.change_schema).parquet(
-            *[
-                self.table.storage.spark_path(
-                    f"{self._quarantine_prefix()}/{d}"
-                )
-                for d in dirs
+        st = self.table.storage
+        if all_scopes:
+            paths = [
+                st.spark_path(f"_quarantine/{scope}/{d}")
+                for scope in st.list_dirs("_quarantine")
+                for d in st.list_dirs(f"_quarantine/{scope}")
             ]
-        )
+        else:
+            paths = [
+                st.spark_path(f"{self._quarantine_prefix()}/{d}")
+                for d in st.list_dirs(self._quarantine_prefix())
+            ]
+        if not paths:
+            return self.spark.createDataFrame([], self.change_schema)
+        return self.spark.read.schema(self.change_schema).parquet(*paths)
+
+    def clear_quarantine(self) -> int:
+        """Operator-owned GC for the dead-letter tree (it is never vacuumed
+        automatically — quarantined events are evidence until someone
+        triages them).  Returns the number of objects removed."""
+        return self.table.storage.delete_prefix("_quarantine")
 
     def register_derived(self, derived, every: int | None = None) -> None:
         """Attach a ``sinks.derived.DerivedTable`` built over this engine's

@@ -115,3 +115,15 @@ def test_bad_records_validation():
     # the mode check fires before any table/session work
     with pytest.raises(ValueError, match="bad_records"):
         CDCEngine(None, None, bad_records="nope")
+
+
+def test_fresh_instance_sees_quarantine_and_clear(spark, tmp_root):
+    eng = _engine(spark, tmp_root + "/t", "quarantine")
+    eng._epoch_scope = "/some/checkpoint"  # as a replay() would pin it
+    eng.apply_batch(_batch(spark, ROWS), epoch_id=0)
+    # a NEW engine on the same root (different scope) still reads history
+    eng2 = _engine(spark, tmp_root + "/t", "quarantine")
+    assert eng2.read_quarantine().count() == 3
+    assert eng2.read_quarantine(all_scopes=False).count() == 0  # its scope
+    assert eng2.clear_quarantine() > 0
+    assert eng2.read_quarantine().count() == 0
