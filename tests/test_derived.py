@@ -356,3 +356,20 @@ def test_engine_tail_syncs_registered_mv(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="not this engine's table"):
         eng.register_derived(mv2)
+
+
+def test_sync_empty_upstream(spark, tmp_root):
+    """Syncing a view over a table that has no data yet (version 0) must
+    not corrupt state: full build of zero groups, then a later real sync
+    works."""
+    up, mv = _mk(spark, tmp_root)
+    res = mv.sync()
+    assert res["status"] in ("Success", "NoChange")
+    assert mv.read().count() == 0
+    up.merge(
+        _batch(spark, [("U", 1, "c1", 0, "user", "a", None, T0)]),
+        epoch_id=0,
+        mode="delta",
+    )
+    mv.sync()
+    _assert_synced(up, mv)
