@@ -373,3 +373,48 @@ def test_sync_empty_upstream(spark, tmp_root):
     )
     mv.sync()
     _assert_synced(up, mv)
+
+
+def test_chained_views_mv_over_mv(spark, tmp_root):
+    """Views compose: a DerivedTable's backing table IS a ManifestTable,
+    so a second-level view can aggregate the first (per-conv rollup →
+    global per-role distribution of conv sizes here: conv rollup grouped
+    by n_turns).  Each level syncs from its own upstream's change feed."""
+    up, mv = _mk(
+        spark, tmp_root, aggs={"n_turns": "count(1)"}
+    )  # level 1: conv_id -> n_turns
+    mv2 = DerivedTable.create(
+        spark,
+        tmp_root + "/mv2",
+        mv.table,
+        ["n_turns"],
+        {"n_convs": "count(1)"},
+        n_buckets=2,
+    )
+    up.merge(
+        _batch(
+            spark,
+            [
+                ("U", 1, "c1", 0, "user", "a", None, T0),
+                ("U", 2, "c1", 1, "assistant", "b", None, T0),
+                ("U", 3, "c2", 0, "user", "c", None, T0),
+            ],
+        ),
+        epoch_id=0,
+        mode="delta",
+    )
+    mv.sync()
+    mv2.sync()
+    got = {r["n_turns"]: r["n_convs"] for r in mv2.read().collect()}
+    assert got == {2: 1, 1: 1}
+
+    # level-1 change (c2 grows to 2 turns) propagates through level 2
+    up.merge(
+        _batch(spark, [("U", 4, "c2", 1, "assistant", "d", None, T1)]),
+        epoch_id=1,
+        mode="delta",
+    )
+    mv.sync()
+    mv2.sync()
+    got = {r["n_turns"]: r["n_convs"] for r in mv2.read().collect()}
+    assert got == {2: 2}
