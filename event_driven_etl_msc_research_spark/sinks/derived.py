@@ -73,12 +73,14 @@ class DerivedTable:
         group_cols: list[str],
         aggs: dict[str, str],
         table: ManifestTable,
+        where: str | None = None,
     ):
         self.spark = spark
         self.root = root
         self.upstream = upstream
         self.group_cols = list(group_cols)
         self.aggs = dict(aggs)
+        self.where = where
         self.table = table
         self.storage = table.storage
 
@@ -94,10 +96,18 @@ class DerivedTable:
         aggs: dict[str, str],
         n_buckets: int = 16,
         storage: TableStorage | None = None,
+        where: str | None = None,
     ) -> "DerivedTable":
         """Idempotent create.  Group columns must be plain upstream column
         names (their values must be readable off a change image); aggregate
-        names must not collide with reserved merge columns."""
+        names must not collide with reserved merge columns.
+
+        ``where``: optional SQL predicate over upstream columns applied
+        BEFORE grouping (a filtered view, e.g. ``"role != 'system'"``).
+        Correct under partial recompute by construction: affected groups
+        are found from UNFILTERED change images (a row leaving the filter
+        still names its group), and live values are always re-aggregated
+        from the filtered snapshot."""
         up_cols = {f.name for f in upstream.schema().fields}
         missing = [g for g in group_cols if g not in up_cols]
         if missing:
@@ -111,6 +121,9 @@ class DerivedTable:
         # derive the output schema by planning the aggregate over an empty
         # upstream-shaped frame (no job runs — schema-only)
         empty = spark.createDataFrame([], upstream.schema())
+        if where is not None:
+            # analysis is eager: a bad predicate fails here, at create
+            empty = empty.filter(F.expr(where))
         probe = empty.groupBy(*group_cols).agg(
             *[F.expr(sql).alias(name) for name, sql in aggs.items()]
         )
@@ -126,13 +139,14 @@ class DerivedTable:
             n_buckets=n_buckets,
             storage=storage,
         )
-        t = cls(spark, root, upstream, group_cols, aggs, table)
+        t = cls(spark, root, upstream, group_cols, aggs, table, where=where)
         t.storage.put_if_absent(
             _DEF_KEY,
             json.dumps(
                 {
                     "group_cols": list(group_cols),
                     "aggs": dict(aggs),
+                    "where": where,
                     "upstream_root": upstream.root,
                     # NOTE: no sort_keys — aggs order is part of the
                     # definition (it fixes the derived schema's column order)
@@ -151,7 +165,10 @@ class DerivedTable:
     ) -> "DerivedTable":
         table = ManifestTable(spark, root, storage=storage)
         d = json.loads(table.storage.get(_DEF_KEY))
-        return cls(spark, root, upstream, d["group_cols"], d["aggs"], table)
+        return cls(
+            spark, root, upstream, d["group_cols"], d["aggs"], table,
+            where=d.get("where"),
+        )
 
     # ---------- resume point ----------
 
@@ -281,6 +298,8 @@ class DerivedTable:
             return {"status": "Skipped", "version": t}
 
         snap = self.upstream.read(version=t)
+        if self.where is not None:
+            snap = snap.filter(F.expr(self.where))
         full = sv is None
         affected = None
         if not full:

@@ -418,3 +418,57 @@ def test_chained_views_mv_over_mv(spark, tmp_root):
     mv2.sync()
     got = {r["n_turns"]: r["n_convs"] for r in mv2.read().collect()}
     assert got == {2: 2}
+
+
+def test_filtered_view(spark, tmp_root):
+    """A `where` predicate in the definition: the view aggregates only
+    matching rows; an update that moves a row OUT of the filter retracts
+    it (the group recomputes from the filtered snapshot), and a group
+    whose rows all leave the filter is tombstoned."""
+    up, _ = _mk(spark, tmp_root)
+    mv = DerivedTable.create(
+        spark,
+        tmp_root + "/fmv",
+        up,
+        ["conv_id"],
+        {"n_user_turns": "count(1)"},
+        n_buckets=2,
+        where="role = 'user'",
+    )
+    up.merge(
+        _batch(
+            spark,
+            [
+                ("U", 1, "c1", 0, "user", "a", None, T0),
+                ("U", 2, "c1", 1, "assistant", "b", None, T0),
+                ("U", 3, "c2", 0, "user", "c", None, T0),
+            ],
+        ),
+        epoch_id=0,
+        mode="delta",
+    )
+    mv.sync()
+    got = {r["conv_id"]: r["n_user_turns"] for r in mv.read().collect()}
+    assert got == {"c1": 1, "c2": 1}
+
+    # c2's only user turn becomes a tool turn -> group leaves the view
+    up.merge(
+        _batch(spark, [("U", 4, "c2", 0, "tool", "c", "run", T1)]),
+        epoch_id=1,
+        mode="delta",
+    )
+    mv.sync()
+    got = {r["conv_id"]: r["n_user_turns"] for r in mv.read().collect()}
+    assert got == {"c1": 1}
+
+    # definition round-trips (where restored by load)
+    mv2 = DerivedTable.load(spark, mv.root, up)
+    assert mv2.where == "role = 'user'"
+    assert mv2.sync()["status"] == "NoChange"
+
+    # a bad predicate fails at create, not at first sync
+    with pytest.raises(Exception, match="nonexistent|cannot be resolved|UNRESOLVED"):
+        DerivedTable.create(
+            spark, tmp_root + "/bad", up, ["conv_id"], {"n": "count(1)"},
+            where="nonexistent_col = 1",
+        )
