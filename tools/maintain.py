@@ -50,6 +50,11 @@ def main() -> int:
     )
     sm.add_argument("--mv", required=True, help="derived table root dir")
     sm.add_argument("--mode", default="cow", choices=["cow", "delta"])
+    sq = sub.add_parser(
+        "quarantine",
+        help="inspect (default) or --clear the dead-letter tree of a table",
+    )
+    sq.add_argument("--clear", action="store_true")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -84,6 +89,21 @@ def main() -> int:
             "status": st.get("status"),
             "synced_to_version": st.get("version"),
         }
+    elif args.op == "quarantine":
+        if args.clear:
+            n = t.storage.delete_prefix("_quarantine")
+            out = {"status": "Success", "removed_objects": n}
+        else:
+            epochs = {
+                f"{scope}/{d}": sum(
+                    1
+                    for o in t.storage.list(f"_quarantine/{scope}/{d}")
+                    if o.key.endswith(".parquet")
+                )
+                for scope in t.storage.list_dirs("_quarantine")
+                for d in t.storage.list_dirs(f"_quarantine/{scope}")
+            }
+            out = {"status": "Success", "epoch_dirs": epochs}
     else:
         out = t.rebucket(args.n_buckets)
     print(json.dumps(out))
