@@ -10,6 +10,7 @@ MOR pattern — Iceberg/Paimon/Hudi compaction services)::
     ... maintain.py --table /lake/transcripts history
     ... maintain.py --table /lake/transcripts expire --older-than 2026-08-01
     ... maintain.py --table /lake/transcripts sync-mv --mv /lake/conv_rollup
+    ... maintain.py --table /lake/transcripts quarantine [--clear]
 
 Safe against a concurrently running tail: every operation commits through
 the same optimistic put-if-absent manifest protocol (a lost race returns
