@@ -5,8 +5,9 @@ The reference pipeline recomputes downstream analytics tables from scratch
 each run (`Phase3-DataLoad.py:86-118` — the warehouse table is re-declared
 over the FULL transformed prefix every execution, so downstream state is
 always a whole-input rebuild); at 10^10 rows a per-sync full recompute is
-the difference between minutes and a day.  `DerivedTable` maintains `SELECT group_cols, aggs FROM upstream
-GROUP BY group_cols` with per-sync cost O(changed groups' data):
+the difference between minutes and a day.  `DerivedTable` maintains
+`SELECT group_cols, aggs FROM upstream [WHERE pred] GROUP BY group_cols`
+with per-sync cost O(changed groups' data):
 
   1. `upstream.changes(last_synced, t, images="both")` yields the keys
      whose live state moved, with pre- AND post-images (so a group column
