@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..util import nullsafe_semi_anti
 from .manifest import ManifestTable
 from .storage import TableStorage
 
@@ -262,8 +263,14 @@ class DerivedTable:
             *[F.col(f.name).cast(f.dataType) for f in agg_fields],
         )
         dels = (
-            stale_groups.join(
-                live.select(*self.group_cols), on=self.group_cols, how="left_anti"
+            # null-safe anti-join: a NULL group value must match its live
+            # recomputation, else the NULL group gets a spurious tombstone
+            # and vanishes from the MV while it still exists upstream
+            nullsafe_semi_anti(
+                stale_groups,
+                live.select(*self.group_cols),
+                self.group_cols,
+                "left_anti",
             )
             .select(
                 F.lit("D").alias("op"),
@@ -327,13 +334,17 @@ class DerivedTable:
                     # self-healing (absolute recompute, never signed deltas)
                     self._write_hint(t)
                     return {"status": "NoChange", "version": t}
-                cand = (
-                    F.broadcast(affected)
-                    if n <= self.broadcast_groups
-                    else affected
-                )
+                # null-safe semi-join: the restriction must keep a NULL
+                # group's rows (plain equality would recompute nothing for
+                # it while the anti-join below still emits its tombstone)
                 live = (
-                    snap.join(cand, on=self.group_cols, how="left_semi")
+                    nullsafe_semi_anti(
+                        snap,
+                        affected,
+                        self.group_cols,
+                        "left_semi",
+                        broadcast=n <= self.broadcast_groups,
+                    )
                     .groupBy(*self.group_cols)
                     .agg(*self._agg_exprs())
                 )

@@ -1296,13 +1296,32 @@ class ManifestTable:
         Target rows stream scan→(narrow ops)→write; the only shuffled data is
         the change batch itself.  This is the path that keeps per-epoch cost
         O(touched buckets) + O(batch) at 10^10-event scale.
+
+        Every key comparison is NULL-SAFE (``<=>``): a NULL key value is a
+        legal key for a grouped consumer (e.g. a derived table grouped on a
+        nullable column) — plain equality would never match it, leaving the
+        target row un-updated AND re-inserting the change row as a
+        duplicate key.  The aggregate (shuffle) path is null-safe already
+        (groupBy treats NULL as a group); this keeps both paths identical.
         """
+        import functools
+
         non_key = [c for c in (f.name for f in ischema.fields) if c not in key_cols]
         c_ren = change_rows.select(
-            *key_cols, *[F.col(c).alias(f"_c_{c}") for c in non_key]
+            *[F.col(k).alias(f"_ck_{k}") for k in key_cols],
+            *[F.col(c).alias(f"_c_{c}") for c in non_key],
+            # explicit match marker: null after an unmatched left join —
+            # unlike `_c_ts IS NOT NULL`, it stays true for a matched change
+            # row whose ts itself is null (corrupt-version rows still lose
+            # the version comparison below, same as the aggregate path)
+            F.lit(True).alias("_c_matched"),
         )
-        joined = target.join(F.broadcast(c_ren), key_cols, "left")
-        newer = F.col("_c_ts").isNotNull() & (
+        cond = functools.reduce(
+            lambda a, b: a & b,
+            [F.col(k).eqNullSafe(F.col(f"_ck_{k}")) for k in key_cols],
+        )
+        joined = target.join(F.broadcast(c_ren), cond, "left")
+        newer = F.coalesce(F.col("_c_matched"), F.lit(False)) & (
             F.struct(F.col("_c_ts"), F.col("_c__lsn"))
             > F.struct(F.col("ts"), F.col("_lsn"))
         )
@@ -1313,11 +1332,18 @@ class ManifestTable:
                 for c in non_key
             ],
         )
-        matched = (
-            target.select(*key_cols)
-            .join(F.broadcast(change_rows.select(*key_cols)), key_cols, "left_semi")
+        from ..util import nullsafe_semi_anti
+
+        matched = nullsafe_semi_anti(
+            target.select(*key_cols),
+            change_rows.select(*key_cols),
+            key_cols,
+            "left_semi",
+            broadcast=True,
         )
-        inserts = change_rows.join(F.broadcast(matched), key_cols, "left_anti")
+        inserts = nullsafe_semi_anti(
+            change_rows, matched, key_cols, "left_anti", broadcast=True
+        )
         cols = [f.name for f in ischema.fields]
         return updated.select(*cols).unionByName(inserts.select(*cols))
 

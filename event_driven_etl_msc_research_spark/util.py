@@ -2,7 +2,38 @@
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def nullsafe_semi_anti(
+    left: DataFrame,
+    right: DataFrame,
+    cols: list[str],
+    how: str,
+    broadcast: bool = False,
+) -> DataFrame:
+    """``left_semi`` / ``left_anti`` join on ``cols`` with NULL-SAFE
+    equality (SQL ``<=>``).
+
+    ``on=cols`` equality never matches a NULL value, which silently drops
+    NULL-valued groups from a semi-join restriction and spuriously keeps
+    them in an anti-join — for a grouped consumer (e.g. a derived table
+    grouped on a nullable column) that makes the NULL group vanish.  A
+    null-safe equality is still a hash-join key for Spark, so broadcast
+    hash semi/anti plans are preserved (``broadcast=True`` hints the right
+    side).  Only ``cols`` of ``right`` participate; its other columns are
+    dropped before the join."""
+    r = right.select(*[F.col(c).alias(f"_ns_{c}") for c in cols])
+    if broadcast:
+        r = F.broadcast(r)
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(c).eqNullSafe(F.col(f"_ns_{c}")) for c in cols],
+    )
+    return left.join(r, cond, how)
 
 
 def spread_small_input(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -243,6 +243,66 @@ def test_payload_group_col_move(spark, tmp_root):
     assert roles == {"user": 1, "assistant": 1, "tool": 1}
 
 
+def test_null_group_survives_incremental_sync(spark, tmp_root):
+    """Round-4 ADVICE (high): a NULL-valued group must survive partial
+    recompute.  Group by nullable `tool`; an incremental change touches the
+    NULL group.  Before the null-safe joins, the semi-join restriction
+    recomputed nothing for the NULL group while the anti-join still emitted
+    a spurious tombstone — the group silently vanished from the MV."""
+    up, mv = _mk(
+        spark,
+        tmp_root,
+        group_cols=("tool",),
+        aggs={"n": "count(1)", "s": "sum(length(text))"},
+    )
+    up.merge(
+        _batch(
+            spark,
+            [
+                ("U", 1, "c1", 0, "user", "aaaaa", None, T0),
+                ("U", 2, "c1", 1, "assistant", "b" * 10, None, T0),
+                ("U", 3, "c2", 0, "assistant", "cc", "search", T0),
+            ],
+        ),
+        epoch_id=0,
+        mode="delta",
+    )
+    mv.sync()
+    got = {r["tool"]: (r["n"], r["s"]) for r in mv.read().collect()}
+    assert got[None] == (2, 15)
+
+    # the exact ADVICE repro: one null-group row grows to 100 chars —
+    # expected (n=2, s=105), observed pre-fix: the row vanished
+    up.merge(
+        _batch(spark, [("U", 4, "c1", 1, "assistant", "x" * 100, None, T1)]),
+        epoch_id=1,
+        mode="delta",
+    )
+    mv.sync()
+    got = {r["tool"]: (r["n"], r["s"]) for r in mv.read().collect()}
+    assert got[None] == (2, 105)
+    assert got["search"] == (1, 2)
+    _assert_synced(up, mv)
+
+    # a NULL group that legitimately empties IS tombstoned (null-keyed
+    # delete through the MERGE broadcast path)
+    up.merge(
+        _batch(
+            spark,
+            [
+                ("D", 5, "c1", 0, None, None, None, T2),
+                ("D", 6, "c1", 1, None, None, None, T2),
+            ],
+        ),
+        epoch_id=2,
+        mode="delta",
+    )
+    mv.sync()
+    got = {r["tool"]: (r["n"], r["s"]) for r in mv.read().collect()}
+    assert None not in got and got["search"] == (1, 2)
+    _assert_synced(up, mv)
+
+
 def test_expired_resume_snapshot_full_recompute(spark, tmp_root):
     up, mv = _mk(spark, tmp_root)
     up.merge(
