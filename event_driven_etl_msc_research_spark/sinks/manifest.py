@@ -1680,6 +1680,75 @@ class ManifestTable:
     # risk); ~rows, conservative for two short key columns
     changes_broadcast_keys: int = 2_000_000
 
+    def _append_candidates(
+        self,
+        from_version: int,
+        to_version: int,
+        ma: dict[str, Any],
+        mb: dict[str, Any],
+    ) -> tuple[list[str], int] | None:
+        """Candidate files for the ``changes()`` fast path, by walking the
+        manifest chain over ``(from, to]``.
+
+        Compaction and rebucket are STATE-PRESERVING rewrites (they fold
+        the same live rows into new files and are tagged ``compact:`` /
+        ``rebucket:`` in ``epoch_id``), so the net changes of a range that
+        crosses them equal the changes of its delta-append steps alone —
+        the keys in the delta files those steps ADDED.  Returns
+        ``(candidate delta file relpaths, added-row count)`` when every
+        step is a delta append or a state-preserving rewrite; the row
+        count comes from per-step ``delta_rows_total`` metadata (an upper
+        bound on distinct keys — the broadcast decision needs no count
+        job).  Returns ``None`` — caller falls back to the general
+        snapshot diff — when a CoW/initial rewrite sits in the range
+        (its added files carry rewritten old rows, not changes), when a
+        mid-range manifest has been expired (no chain to walk), or when a
+        pre-compaction delta file has since been vacuumed (one LIST per
+        staging dir verifies — O(changed dirs) metadata calls)."""
+        steps: list[tuple[dict[str, Any], dict[str, Any]]] = []
+        child = mb
+        try:
+            while child["version"] > from_version:
+                parent_v = child.get("parent")
+                if parent_v is None or parent_v < from_version:
+                    return None
+                parent = (
+                    ma if parent_v == from_version else self.manifest(parent_v)
+                )
+                steps.append((parent, child))
+                child = parent
+        except FileNotFoundError:
+            return None  # mid-range snapshot expired: no chain to walk
+        added_files: list[str] = []
+        added_rows = 0
+        for parent, child in steps:
+            ek = str(child.get("epoch_id") or "")
+            if ek.startswith("compact:") or ek.startswith("rebucket:"):
+                continue  # state-preserving: contributes zero changes
+            if (
+                child["files"] != parent["files"]
+                or child["n_buckets"] != parent["n_buckets"]
+            ):
+                return None  # CoW/initial rewrite: base files changed state
+            added_files += sorted(
+                self._rel_files(child) - self._rel_files(parent)
+            )
+            added_rows += int(child.get("delta_rows_total") or 0) - int(
+                parent.get("delta_rows_total") or 0
+            )
+        if added_files:
+            # delta files folded by a LATER compaction may have been
+            # vacuumed; verify at staging-dir granularity
+            dirs = {p.split("/")[1] for p in added_files}
+            present: set[str] = set()
+            for d in sorted(dirs):
+                present.update(
+                    o.key for o in self.storage.list(f"{_DATA_DIR}/{d}")
+                )
+            if not set(added_files) <= present:
+                return None
+        return added_files, max(added_rows, 0)
+
     def changes(
         self,
         from_version: int,
@@ -1696,17 +1765,23 @@ class ManifestTable:
         schema (missing columns read as null, so a backfill of a new
         column surfaces as an update).
 
-        Scale shape: when every step in (from, to] is a pure delta append
-        over an unchanged base (manifests show identical base files and
-        bucket count, delta files only grew), the keys that CAN differ are
-        exactly the keys in the added delta files — candidates are read
-        from those O(changes) files and both snapshot scans are restricted
-        by a broadcast semi-join on them (shuffle-free at table size;
-        above ``changes_broadcast_keys`` candidates the semi-join shuffles
-        instead of broadcasting).  Across a compact/rebucket/CoW rewrite
-        the diff is the general key-wise full-outer join of the two
-        snapshots — O(table), which is what snapshot diffing across a
-        layout change inherently costs in any table format.
+        Scale shape: when every step in (from, to] is a delta append or a
+        STATE-PRESERVING rewrite (compact/rebucket — they fold the same
+        live rows into new files, so they contribute zero changes by
+        construction), the keys that CAN differ are exactly the keys in
+        the delta files the APPEND steps added; ``_append_candidates``
+        walks the manifest chain to collect them, so a sync range that
+        merely crosses a compaction stays O(changes).  Candidates are
+        read from those files and both snapshot scans are restricted by a
+        null-safe broadcast semi-join on them (shuffle-free at table
+        size; above ``changes_broadcast_keys`` estimated candidates —
+        from manifest row metadata, no count job — the semi-join shuffles
+        instead of broadcasting).  Only a CoW/initial rewrite in the
+        range (whose added files carry rewritten old rows, not changes),
+        an expired mid-range manifest, or a vacuumed candidate file drops
+        to the general key-wise full-outer join of the two snapshots —
+        O(table), which is what snapshot diffing without a usable chain
+        inherently costs in any table format.
 
         ``images="net"`` (default) returns the flattened single-image rows
         described above.  ``images="both"`` returns the key columns plus
@@ -1752,16 +1827,11 @@ class ManifestTable:
         a = a.select(*[f.name for f in to_schema.fields])
         b = self.read(version=tv)
 
-        pure_append = (
-            ma["files"] == mb["files"]
-            and ma["n_buckets"] == mb["n_buckets"]
-            and set(self._all_delta_files(ma)) <= set(self._all_delta_files(mb))
-        )
-        if pure_append:
-            added = sorted(
-                set(self._rel_files(mb)) - set(self._rel_files(ma))
-            )
+        cand_info = self._append_candidates(from_version, tv, ma, mb)
+        if cand_info is not None:
+            added, added_rows = cand_info
             if not added:
+                # every step in the range was a state-preserving rewrite
                 return self.spark.createDataFrame([], out_schema)
             cand = (
                 self._read_files(
@@ -1771,10 +1841,17 @@ class ManifestTable:
                 .select(*key_cols)
                 .distinct()
             )
-            if cand.count() <= self.changes_broadcast_keys:
-                cand = F.broadcast(cand)
-            a = a.join(cand, on=key_cols, how="left_semi")
-            b = b.join(cand, on=key_cols, how="left_semi")
+            # broadcast decision from manifest metadata (added_rows bounds
+            # distinct keys from above) — no count job, and with a single
+            # broadcast the exchange is computed once and REUSED by both
+            # semi-joins instead of re-evaluating the candidate scan.
+            # Null-safe: an MV's backing table is itself diffed for
+            # MV-over-MV syncs, and its keys (group values) may be NULL.
+            from ..util import nullsafe_semi_anti
+
+            bcast = added_rows <= self.changes_broadcast_keys
+            a = nullsafe_semi_anti(a, cand, key_cols, "left_semi", broadcast=bcast)
+            b = nullsafe_semi_anti(b, cand, key_cols, "left_semi", broadcast=bcast)
 
         pre = a.select(*key_cols, F.struct(*payload_cols).alias("_pre"))
         post = b.select(*key_cols, F.struct(*payload_cols).alias("_post"))

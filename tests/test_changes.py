@@ -107,19 +107,135 @@ def test_changes_fast_path_is_candidate_restricted(spark, tmp_root):
     assert "CartesianProduct" not in plan
 
 
+EXPECTED = {
+    "B": ("update", "purchase", 20.0),
+    "C": ("delete", "view", 3.0),
+    "D": ("insert", "click", 4.0),
+}
+
+
 def test_changes_exact_across_compact_and_incremental_refuses(
     spark, tmp_root
 ):
+    """Compaction is a STATE-PRESERVING rewrite: the chain walk skips it
+    and the candidate fast path survives — the range's changes are its
+    delta-append steps' alone.  `incremental_rows` (raw added-files feed)
+    still refuses, because rewritten files are not a change feed."""
     tbl, v1 = _mk_table(spark, tmp_root, mode="delta")
-    tbl.compact()  # rewrites base files: fast path must NOT trigger
-    got = _changes_map(tbl.changes(v1))
-    assert got == {
-        "B": ("update", "purchase", 20.0),
-        "C": ("delete", "view", 3.0),
-        "D": ("insert", "click", 4.0),
-    }
+    tbl.compact()
+    cur = tbl.current_version()
+    ma, mb = tbl.manifest(v1), tbl.manifest(cur)
+    cand = tbl._append_candidates(v1, cur, ma, mb)
+    assert cand is not None, "fast path must survive a mid-range compaction"
+    added, added_rows = cand
+    # candidates are exactly the delta files the append step added — never
+    # base files (the no-full-snapshot-scan proof)
+    assert added and all("-e1-" in p for p in added), added
+    assert added_rows == 3
+    assert _changes_map(tbl.changes(v1)) == EXPECTED
     with pytest.raises(ValueError, match="rewritten"):
         tbl.incremental_rows(v1)
+
+
+def test_changes_fast_path_across_compaction_midrange(spark, tmp_root):
+    """A compaction LANDING MID-RANGE (append, compact, append) keeps the
+    candidate fast path alive: candidates are the union of BOTH append
+    steps' delta files; the result equals the naive full-outer snapshot
+    diff; the plan still shows the broadcast-semi-restricted shape."""
+    tbl, v1 = _mk_table(spark, tmp_root, mode="delta")
+    tbl.compact()
+    tbl.merge(
+        _batch(
+            spark,
+            [
+                ("U", 7, TS, "A", "purchase", 10.0),  # update A
+                ("U", 8, TS, "E", "view", 5.0),  # insert E
+            ],
+        ),
+        epoch_id=2,
+        mode="delta",
+        epoch_scope="t",
+    )
+    cur = tbl.current_version()
+    ma, mb = tbl.manifest(v1), tbl.manifest(cur)
+    cand = tbl._append_candidates(v1, cur, ma, mb)
+    assert cand is not None
+    added, added_rows = cand
+    assert added_rows == 5  # 3 (epoch 1) + 2 (epoch 2)
+    assert all("-e1-" in p or "-e2-" in p for p in added), added
+    expected = dict(EXPECTED, A=("update", "purchase", 10.0),
+                    E=("insert", "view", 5.0))
+    assert _changes_map(tbl.changes(v1)) == expected
+
+    # naive diff (fast path disabled) agrees — the traversal is exact
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        type(tbl), "_append_candidates", return_value=None
+    ):
+        assert _changes_map(tbl.changes(v1)) == expected
+
+    plan = tbl.changes(v1)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LeftSemi") >= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_changes_fast_path_across_rebucket(spark, tmp_root):
+    """Rebucket is state-preserving too: append → rebucket → append keeps
+    the fast path; post-rebucket delta files (hashed under the NEW bucket
+    count) read fine as candidates."""
+    tbl, v1 = _mk_table(spark, tmp_root, mode="delta")
+    tbl.compact()  # rebucket requires folding anyway; keep chain realistic
+    assert tbl.rebucket(8)["status"] == "Success"
+    tbl.merge(
+        _batch(spark, [("U", 9, TS, "F", "click", 6.0)]),
+        epoch_id=3,
+        mode="delta",
+        epoch_scope="t",
+    )
+    cur = tbl.current_version()
+    cand = tbl._append_candidates(
+        v1, cur, tbl.manifest(v1), tbl.manifest(cur)
+    )
+    assert cand is not None
+    expected = dict(EXPECTED, F=("insert", "click", 6.0))
+    assert _changes_map(tbl.changes(v1)) == expected
+
+
+def test_changes_cow_in_range_falls_back(spark, tmp_root):
+    """A CoW merge rewrites base files with NEW state — its added files
+    are not a change feed, so the traversal bails and the general diff
+    runs (still exact)."""
+    tbl, v1 = _mk_table(spark, tmp_root, mode="delta")
+    tbl.merge(
+        _batch(spark, [("U", 7, TS, "E", "view", 5.0)]),
+        epoch_id=2,
+        mode="cow",
+        epoch_scope="t",
+    )
+    cur = tbl.current_version()
+    assert (
+        tbl._append_candidates(v1, cur, tbl.manifest(v1), tbl.manifest(cur))
+        is None
+    )
+    expected = dict(EXPECTED, E=("insert", "view", 5.0))
+    assert _changes_map(tbl.changes(v1)) == expected
+
+
+def test_changes_vacuumed_candidate_falls_back(spark, tmp_root):
+    """Pre-compaction delta files that vacuum collected disable the fast
+    path (the existence LIST catches them) — the general diff over the
+    still-live snapshots stays exact."""
+    tbl, v1 = _mk_table(spark, tmp_root, mode="delta")
+    tbl.compact()
+    cur = tbl.current_version()
+    ma, mb = tbl.manifest(v1), tbl.manifest(cur)
+    added, _ = tbl._append_candidates(v1, cur, ma, mb)
+    # simulate vacuum collecting exactly the folded delta staging dirs
+    for d in {p.split("/")[1] for p in added}:
+        tbl.storage.delete_prefix(f"data/{d}")
+    assert tbl._append_candidates(v1, cur, ma, mb) is None
+    assert _changes_map(tbl.changes(v1)) == EXPECTED
 
 
 def test_incremental_rows_is_the_raw_added_feed(spark, tmp_root):
