@@ -165,8 +165,26 @@ class DerivedTable:
         upstream: ManifestTable,
         storage: TableStorage | None = None,
     ) -> "DerivedTable":
+        """Reconstruct the view from its definition sidecar.  The supplied
+        ``upstream`` must BE the table the definition was created over —
+        a mismatched handle (e.g. a CLI ``--table`` typo) would silently
+        compute the MV from the wrong upstream and commit the result to
+        this MV's exactly-once ledger, so it is rejected here."""
+        import os as _os
+
         table = ManifestTable(spark, root, storage=storage)
         d = json.loads(table.storage.get(_DEF_KEY))
+        want = d.get("upstream_root")
+        if (
+            want is not None
+            and want != upstream.root
+            and _os.path.abspath(want) != _os.path.abspath(upstream.root)
+        ):
+            raise ValueError(
+                f"derived table at {root} was defined over upstream "
+                f"{want!r}, not {upstream.root!r} — pass the upstream the "
+                "definition names"
+            )
         return cls(
             spark, root, upstream, d["group_cols"], d["aggs"], table,
             where=d.get("where"),
@@ -213,6 +231,13 @@ class DerivedTable:
             return h
         return max(h, l)
 
+    # hint objects retained after each sync; only the max is ever read (and
+    # the ledger is the resume point of record), so older hints are dead
+    # weight — without GC a long tail accumulates one object per sync, the
+    # same unbounded-small-object disease applied-epoch folding cures for
+    # the manifest
+    hint_keep: int = 4
+
     def _write_hint(self, version: int) -> None:
         self.storage.put_if_absent(
             f"{_MV_DIR}/sync_v{version:012d}.json",
@@ -220,6 +245,16 @@ class DerivedTable:
                 {"synced_version": version, "written_at": _now_iso()}
             ).encode(),
         )
+        # zero-padded names sort in version order; deletes are idempotent,
+        # so a concurrent GC of the same tail is harmless
+        hints = sorted(
+            o.key
+            for o in self.storage.list(_MV_DIR)
+            if o.key.rsplit("/", 1)[-1].startswith("sync_v")
+            and o.key.endswith(".json")
+        )
+        for key in hints[: -max(1, self.hint_keep)]:
+            self.storage.delete(key)
 
     # ---------- sync ----------
 

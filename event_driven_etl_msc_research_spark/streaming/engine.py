@@ -153,9 +153,10 @@ class CDCEngine:
         # merges only the valid rows (the reference's error-payload handling,
         # HandleDataExtractionErrorLambda.py, as a dead-letter TABLE instead
         # of a compensation delete), "fail" aborts the epoch naming the
-        # count.  quarantine/fail add one validity-split job per epoch —
-        # an opt-in for untrusted transports; the designed single-job delta
-        # tail is the "keep" default
+        # count.  quarantine/fail read the source ONCE per epoch (persisted
+        # split: the count job fills the cache; the dead-letter write and
+        # the merge read from it) — an opt-in for untrusted transports; the
+        # designed single-job delta tail is the "keep" default
         storage=None,  # TableStorage backend for the sink table (defaults to
         # the POSIX LocalFSStorage; pass FakeObjectStorage or an object-store
         # client implementation — see sinks/storage.py)
@@ -211,9 +212,12 @@ class CDCEngine:
         of the reference: Extraction→Transformation→Load→Backup collapses
         into dedup→merge→commit; Backup is implicit in snapshot retention)."""
         t0 = time.monotonic()
+        split_cache = None
         try:
             if self.bad_records != "keep":
-                batch_df = self._route_bad_records(batch_df, epoch_id)
+                batch_df, split_cache = self._route_bad_records(
+                    batch_df, epoch_id
+                )
             before_publish = None
             if self.fail_after_stage_write:
                 # chaos: fail between staging write and manifest publish —
@@ -281,6 +285,10 @@ class CDCEngine:
             )
             raise
         finally:
+            if split_cache is not None:
+                # the quarantine split's cache served the dead-letter write
+                # and the merge; release it once the epoch is done
+                split_cache.unpersist()
             # per-epoch flush: lineage for every COMMITTED epoch is durable
             # even if the tail is stopped or the process dies mid-stream
             self.lineage.flush()
@@ -330,25 +338,39 @@ class CDCEngine:
         scope_id = hashlib.md5(self._epoch_scope.encode()).hexdigest()[:12]
         return f"_quarantine/{scope_id}"
 
-    def _route_bad_records(self, batch_df: DataFrame, epoch_id: int) -> DataFrame:
+    def _route_bad_records(
+        self, batch_df: DataFrame, epoch_id: int
+    ) -> tuple[DataFrame, DataFrame | None]:
         """Split the epoch's batch on the validity predicate (op ∈ {U, D},
-        non-null lsn, non-null key columns).  ``fail`` aborts the epoch
-        naming the count; ``quarantine`` lands the bad rows under
-        ``<root>/_quarantine/<scope>/epoch=<id>/`` (overwrite per epoch —
-        a replayed epoch rewrites the identical set, so re-delivery stays
-        idempotent) and returns only the valid rows.  One validity job per
-        epoch, opt-in."""
+        non-null lsn, non-null key columns) in ONE pass over the source:
+        the batch is persisted, the bad-count job materializes the cache,
+        and both the dead-letter write and the valid rows the merge
+        consumes are served from it — the source is never re-evaluated.
+        Returns ``(valid_rows, cache_to_unpersist_or_None)``;
+        ``apply_batch`` releases the cache after the merge commits.
+
+        ``fail`` aborts the epoch naming the count; ``quarantine`` lands
+        the bad rows under ``<root>/_quarantine/<scope>/epoch=<id>/``
+        (overwrite per epoch — a replayed epoch rewrites the identical
+        set, so re-delivery stays idempotent) and returns only the valid
+        rows.  Opt-in for untrusted transports; the designed single-job
+        delta tail is the "keep" default."""
         from pyspark.sql import functions as F
 
         key_cols = self.table.manifest()["key_cols"]
         pred = F.col("op").isin("U", "D") & F.col("lsn").isNotNull()
         for k in key_cols:
             pred = pred & F.col(k).isNotNull()
-        bad = batch_df.filter(~pred)
+        cached = batch_df.persist()
+        bad = cached.filter(~pred)
         n_bad = bad.count()
         if n_bad == 0:
-            return batch_df
+            cached.unpersist()
+            # hand back the ORIGINAL frame: the clean-batch epoch runs the
+            # exact historical plan, no cache in the merge lineage
+            return batch_df, None
         if self.bad_records == "fail":
+            cached.unpersist()
             self.lineage.record_stage(
                 epoch_id, "quarantine", "Failed", detail=f"n_bad={n_bad}"
             )
@@ -365,7 +387,7 @@ class CDCEngine:
         self.lineage.record_stage(
             epoch_id, "quarantine", "Success", detail=f"n_bad={n_bad}"
         )
-        return batch_df.filter(pred)
+        return cached.filter(pred), cached
 
     def read_quarantine(self, all_scopes: bool = True) -> DataFrame:
         """The dead-letter table: malformed events routed aside, with their
