@@ -570,28 +570,35 @@ class ManifestTable:
         if bcol in nb and nb[bcol][0] is not None and nb[bcol][0] == nb[bcol][1]:
             # hash the literal AS the column's declared type — xxhash64 of a
             # string and of an int differ, and _bucket_expr hashes the
-            # native column
+            # native column.  Driver-side replica first (property-tested
+            # byte-identical to Spark's xxhash64): the metadata path of a
+            # point lookup launches NO Spark job; only an exotic literal
+            # type pays the 1-row hashing job fallback.
+            from ..hashing import spark_bucket
+
             btype = next(
                 f.dataType
                 for f in T.StructType.fromJson(m["schema"]).fields
                 if f.name == bcol
             )
-            try:
-                row = (
-                    self.spark.createDataFrame(
-                        [(nb[bcol][0],)],
-                        T.StructType([T.StructField("_k", btype)]),
+            only_bucket = spark_bucket(nb[bcol][0], btype, m["n_buckets"])
+            if only_bucket is None:
+                try:
+                    row = (
+                        self.spark.createDataFrame(
+                            [(nb[bcol][0],)],
+                            T.StructType([T.StructField("_k", btype)]),
+                        )
+                        .select(
+                            F.pmod(F.xxhash64(F.col("_k")), F.lit(m["n_buckets"]))
+                            .cast("int")
+                            .alias("b")
+                        )
+                        .collect()
                     )
-                    .select(
-                        F.pmod(F.xxhash64(F.col("_k")), F.lit(m["n_buckets"]))
-                        .cast("int")
-                        .alias("b")
-                    )
-                    .collect()
-                )
-                only_bucket = int(row[0]["b"])
-            except Exception:
-                only_bucket = None  # untypable literal: stats pruning only
+                    only_bucket = int(row[0]["b"])
+                except Exception:
+                    only_bucket = None  # untypable literal: stats pruning only
 
         base: list[str] = []
         for b, ps in m["files"].items():
