@@ -518,6 +518,25 @@ class CDCEngine:
         Kafka value parsed with ``from_json`` or a rate source's LongType
         ``value`` arithmetic both normalize cleanly).  Extra columns are
         dropped — the payload contract is the schema.
+
+        TRANSPORT ORDERING CONTRACT: the tail requires NO delivery-order
+        guarantee — not even Kafka's per-partition order.  The MERGE keeps,
+        per key, the row with the maximum ``(ts, lsn)`` and delete
+        tombstones persist with their version, so any interleaving of a
+        change set converges to the same per-key winner: an event
+        delivered after a newer event of its key simply loses the
+        max-version comparison (within a batch via the dedup aggregate,
+        across epochs via the versioned target row), and a late older
+        update cannot resurrect a deleted key.  What the transport MUST
+        provide instead: (a) versions ``(ts, lsn)`` assigned at the SOURCE
+        (the WAL/binlog position) — never at delivery time, which would
+        re-order history; (b) at-least-once delivery — duplicates are
+        collapsed by the epoch ledger (same epoch), the max-version rule
+        (older re-deliveries), and optionally ``event_dedup`` for
+        cross-epoch redelivery of the winning event itself.  Pinned by
+        ``test_stream_source.py::test_replay_stream_out_of_order_transport``:
+        a stream whose delivery order is scrambled against its lsn order,
+        within and across epochs, converges to the in-order oracle state.
         """
         import os
 
