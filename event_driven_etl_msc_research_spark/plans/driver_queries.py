@@ -541,6 +541,58 @@ WHERE a.user_id IS NULL OR b.user_id IS NULL
 """
 
 
+def cdc_changes_across_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: the change feed ACROSS a state-preserving rewrite — the
+    same net diff as ``cdc_table_changes``, but the tail after the resume
+    snapshot lands as TWO delta epochs with a ``compact()`` between them,
+    so the requested range crosses a compaction.  ``changes()`` walks the
+    manifest chain, skips the rewrite (it contributes zero changes by
+    construction), and keeps the O(changes) candidate fast path
+    (``_append_candidates``; mechanism pinned in tests/test_changes.py).
+    Oracle: identical to ``cdc_table_changes`` — the net diff must not
+    depend on how the tail was partitioned or maintained."""
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("event_id").alias("lsn"),
+        F.col("ts").cast("timestamp"),
+        F.col("user_id").cast("string").alias("user_key"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_key", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    r = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    lo, hi = int(r[0]), int(r[1])
+    mid = (lo + hi) // 2
+    p75 = mid + (hi - mid) // 2
+    root = tempfile.mkdtemp(prefix="cdc_changes_compact_")
+    table = ManifestTable.create(
+        spark, root, payload, key_cols=["user_key"], n_buckets=8
+    )
+    table.merge(changes.filter(F.col("lsn") <= mid), 0, mode="delta", epoch_scope="d")
+    v1 = table.current_version()
+    table.merge(
+        changes.filter((F.col("lsn") > mid) & (F.col("lsn") <= p75)),
+        1, mode="delta", epoch_scope="d",
+    )
+    table.compact()  # state-preserving rewrite INSIDE the diff range
+    table.merge(changes.filter(F.col("lsn") > p75), 2, mode="delta", epoch_scope="d")
+    return table.changes(v1).select(
+        "user_key",
+        F.col("_change_type").alias("change_type"),
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        "event_type",
+        "value",
+    )
+
+
 def mv_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained derived table (``sinks/derived.DerivedTable``
     — the materialized-view layer the reference rebuilt from scratch each
@@ -645,6 +697,59 @@ def _mv_rollup_lifecycle(
     # incremental: partial recompute of affected groups only
     _clock("mv_sync_incremental", lambda: mv.sync(mode="delta"))
     return mv
+
+
+def mv_evolved_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: MV DEFINITION EVOLUTION end-to-end — the rollup starts
+    life with only ``n_users``, syncs, then ``evolve()`` adds
+    ``total_value`` and ``last_ts``; the next sync backfills the new
+    columns (one full recompute under the evolved definition — the MERGE
+    adds the columns additively), and the tail epoch syncs incrementally
+    under the evolved definition.  Oracle: the SAME final GROUP BY as
+    ``mv_incremental_rollup`` — evolution must converge to exactly the
+    state a from-birth full-definition view holds."""
+    from ..sinks.derived import DerivedTable
+
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("event_id").alias("lsn"),
+        F.col("ts").cast("timestamp"),
+        F.col("user_id").cast("string").alias("user_key"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_key", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    r = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    lo, hi = int(r[0]), int(r[1])
+    mid = lo + (hi - lo) * 9 // 10
+    root = tempfile.mkdtemp(prefix="mv_evolved_rollup_")
+    table = ManifestTable.create(
+        spark, root + "/up", payload, key_cols=["user_key"], n_buckets=8
+    )
+    mv = DerivedTable.create(
+        spark, root + "/mv", table, ["event_type"],
+        {"n_users": "count(1)"}, n_buckets=4,
+    )
+    table.merge(changes.filter(F.col("lsn") <= mid), 0, mode="delta", epoch_scope="d")
+    mv.sync(mode="delta")  # full build under the NARROW definition
+    mv.evolve(
+        {
+            "total_value": "round(sum(value), 4)",
+            "last_ts": f"date_format(max(ts), '{_TS_FMT_SPARK}')",
+        }
+    )
+    mv.sync(mode="delta")  # backfill: full recompute under the evolved defn
+    table.merge(changes.filter(F.col("lsn") > mid), 1, mode="delta", epoch_scope="d")
+    mv.sync(mode="delta")  # incremental again, evolved definition
+    return mv.read().select("event_type", "n_users", "total_value", "last_ts")
 
 
 MV_ROLLUP_SQL = f"""
@@ -1796,7 +1901,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_merge_events_delta": (cdc_merge_events_delta, CDC_MERGE_SQL),
     "cdc_events_time_window": (cdc_events_time_window, CDC_TIME_WINDOW_SQL),
     "cdc_table_changes": (cdc_table_changes, CDC_CHANGES_SQL),
+    "cdc_changes_across_compaction": (
+        cdc_changes_across_compaction,
+        CDC_CHANGES_SQL,
+    ),
     "mv_incremental_rollup": (mv_incremental_rollup, MV_ROLLUP_SQL),
+    "mv_evolved_rollup": (mv_evolved_rollup, MV_ROLLUP_SQL),
     "events_asof_last_error": (events_asof_last_error, ASOF_SQL),
     "events_asof_next_error": (events_asof_next_error, ASOF_FWD_SQL),
     "events_range_join": (events_range_join, RANGE_JOIN_SQL),

@@ -42,6 +42,7 @@ sandbox — no network; SURVEY.md §7).
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -1860,9 +1861,30 @@ class ManifestTable:
             a = nullsafe_semi_anti(a, cand, key_cols, "left_semi", broadcast=bcast)
             b = nullsafe_semi_anti(b, cand, key_cols, "left_semi", broadcast=bcast)
 
+        # NULL-SAFE full-outer diff: `on=key_cols` equality never matches a
+        # NULL key value, so a NULL-keyed row (legal — an MV's backing table
+        # is keyed on group values, which may be NULL) would surface as a
+        # phantom delete+insert pair even when its pre/post images are
+        # IDENTICAL.  eqNullSafe keys keep the hash-join plan and make the
+        # NULL key pair up like any other; the coalesce below is exact
+        # because matched rows have null-safe-equal keys on both sides.
         pre = a.select(*key_cols, F.struct(*payload_cols).alias("_pre"))
-        post = b.select(*key_cols, F.struct(*payload_cols).alias("_post"))
-        j = pre.join(post, on=key_cols, how="full_outer")
+        post = b.select(
+            *[F.col(k).alias(f"_post_{k}") for k in key_cols],
+            F.struct(*payload_cols).alias("_post"),
+        )
+        cond = functools.reduce(
+            lambda x, y: x & y,
+            [F.col(k).eqNullSafe(F.col(f"_post_{k}")) for k in key_cols],
+        )
+        j = pre.join(post, cond, "full_outer").select(
+            *[
+                F.coalesce(F.col(k), F.col(f"_post_{k}")).alias(k)
+                for k in key_cols
+            ],
+            "_pre",
+            "_post",
+        )
         change = (
             F.when(F.col("_pre").isNull(), F.lit("insert"))
             .when(F.col("_post").isNull(), F.lit("delete"))

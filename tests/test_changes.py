@@ -107,6 +107,53 @@ def test_changes_fast_path_is_candidate_restricted(spark, tmp_root):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.parametrize("mode", ["delta", "cow"])
+def test_changes_null_key_pairs_up(spark, tmp_root, mode):
+    """A NULL key value is legal (an MV's backing table is keyed on group
+    values, which may be NULL).  The diff join must be null-safe: a changed
+    NULL-keyed row is ONE 'update' (not a phantom delete+insert pair), and
+    an unchanged NULL-keyed row that lands in the candidate set emits
+    nothing at all."""
+    tbl = ManifestTable.create(
+        spark, tmp_root + "/tbl", PAYLOAD, key_cols=["user_key"], n_buckets=4
+    )
+    tbl.merge(
+        _batch(
+            spark,
+            [("U", 1, TS, "A", "click", 1.0), ("U", 2, TS, None, "view", 5.0)],
+        ),
+        epoch_id=0,
+        mode=mode,
+        epoch_scope="t",
+    )
+    v1 = tbl.current_version()
+
+    # epoch 1: NULL key updated; A re-upserted with an IDENTICAL image (a
+    # candidate, but not a change)
+    tbl.merge(
+        _batch(
+            spark,
+            [("U", 3, TS, None, "view", 50.0), ("U", 4, TS, "A", "click", 1.0)],
+        ),
+        epoch_id=1,
+        mode=mode,
+        epoch_scope="t",
+    )
+    rows = tbl.changes(v1).collect()
+    assert len(rows) == 1, rows
+    assert _changes_map(tbl.changes(v1)) == {None: ("update", "view", 50.0)}
+
+    # epoch 2: NULL key re-upserted unchanged — the feed must be EMPTY
+    v2 = tbl.current_version()
+    tbl.merge(
+        _batch(spark, [("U", 5, TS, None, "view", 50.0)]),
+        epoch_id=2,
+        mode=mode,
+        epoch_scope="t",
+    )
+    assert tbl.changes(v2).count() == 0
+
+
 EXPECTED = {
     "B": ("update", "purchase", 20.0),
     "C": ("delete", "view", 3.0),
