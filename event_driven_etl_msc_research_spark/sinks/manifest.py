@@ -1167,6 +1167,8 @@ class ManifestTable:
         buckets: list[int] | None = None,
         min_delta_files: int = 1,
         before_publish=None,
+        sort_by: list[str] | None = None,
+        max_rows_per_file: int | None = None,
     ) -> dict[str, Any]:
         """Fold delta files into base files at bucket granularity.
 
@@ -1176,7 +1178,25 @@ class ManifestTable:
         lose against a delete — dropping tombstones would resurrect keys).
         Compaction is maintenance, not an epoch: ``applied_epochs`` is
         carried through unchanged, so exactly-once bookkeeping is unaffected.
-        """
+
+        CLUSTERED compaction (the Iceberg sort-order-rewrite / Delta
+        OPTIMIZE analogue): ``sort_by`` sorts each bucket's rows by the
+        given payload columns before writing and ``max_rows_per_file``
+        rolls the bucket into multiple files at that row count.  At scale a
+        bucket is many files, and sorting makes consecutive files carry
+        TIGHT, near-disjoint min/max ranges in ``file_stats`` — a non-key
+        predicate (``read(where={"ts": (lo, hi)})``) then skips most of a
+        bucket's files instead of scanning all of them.  The sort is
+        per-bucket (``sortWithinPartitions`` after the bucket exchange) so
+        clustering adds no extra shuffle to the fold."""
+        if sort_by:
+            m0 = self.manifest()
+            schema_cols = {
+                f.name for f in T.StructType.fromJson(m0["schema"]).fields
+            }
+            bad = [c for c in sort_by if c not in schema_cols]
+            if bad:
+                raise ValueError(f"sort_by columns not in schema: {bad}")
         t0 = time.monotonic()
         m = self.manifest()
         old_delta = {
@@ -1209,14 +1229,17 @@ class ManifestTable:
         stage_rel = self._staging_relpath(version, f"compact{version}")
         stage_dir = self.storage.spark_path(stage_rel)
         obs = Observation()
-        (
+        out = (
             merged.observe(obs, F.count(F.lit(1)).alias("rows"))
             .withColumn("_pb", F.col("_bucket"))
             .repartition(max(len(cand), 1), F.col("_bucket"))
-            .write.mode("overwrite")
-            .partitionBy("_pb")
-            .parquet(stage_dir)
         )
+        if sort_by:
+            out = out.sortWithinPartitions("_bucket", *sort_by)
+        writer = out.write.mode("overwrite")
+        if max_rows_per_file:
+            writer = writer.option("maxRecordsPerFile", int(max_rows_per_file))
+        writer.partitionBy("_pb").parquet(stage_dir)
         staged_files, rows_by_bucket, staged_rows, staged_stats = (
             self._scan_staging(stage_rel, buckets=cand)
         )
@@ -1246,6 +1269,9 @@ class ManifestTable:
             "delta_files": {str(b): p for b, p in delta_files.items()},
             "file_stats": self._fold_stats(m, files, delta_files, staged_stats),
             "stats_cols": m.get("stats_cols") or [],
+            # informational: the clustering applied by THIS rewrite (pruning
+            # reads file_stats directly and needs no ordering guarantee)
+            "sorted_by": list(sort_by or []),
             "bucket_rows": {
                 **{
                     str(b): r

@@ -58,6 +58,76 @@ def test_manifest_records_file_stats(spark, tmp_root):
     assert "_ts" in st["ts"][0]  # timestamps round-trip through ISO strings
 
 
+def test_clustered_compaction_enables_file_range_pruning(spark, tmp_root):
+    """compact(sort_by=, max_rows_per_file=) — the Iceberg sort-order-
+    rewrite / Delta OPTIMIZE analogue.  Every delta epoch spans the WHOLE
+    ts range (each delta file's ts stats cover everything, so a window
+    read can prune nothing), then a clustered compaction sorts each bucket
+    by ts and rolls it into multiple files: consecutive files carry tight
+    near-disjoint ranges, and the same window read now skips most of each
+    bucket's files.  State must be bit-identical across the rewrite."""
+    t = ManifestTable.create(
+        spark, os.path.join(tmp_root, "t"), TRANSCRIPT_SCHEMA, n_buckets=2
+    )
+    lsn = 0
+    for e in range(3):  # 3 delta epochs × 4 days × 4 rows, all interleaved
+        rows = []
+        for day in range(1, 5):
+            rows += [
+                (
+                    "I",
+                    lsn + i,
+                    day * DAY + e * 1000 + i,
+                    f"c{e}-{day}-{i}",
+                    i,
+                    "user",
+                    f"t{e}-{day}-{i}",
+                    None,
+                )
+                for i in range(4)
+            ]
+            lsn += 4
+        t.merge(_changes_df(spark, rows), e, mode="delta")
+
+    def _state(df):
+        return sorted(
+            (r["conv_id"], r["turn_idx"], r["text"]) for r in df.collect()
+        )
+
+    day1 = (
+        pd.Timestamp(DAY, unit="s", tz="UTC").to_pydatetime(),
+        pd.Timestamp(2 * DAY - 1, unit="s", tz="UTC").to_pydatetime(),
+    )
+    before = _state(t.read())
+    # pre-compaction baseline: every delta file spans all 4 days, so the
+    # day-1 window read cannot skip a single file
+    assert len(t.read(where={"ts": day1}).inputFiles()) == len(
+        t.read().inputFiles()
+    )
+    out = t.compact(sort_by=["ts"], max_rows_per_file=8)
+    assert out["status"] == "Success"
+    m = t.manifest()
+    assert m["sorted_by"] == ["ts"]
+    assert not any(ps for ps in m["delta_files"].values())
+    # ~24 rows/bucket rolled at 8 → each bucket is MULTIPLE stats-tight files
+    assert all(len(ps) >= 2 for ps in m["files"].values()), m["files"]
+    assert _state(t.read()) == before
+
+    full, pruned = t.read(), t.read(where={"ts": day1})
+    # clustering made the same window read skip files (at these tiny file
+    # sizes a day straddles a file boundary, so require at least one skip
+    # per bucket; at scale the skip fraction approaches 1 - window/range)
+    assert 0 < len(pruned.inputFiles()) <= len(full.inputFiles()) - 2
+    exp = [x for x in before if x[2].split("-")[1] == "1"]
+    assert _state(pruned) == exp
+
+    # bad sort column fails loudly, before any job
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sort_by"):
+        t.compact(sort_by=["nope"])
+
+
 def test_ts_bounded_read_opens_fewer_files(spark, tmp_root):
     """Two days land in disjoint bucket sets (disjoint conv ids) → a
     ts-bounded read must skip the other day's files entirely."""

@@ -30,6 +30,19 @@ def main() -> int:
     sub = ap.add_subparsers(dest="op", required=True)
     sc = sub.add_parser("compact", help="fold delta files into base")
     sc.add_argument("--min-delta-files", type=int, default=1)
+    sc.add_argument(
+        "--sort-by",
+        default=None,
+        help="comma-separated payload columns: cluster each bucket's rows "
+        "by these during the fold so file stats prune non-key predicates",
+    )
+    sc.add_argument(
+        "--max-rows-per-file",
+        type=int,
+        default=None,
+        help="roll each bucket into multiple files at this row count "
+        "(pairs with --sort-by for file-level range pruning)",
+    )
     sv = sub.add_parser("vacuum", help="GC unreferenced data dirs")
     sv.add_argument("--keep-versions", type=int, default=8)
     sv.add_argument("--grace-s", type=float, default=600.0)
@@ -66,7 +79,11 @@ def main() -> int:
     spark.sparkContext.setLogLevel("WARN")
     t = ManifestTable(spark, args.table)
     if args.op == "compact":
-        out = t.compact(min_delta_files=args.min_delta_files)
+        out = t.compact(
+            min_delta_files=args.min_delta_files,
+            sort_by=args.sort_by.split(",") if args.sort_by else None,
+            max_rows_per_file=args.max_rows_per_file,
+        )
     elif args.op == "vacuum":
         removed = t.vacuum(keep_versions=args.keep_versions, grace_s=args.grace_s)
         out = {"status": "Success", "removed_dirs": len(removed)}
