@@ -131,6 +131,10 @@ class CDCEngine:
         audit: str = "counts",
         merge_mode: str = "cow",  # "cow" | "delta" (merge-on-read tail path)
         compact_every: int = 0,   # delta mode: fold deltas→base every N epochs
+        compact_sort_by: list[str] | None = None,  # cluster buckets by these
+        # payload columns during auto-compaction (stats-tight files → non-key
+        # window reads skip most of a bucket; see ManifestTable.compact)
+        compact_max_rows_per_file: int | None = None,
         vacuum_keep_versions: int = 8,  # 0 disables auto-vacuum
         vacuum_grace_s: float = 600.0,  # never GC dirs younger than this —
         # a CONCURRENT writer's staging dir (second engine on another
@@ -167,6 +171,8 @@ class CDCEngine:
         self.files_per_bucket = files_per_bucket
         self.merge_mode = merge_mode
         self.compact_every = compact_every
+        self.compact_sort_by = compact_sort_by
+        self.compact_max_rows_per_file = compact_max_rows_per_file
         self.vacuum_keep_versions = vacuum_keep_versions
         self.vacuum_grace_s = vacuum_grace_s
         self._epochs_since_compact = 0
@@ -255,7 +261,10 @@ class CDCEngine:
             ):
                 self._epochs_since_compact += 1
                 if self._epochs_since_compact >= self.compact_every:
-                    cst = self.table.compact()
+                    cst = self.table.compact(
+                        sort_by=self.compact_sort_by,
+                        max_rows_per_file=self.compact_max_rows_per_file,
+                    )
                     self.lineage.record_stage(
                         epoch_id,
                         "compact",

@@ -99,6 +99,35 @@ def test_auto_compaction_during_replay(spark, tmp_root):
     assert (lin.loc[lin["stage"] == "compact", "status"] == "Success").any()
 
 
+def test_auto_compaction_clusters_when_configured(spark, tmp_root):
+    """Engine-level passthrough of clustered compaction: the auto-compact
+    cadence folds with sort_by/max_rows_per_file, state matches the
+    oracle, and the manifest records the clustering."""
+    eng = _replay(
+        spark,
+        tmp_root,
+        "autoclu",
+        merge_mode="delta",
+        compact_every=2,
+        compact_sort_by=["ts"],
+        compact_max_rows_per_file=500,
+    )
+    exp = oracle_final_state(SPEC)
+    got = eng.read_table().orderBy("conv_id", "turn_idx").toPandas()
+    assert_pdf_equal(got, exp, COLS)
+    # at least one auto-compaction committed, and the latest rewrite
+    # manifest carries the clustering marker
+    lin = eng.lineage.lineage().toPandas()
+    assert (lin.loc[lin["stage"] == "compact", "status"] == "Success").any()
+    versions = [r["version"] for r in eng.table.history().collect()]
+    sorted_markers = [
+        eng.table.manifest(v).get("sorted_by")
+        for v in versions
+        if str(eng.table.manifest(v).get("epoch_id", "")).startswith("compact:")
+    ]
+    assert sorted_markers and all(sb == ["ts"] for sb in sorted_markers)
+
+
 def test_tombstone_survives_compaction(spark, tmp_root):
     """A late out-of-order UPDATE older than an applied DELETE must not
     resurrect the key — even after compaction folded the tombstone."""
