@@ -1419,7 +1419,13 @@ class ManifestTable:
         nonce = f"{os.getpid():x}-{time.monotonic_ns():x}"
         return os.path.join(_DATA_DIR, f"v{version:012d}-e{epoch_id}-a{nonce}")
 
-    def rebucket(self, n_buckets: int, before_publish=None) -> dict[str, Any]:
+    def rebucket(
+        self,
+        n_buckets: int,
+        before_publish=None,
+        sort_by: list[str] | None = None,
+        max_rows_per_file: int | None = None,
+    ) -> dict[str, Any]:
         """Change the table's hash-bucket count (Iceberg's partition-spec
         evolution for the bucket transform): fold the full current state
         (base + deltas), re-assign every row's bucket under the new count,
@@ -1432,9 +1438,22 @@ class ManifestTable:
         merges bucket by the new count.  Exactly-once bookkeeping carries
         through unchanged (maintenance, not an epoch), and the commit is
         the same optimistic put-if-absent — on a lost race to an ingest
-        commit it returns Skipped to be retried at a quieter moment."""
+        commit it returns Skipped to be retried at a quieter moment.
+
+        ``sort_by`` / ``max_rows_per_file`` cluster the rewrite exactly as
+        in :meth:`compact` — a rebucket rewrites every file anyway, so
+        re-establishing clustering here is free (without it a rebucket
+        would destroy the file-range locality a prior clustered compaction
+        built)."""
         t0 = time.monotonic()
         m = self.manifest()
+        if sort_by:
+            schema_cols = {
+                f.name for f in T.StructType.fromJson(m["schema"]).fields
+            }
+            bad = [c for c in sort_by if c not in schema_cols]
+            if bad:
+                raise ValueError(f"sort_by columns not in schema: {bad}")
         if n_buckets == m["n_buckets"]:
             return {
                 "status": "Skipped",
@@ -1454,14 +1473,17 @@ class ManifestTable:
         stage_rel = self._staging_relpath(version, f"rebucket{n_buckets}")
         stage_dir = self.storage.spark_path(stage_rel)
         obs = Observation()
-        (
+        out = (
             rebucketed.observe(obs, F.count(F.lit(1)).alias("rows"))
             .withColumn("_pb", F.col("_bucket"))
             .repartition(max(n_buckets, 1), F.col("_bucket"))
-            .write.mode("overwrite")
-            .partitionBy("_pb")
-            .parquet(stage_dir)
         )
+        if sort_by:
+            out = out.sortWithinPartitions("_bucket", *sort_by)
+        writer = out.write.mode("overwrite")
+        if max_rows_per_file:
+            writer = writer.option("maxRecordsPerFile", int(max_rows_per_file))
+        writer.partitionBy("_pb").parquet(stage_dir)
         staged_files, rows_by_bucket, staged_rows, staged_stats = (
             self._scan_staging(stage_rel)
         )
@@ -1482,6 +1504,7 @@ class ManifestTable:
             "delta_files": {},
             "file_stats": self._fold_stats(m, staged_files, {}, staged_stats),
             "stats_cols": m.get("stats_cols") or [],
+            "sorted_by": list(sort_by or []),
             "bucket_rows": rows_by_bucket,
             "applied_epochs": m["applied_epochs"],
             "applied_ranges": m.get("applied_ranges") or {},

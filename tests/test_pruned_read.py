@@ -127,6 +127,20 @@ def test_clustered_compaction_enables_file_range_pruning(spark, tmp_root):
     with _pytest.raises(ValueError, match="sort_by"):
         t.compact(sort_by=["nope"])
 
+    # rebucket rewrites everything anyway, so it can re-establish the
+    # clustering for free — state identical, marker recorded, window read
+    # still skips files under the new bucket count
+    st = t.rebucket(4, sort_by=["ts"], max_rows_per_file=8)
+    assert st["status"] == "Success"
+    m2 = t.manifest()
+    assert m2["sorted_by"] == ["ts"] and m2["n_buckets"] == 4
+    assert _state(t.read()) == before
+    full2, pruned2 = t.read(), t.read(where={"ts": day1})
+    assert 0 < len(pruned2.inputFiles()) < len(full2.inputFiles())
+    assert _state(pruned2) == exp
+    with _pytest.raises(ValueError, match="sort_by"):
+        t.rebucket(8, sort_by=["nope"])
+
 
 def test_ts_bounded_read_opens_fewer_files(spark, tmp_root):
     """Two days land in disjoint bucket sets (disjoint conv ids) → a

@@ -48,6 +48,9 @@ def main() -> int:
     sv.add_argument("--grace-s", type=float, default=600.0)
     sr = sub.add_parser("rebucket", help="change the hash bucket count")
     sr.add_argument("--n-buckets", type=int, required=True)
+    sr.add_argument("--sort-by", default=None,
+                    help="cluster the rewrite (see compact --sort-by)")
+    sr.add_argument("--max-rows-per-file", type=int, default=None)
     sh = sub.add_parser("history", help="print the snapshot history table")
     sh.add_argument("--limit", type=int, default=50, help="newest N rows")
     se = sub.add_parser("expire", help="expire old snapshots (metadata)")
@@ -123,7 +126,11 @@ def main() -> int:
             }
             out = {"status": "Success", "epoch_dirs": epochs}
     else:
-        out = t.rebucket(args.n_buckets)
+        out = t.rebucket(
+            args.n_buckets,
+            sort_by=args.sort_by.split(",") if args.sort_by else None,
+            max_rows_per_file=args.max_rows_per_file,
+        )
     print(json.dumps(out))
     return 0 if out.get("status") in ("Success", "Skipped", "NoChange") else 1
 
