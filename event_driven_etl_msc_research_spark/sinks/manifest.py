@@ -1235,7 +1235,14 @@ class ManifestTable:
             .repartition(max(len(cand), 1), F.col("_bucket"))
         )
         if sort_by:
-            out = out.sortWithinPartitions("_bucket", *sort_by)
+            # sort by the WRITER'S dynamic-partition column (`_pb`) first:
+            # FileFormatWriter requires task rows ordered by the partition
+            # columns and inserts its own sort when the incoming ordering is
+            # on a different attribute — which would scramble the `sort_by`
+            # order and leave every rolled file spanning the full range.
+            # With `_pb` leading, the writer's requirement is a satisfied
+            # prefix and the clustering survives to the files.
+            out = out.sortWithinPartitions("_pb", *sort_by)
         writer = out.write.mode("overwrite")
         if max_rows_per_file:
             writer = writer.option("maxRecordsPerFile", int(max_rows_per_file))
@@ -1479,7 +1486,8 @@ class ManifestTable:
             .repartition(max(n_buckets, 1), F.col("_bucket"))
         )
         if sort_by:
-            out = out.sortWithinPartitions("_bucket", *sort_by)
+            # `_pb` must lead the sort — see the identical note in compact()
+            out = out.sortWithinPartitions("_pb", *sort_by)
         writer = out.write.mode("overwrite")
         if max_rows_per_file:
             writer = writer.option("maxRecordsPerFile", int(max_rows_per_file))

@@ -142,6 +142,57 @@ def test_clustered_compaction_enables_file_range_pruning(spark, tmp_root):
         t.rebucket(8, sort_by=["nope"])
 
 
+def test_clustering_survives_the_writer_at_scale(spark, tmp_root):
+    """The dynamic-partition writer (`partitionBy("_pb")`) inserts its own
+    sort when the incoming ordering is on a different attribute, which
+    SCRAMBLES the sort_by order at real row counts (a stable sort masks it
+    on tiny inputs).  Pin the true invariant at 40k rows: after a clustered
+    compaction, each bucket's rolled files carry pairwise NON-OVERLAPPING
+    ts ranges, and a narrow window opens ~one file per bucket."""
+    from pyspark.sql import functions as F
+
+    t = ManifestTable.create(
+        spark, os.path.join(tmp_root, "t"), TRANSCRIPT_SCHEMA, n_buckets=8
+    )
+    n = 40_000
+    ch = spark.range(n).select(
+        F.lit("I").alias("op"),
+        F.col("id").alias("lsn"),
+        F.timestamp_seconds(F.lit(DAY) + F.col("id")).alias("ts"),
+        F.concat(F.lit("c"), F.col("id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.lit("x").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+    )
+    t.merge(ch, 0, mode="delta")
+    t.compact(sort_by=["ts"], max_rows_per_file=1000)
+    m = t.manifest()
+    assert m["sorted_by"] == ["ts"]
+    total_files = 0
+    for b, paths in m["files"].items():
+        assert len(paths) >= 4, (b, len(paths))  # ~5k rows rolled at 1k
+        total_files += len(paths)
+        ranges = sorted(
+            (
+                m["file_stats"][p]["ts"][0]["_ts"],
+                m["file_stats"][p]["ts"][1]["_ts"],
+            )
+            for p in paths
+        )
+        for (_, prev_max), (nxt_min, _) in zip(ranges, ranges[1:]):
+            assert nxt_min >= prev_max, (b, ranges)
+
+    # a 30-minute window (~4.5% of the range) opens at most 2 files/bucket
+    win = (
+        pd.Timestamp(DAY + 20_000, unit="s", tz="UTC").to_pydatetime(),
+        pd.Timestamp(DAY + 21_800, unit="s", tz="UTC").to_pydatetime(),
+    )
+    pruned = t.read(where={"ts": win})
+    assert 0 < len(pruned.inputFiles()) <= 16 < total_files
+    assert pruned.count() == 1801
+
+
 def test_ts_bounded_read_opens_fewer_files(spark, tmp_root):
     """Two days land in disjoint bucket sets (disjoint conv ids) → a
     ts-bounded read must skip the other day's files entirely."""
