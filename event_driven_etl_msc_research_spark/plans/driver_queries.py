@@ -422,6 +422,72 @@ FROM (
 """
 
 
+def cdc_events_zorder_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order-clustered rewrite + box-bounded read (``compact(zorder_by=)``
+    → ``read(where=)`` on TWO non-key columns at once — the Delta OPTIMIZE
+    ZORDER / Iceberg z-order analogue, ``functions/zorder.py``).  The change
+    stream is committed as a delta epoch, the fold z-orders each bucket on
+    (ts, value) so rolled files carry tight min/max on BOTH, and the box
+    read prunes on both dims where a lexicographic sort could only skip on
+    its leading column.  Oracle: latest event per user, minus deletes, with
+    the same ts AND value bounds."""
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("event_id").alias("lsn"),
+        F.col("ts").cast("timestamp"),
+        F.col("user_id").cast("string").alias("user_key"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_key", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_events_zorder_window_")
+    table = ManifestTable.create(
+        spark,
+        root,
+        payload,
+        key_cols=["user_key"],
+        n_buckets=8,
+        stats_cols=["ts", "value", "user_key"],
+    )
+    table.merge(changes, epoch_id=0, epoch_scope="driver", mode="delta")
+    st = table.compact(zorder_by=["ts", "value"], max_rows_per_file=2_000)
+    assert st["status"] == "Success", st
+    bounded = table.read(
+        where={
+            "ts": ("2024-01-15 00:00:00", "2024-01-31 23:59:59.999999"),
+            "value": (0.0, 40.0),
+        }
+    )
+    return bounded.select(
+        "user_key",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        "event_type",
+        "value",
+    )
+
+
+CDC_ZORDER_WINDOW_SQL = f"""
+SELECT CAST(user_id AS VARCHAR) AS user_key,
+       strftime(ts, '{_TS_FMT_DUCK}') AS ts, event_type, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type != 'error'
+  AND ts BETWEEN TIMESTAMP '2024-01-15 00:00:00'
+             AND TIMESTAMP '2024-01-31 23:59:59.999999'
+  AND value BETWEEN 0.0 AND 40.0
+"""
+
+
 def cdc_merge_events_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The merge-on-read tail path on driver data: the same change stream as
     ``cdc_merge_events`` applied as TWO delta epochs (split by event_id),
@@ -1900,6 +1966,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_merge_events": (cdc_merge_events, CDC_MERGE_SQL),
     "cdc_merge_events_delta": (cdc_merge_events_delta, CDC_MERGE_SQL),
     "cdc_events_time_window": (cdc_events_time_window, CDC_TIME_WINDOW_SQL),
+    "cdc_events_zorder_window": (cdc_events_zorder_window, CDC_ZORDER_WINDOW_SQL),
     "cdc_table_changes": (cdc_table_changes, CDC_CHANGES_SQL),
     "cdc_changes_across_compaction": (
         cdc_changes_across_compaction,

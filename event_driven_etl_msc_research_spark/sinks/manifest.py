@@ -1169,6 +1169,7 @@ class ManifestTable:
         before_publish=None,
         sort_by: list[str] | None = None,
         max_rows_per_file: int | None = None,
+        zorder_by: list[str] | None = None,
     ) -> dict[str, Any]:
         """Fold delta files into base files at bucket granularity.
 
@@ -1188,7 +1189,18 @@ class ManifestTable:
         predicate (``read(where={"ts": (lo, hi)})``) then skips most of a
         bucket's files instead of scanning all of them.  The sort is
         per-bucket (``sortWithinPartitions`` after the bucket exchange) so
-        clustering adds no extra shuffle to the fold."""
+        clustering adds no extra shuffle to the fold.
+
+        ``zorder_by`` (mutually exclusive with ``sort_by``) sorts each
+        bucket on a Morton-interleaved z-value of SEVERAL columns instead
+        (Delta ``OPTIMIZE ZORDER`` / Iceberg z-order analogue,
+        :mod:`..functions.zorder`): files then carry tight min/max ranges
+        on ALL the clustered columns, so a bounded read on any of them
+        skips files — a lexicographic sort only ever skips on its leading
+        column.  Costs one extra column-pruned pass over the same files
+        the fold reads anyway (the equi-depth boundary sketch)."""
+        if sort_by and zorder_by:
+            raise ValueError("sort_by and zorder_by are mutually exclusive")
         if sort_by:
             m0 = self.manifest()
             schema_cols = {
@@ -1197,6 +1209,10 @@ class ManifestTable:
             bad = [c for c in sort_by if c not in schema_cols]
             if bad:
                 raise ValueError(f"sort_by columns not in schema: {bad}")
+        if zorder_by:
+            from ..functions.zorder import zorder_validate
+
+            zorder_validate(self.schema(), zorder_by)
         t0 = time.monotonic()
         m = self.manifest()
         old_delta = {
@@ -1243,6 +1259,22 @@ class ManifestTable:
             # With `_pb` leading, the writer's requirement is a satisfied
             # prefix and the clustering survives to the files.
             out = out.sortWithinPartitions("_pb", *sort_by)
+        elif zorder_by:
+            # boundary sketch: one column-pruned pass over the fold's own
+            # input files (approxQuantile — no shuffle, O(2^bits) floats to
+            # the driver), then sort each bucket by the interleaved z-value.
+            # `_pb` leads for the same writer-resort reason as above; `_z`
+            # is projected away after the sort (the ordering's `_pb` prefix
+            # still satisfies the writer, so no re-sort is inserted — the
+            # 40k-row disjoint-stats test pins this).
+            from ..functions.zorder import zorder_column
+
+            zc = zorder_column(self._read_files(inputs, ischema), zorder_by)
+            out = (
+                out.withColumn("_z", zc)
+                .sortWithinPartitions("_pb", "_z")
+                .drop("_z")
+            )
         writer = out.write.mode("overwrite")
         if max_rows_per_file:
             writer = writer.option("maxRecordsPerFile", int(max_rows_per_file))
@@ -1279,6 +1311,7 @@ class ManifestTable:
             # informational: the clustering applied by THIS rewrite (pruning
             # reads file_stats directly and needs no ordering guarantee)
             "sorted_by": list(sort_by or []),
+            "zordered_by": list(zorder_by or []),
             "bucket_rows": {
                 **{
                     str(b): r
@@ -1432,6 +1465,7 @@ class ManifestTable:
         before_publish=None,
         sort_by: list[str] | None = None,
         max_rows_per_file: int | None = None,
+        zorder_by: list[str] | None = None,
     ) -> dict[str, Any]:
         """Change the table's hash-bucket count (Iceberg's partition-spec
         evolution for the bucket transform): fold the full current state
@@ -1447,13 +1481,15 @@ class ManifestTable:
         the same optimistic put-if-absent — on a lost race to an ingest
         commit it returns Skipped to be retried at a quieter moment.
 
-        ``sort_by`` / ``max_rows_per_file`` cluster the rewrite exactly as
-        in :meth:`compact` — a rebucket rewrites every file anyway, so
-        re-establishing clustering here is free (without it a rebucket
-        would destroy the file-range locality a prior clustered compaction
-        built)."""
+        ``sort_by`` / ``zorder_by`` / ``max_rows_per_file`` cluster the
+        rewrite exactly as in :meth:`compact` — a rebucket rewrites every
+        file anyway, so re-establishing clustering here is free (without it
+        a rebucket would destroy the file-range locality a prior clustered
+        compaction built)."""
         t0 = time.monotonic()
         m = self.manifest()
+        if sort_by and zorder_by:
+            raise ValueError("sort_by and zorder_by are mutually exclusive")
         if sort_by:
             schema_cols = {
                 f.name for f in T.StructType.fromJson(m["schema"]).fields
@@ -1461,6 +1497,10 @@ class ManifestTable:
             bad = [c for c in sort_by if c not in schema_cols]
             if bad:
                 raise ValueError(f"sort_by columns not in schema: {bad}")
+        if zorder_by:
+            from ..functions.zorder import zorder_validate
+
+            zorder_validate(T.StructType.fromJson(m["schema"]), zorder_by)
         if n_buckets == m["n_buckets"]:
             return {
                 "status": "Skipped",
@@ -1488,6 +1528,17 @@ class ManifestTable:
         if sort_by:
             # `_pb` must lead the sort — see the identical note in compact()
             out = out.sortWithinPartitions("_pb", *sort_by)
+        elif zorder_by:
+            from ..functions.zorder import zorder_column
+
+            zc = zorder_column(
+                self._read_files(self._all_files(m), ischema), zorder_by
+            )
+            out = (
+                out.withColumn("_z", zc)
+                .sortWithinPartitions("_pb", "_z")
+                .drop("_z")
+            )
         writer = out.write.mode("overwrite")
         if max_rows_per_file:
             writer = writer.option("maxRecordsPerFile", int(max_rows_per_file))
@@ -1513,6 +1564,7 @@ class ManifestTable:
             "file_stats": self._fold_stats(m, staged_files, {}, staged_stats),
             "stats_cols": m.get("stats_cols") or [],
             "sorted_by": list(sort_by or []),
+            "zordered_by": list(zorder_by or []),
             "bucket_rows": rows_by_bucket,
             "applied_epochs": m["applied_epochs"],
             "applied_ranges": m.get("applied_ranges") or {},

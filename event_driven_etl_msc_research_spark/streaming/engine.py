@@ -134,6 +134,9 @@ class CDCEngine:
         compact_sort_by: list[str] | None = None,  # cluster buckets by these
         # payload columns during auto-compaction (stats-tight files → non-key
         # window reads skip most of a bucket; see ManifestTable.compact)
+        compact_zorder_by: list[str] | None = None,  # OR z-order-cluster on
+        # several columns at once (Morton interleave; mutually exclusive
+        # with compact_sort_by — see ManifestTable.compact / functions.zorder)
         compact_max_rows_per_file: int | None = None,
         vacuum_keep_versions: int = 8,  # 0 disables auto-vacuum
         vacuum_grace_s: float = 600.0,  # never GC dirs younger than this —
@@ -172,6 +175,7 @@ class CDCEngine:
         self.merge_mode = merge_mode
         self.compact_every = compact_every
         self.compact_sort_by = compact_sort_by
+        self.compact_zorder_by = compact_zorder_by
         self.compact_max_rows_per_file = compact_max_rows_per_file
         self.vacuum_keep_versions = vacuum_keep_versions
         self.vacuum_grace_s = vacuum_grace_s
@@ -263,6 +267,7 @@ class CDCEngine:
                 if self._epochs_since_compact >= self.compact_every:
                     cst = self.table.compact(
                         sort_by=self.compact_sort_by,
+                        zorder_by=self.compact_zorder_by,
                         max_rows_per_file=self.compact_max_rows_per_file,
                     )
                     self.lineage.record_stage(

@@ -50,6 +50,7 @@ def test_every_oracle_key_has_a_query():
         "lang_id_docs",
         "cdc_merge_events",
         "cdc_events_time_window",
+        "cdc_events_zorder_window",
     ],
 )
 def test_oracle_spot_check(spark, duck, name):

@@ -388,3 +388,131 @@ def test_mor_base_prunes_when_all_deltas_out_of_range(spark, tmp_root):
     base_f, delta_f = t._pruned_files(m2, {"ts": bounds(10, 11)})
     assert base_f == [] and len(delta_f) == 2
     assert t.read(where={"ts": bounds(10, 11)}).count() == 0
+
+
+def test_zorder_clustering_prunes_on_every_clustered_dim(spark, tmp_root):
+    """compact(zorder_by=) — the Delta OPTIMIZE ZORDER / Iceberg z-order
+    analogue.  A lexicographic sort_by=["ts"] makes files tight on ts but
+    every file still spans the FULL turn_idx range, so a turn_idx-bounded
+    read prunes nothing; the Morton-interleaved sort makes files tight on
+    BOTH dims at once, so reads bounded on either dim (or a box on both)
+    skip most files.  40k rows so the dynamic-partition writer's re-sort
+    hazard (stable-sort-masked on tiny inputs) is exercised too.  All
+    assertions are file COUNTS from manifest stats — deterministic, no
+    timing."""
+    from pyspark.sql import functions as F
+
+    n = 40_000
+    # two independent uniform dims: turn_idx = id % 200, ts offset a
+    # coprime multiplicative scramble of id (bijective on [0, 40000))
+    ch = spark.range(n).select(
+        F.lit("I").alias("op"),
+        F.col("id").alias("lsn"),
+        F.timestamp_seconds(F.lit(DAY) + (F.col("id") * 7919) % n).alias("ts"),
+        F.concat(F.lit("c"), F.col("id")).alias("conv_id"),
+        (F.col("id") % 200).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.lit("x").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+    )
+
+    def _mk(name, **compact_kw):
+        t = ManifestTable.create(
+            spark, os.path.join(tmp_root, name), TRANSCRIPT_SCHEMA, n_buckets=8
+        )
+        t.merge(ch, 0, mode="delta")
+        out = t.compact(max_rows_per_file=500, **compact_kw)
+        assert out["status"] == "Success"
+        return t
+
+    tz = _mk("z", zorder_by=["ts", "turn_idx"])
+    tl = _mk("l", sort_by=["ts"])
+    mz, ml = tz.manifest(), tl.manifest()
+    assert mz["zordered_by"] == ["ts", "turn_idx"] and mz["sorted_by"] == []
+    total_z = sum(len(ps) for ps in mz["files"].values())
+    total_l = sum(len(ps) for ps in ml["files"].values())
+    assert total_z >= 64 and total_l >= 64  # ~5k rows/bucket rolled at 500
+
+    import pandas as _pd
+
+    def _ts(lo, hi):  # [lo, hi] second offsets within the day
+        return (
+            _pd.Timestamp(DAY + lo, unit="s", tz="UTC").to_pydatetime(),
+            _pd.Timestamp(DAY + hi, unit="s", tz="UTC").to_pydatetime(),
+        )
+
+    def _files(t, where):
+        return len(t.read(where=where).inputFiles())
+
+    # 1) leading-dim window: both layouts skip
+    w_ts = {"ts": _ts(0, 4_999)}  # 1/8 of the range -> 5000 rows
+    assert tz.read(where=w_ts).count() == 5_000
+    assert _files(tz, w_ts) < total_z
+    assert _files(tl, w_ts) < total_l
+
+    # 2) second-dim window: THE z-order capability.  Every linear file
+    # spans the full turn_idx range (no skip possible); z-ordered files
+    # carry tight turn_idx stats and most are skipped.
+    w_ti = {"turn_idx": (0, 24)}  # 1/8 of the dim -> 5000 rows
+    assert tz.read(where=w_ti).count() == 5_000
+    assert tl.read(where=w_ti).count() == 5_000
+    # linear: essentially no skip — every ts-sorted file spans ~the full
+    # turn_idx range (a bucket's small TAIL file can miss the window by
+    # luck, hence the -2 slack, but there is no systematic pruning)
+    assert _files(tl, w_ti) >= total_l - 2
+    assert _files(tz, w_ti) <= total_z // 2, (
+        _files(tz, w_ti),
+        total_z,
+    )
+
+    # 3) box on both dims: intersection prunes at least as hard as either
+    box = {"ts": _ts(0, 4_999), "turn_idx": (0, 24)}
+    exp_box = tz.read().filter(
+        (F.col("turn_idx") <= 24)
+        & (F.col("ts") < F.timestamp_seconds(F.lit(DAY + 5_000)))
+    ).count()
+    got_box = tz.read(where=box)
+    assert got_box.count() == exp_box > 0
+    assert _files(tz, box) <= min(_files(tz, w_ts), _files(tz, w_ti))
+
+    # state identical across the z-ordered rewrite (vs the linear twin)
+    key = lambda r: (r["conv_id"], r["turn_idx"], r["text"])  # noqa: E731
+    assert sorted(map(key, tz.read().collect())) == sorted(
+        map(key, tl.read().collect())
+    )
+
+    # per-file tightness: the MEDIAN z-ordered file spans well under half
+    # of each clustered dim (a scrambled write would span ~the full range
+    # on both — this is the writer-resort pin for the z path)
+    def _widths(m, col, parse):
+        out = []
+        for ps in m["files"].values():
+            for p in ps:
+                lo, hi = m["file_stats"][p][col]
+                out.append(parse(hi) - parse(lo))
+        out.sort()
+        return out
+
+    ts_w = _widths(mz, "ts", lambda v: _pd.Timestamp(v["_ts"]).timestamp())
+    ti_w = _widths(mz, "turn_idx", lambda v: v)
+    assert ts_w[len(ts_w) // 2] <= n / 2
+    assert ti_w[len(ti_w) // 2] <= 100
+
+    # validation surface: fails loudly before any job
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        tz.compact(sort_by=["ts"], zorder_by=["turn_idx"])
+    with _pytest.raises(ValueError, match="numeric/timestamp"):
+        tz.compact(zorder_by=["conv_id"])
+    with _pytest.raises(ValueError, match="not in schema"):
+        tz.rebucket(16, zorder_by=["nope"])
+
+    # rebucket re-establishes the z-clustering under a new bucket count
+    st = tz.rebucket(4, zorder_by=["ts", "turn_idx"], max_rows_per_file=500)
+    assert st["status"] == "Success"
+    m3 = tz.manifest()
+    assert m3["zordered_by"] == ["ts", "turn_idx"]
+    total3 = sum(len(ps) for ps in m3["files"].values())
+    assert tz.read(where=w_ti).count() == 5_000
+    assert _files(tz, w_ti) <= total3 // 2

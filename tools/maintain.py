@@ -37,11 +37,18 @@ def main() -> int:
         "by these during the fold so file stats prune non-key predicates",
     )
     sc.add_argument(
+        "--zorder-by",
+        default=None,
+        help="comma-separated numeric/timestamp columns: z-order-cluster "
+        "each bucket (Morton interleave) so file stats prune on ALL of "
+        "them at once; mutually exclusive with --sort-by",
+    )
+    sc.add_argument(
         "--max-rows-per-file",
         type=int,
         default=None,
         help="roll each bucket into multiple files at this row count "
-        "(pairs with --sort-by for file-level range pruning)",
+        "(pairs with --sort-by/--zorder-by for file-level range pruning)",
     )
     sv = sub.add_parser("vacuum", help="GC unreferenced data dirs")
     sv.add_argument("--keep-versions", type=int, default=8)
@@ -50,6 +57,8 @@ def main() -> int:
     sr.add_argument("--n-buckets", type=int, required=True)
     sr.add_argument("--sort-by", default=None,
                     help="cluster the rewrite (see compact --sort-by)")
+    sr.add_argument("--zorder-by", default=None,
+                    help="z-order-cluster the rewrite (see compact --zorder-by)")
     sr.add_argument("--max-rows-per-file", type=int, default=None)
     sh = sub.add_parser("history", help="print the snapshot history table")
     sh.add_argument("--limit", type=int, default=50, help="newest N rows")
@@ -85,6 +94,7 @@ def main() -> int:
         out = t.compact(
             min_delta_files=args.min_delta_files,
             sort_by=args.sort_by.split(",") if args.sort_by else None,
+            zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
             max_rows_per_file=args.max_rows_per_file,
         )
     elif args.op == "vacuum":
@@ -129,6 +139,7 @@ def main() -> int:
         out = t.rebucket(
             args.n_buckets,
             sort_by=args.sort_by.split(",") if args.sort_by else None,
+            zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
             max_rows_per_file=args.max_rows_per_file,
         )
     print(json.dumps(out))
