@@ -62,6 +62,7 @@ HEADLINE = [
     "q18_large_volume",
     "top_users_by_value",
     "cdc_latest_event_per_user",
+    "cdc_events_zorder_window",
     "mv_incremental_rollup",
     "events_asof_last_error",
     "events_range_join",
