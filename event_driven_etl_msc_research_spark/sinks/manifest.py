@@ -994,6 +994,19 @@ class ManifestTable:
                     mc, files, delta_files, staged_stats
                 ),
                 "stats_cols": mc.get("stats_cols") or [],
+                # clustering markers: a delta commit appends side files and
+                # leaves every base file untouched, so the base clustering
+                # survives and the claim carries forward; a CoW commit
+                # rewrites its touched buckets UNSORTED, so the claim is
+                # dropped (re-establish with compact/rebucket — same decay-
+                # then-reoptimize lifecycle as Delta OPTIMIZE / Iceberg
+                # sort orders under ongoing writes)
+                "sorted_by": (
+                    list(mc.get("sorted_by") or []) if mode == "delta" else []
+                ),
+                "zordered_by": (
+                    list(mc.get("zordered_by") or []) if mode == "delta" else []
+                ),
                 "bucket_rows": bucket_rows,
                 "applied_epochs": applied_c,
                 "applied_ranges": ranges_c,
@@ -1180,6 +1193,13 @@ class ManifestTable:
         Compaction is maintenance, not an epoch: ``applied_epochs`` is
         carried through unchanged, so exactly-once bookkeeping is unaffected.
 
+        ``min_delta_files=0`` switches to OPTIMIZE semantics (Iceberg
+        ``rewrite_data_files`` / Delta ``OPTIMIZE``): EVERY bucket with
+        files is rewritten, deltas or not — the in-place path to
+        (re)cluster a copy-on-write table or roll small files.  Still a
+        state-preserving ``compact:`` commit, so the change feed's
+        fast-path traversal skips it like any other rewrite.
+
         CLUSTERED compaction (the Iceberg sort-order-rewrite / Delta
         OPTIMIZE analogue): ``sort_by`` sorts each bucket's rows by the
         given payload columns before writing and ``max_rows_per_file``
@@ -1221,6 +1241,18 @@ class ManifestTable:
         cand = sorted(
             b for b, ps in old_delta.items() if len(ps) >= min_delta_files
         )
+        if min_delta_files <= 0:
+            # OPTIMIZE semantics (Iceberg rewrite_data_files / Delta
+            # OPTIMIZE): with min_delta_files=0 every bucket holding any
+            # files is a candidate, deltas or not — the in-place path to
+            # (re)cluster a copy-on-write table (which never accumulates
+            # deltas, so the default fold would be a permanent no-op) or to
+            # roll small files.  The fold is state-preserving either way:
+            # base rows are already one-per-key, so the max-version dedup
+            # is idempotent over them.
+            cand = sorted(
+                {int(b) for b, ps in m["files"].items() if ps} | set(old_delta)
+            )
         if buckets is not None:
             cand = [b for b in cand if b in buckets]
         if not cand:
@@ -1236,7 +1268,7 @@ class ManifestTable:
         inputs = [
             self.storage.spark_path(p)
             for b in cand
-            for p in old_files.get(b, []) + old_delta[b]
+            for p in old_files.get(b, []) + old_delta.get(b, [])
         ]
         merged = dedup_latest(
             self._read_files(inputs, ischema), key_cols, ["ts", "_lsn"]

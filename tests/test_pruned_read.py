@@ -516,3 +516,88 @@ def test_zorder_clustering_prunes_on_every_clustered_dim(spark, tmp_root):
     total3 = sum(len(ps) for ps in m3["files"].values())
     assert tz.read(where=w_ti).count() == 5_000
     assert _files(tz, w_ti) <= total3 // 2
+
+
+def test_optimize_clusters_a_cow_table_in_place(spark, tmp_root):
+    """compact(min_delta_files=0) — OPTIMIZE semantics.  A copy-on-write
+    table never accumulates delta files, so the default fold is a permanent
+    no-op on it; min_delta_files=0 rewrites every bucket anyway, which is
+    the only in-place way to (re)cluster CoW state.  The rewrite must be
+    state-preserving (change feed sees ZERO changes across it) and the
+    clustering must take effect."""
+    from pyspark.sql import functions as F
+
+    n = 20_000
+    ch = spark.range(n).select(
+        F.lit("I").alias("op"),
+        F.col("id").alias("lsn"),
+        F.timestamp_seconds(F.lit(DAY) + (F.col("id") * 7919) % n).alias("ts"),
+        F.concat(F.lit("c"), F.col("id")).alias("conv_id"),
+        (F.col("id") % 100).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.lit("x").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+    )
+    t = ManifestTable.create(
+        spark, os.path.join(tmp_root, "t"), TRANSCRIPT_SCHEMA, n_buckets=4
+    )
+    t.merge(ch, 0)  # CoW (default mode): no delta files anywhere
+    v0 = t.current_version()
+    before = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"]) for r in t.read().collect()
+    )
+
+    # default compact: permanent no-op on a CoW table
+    out = t.compact()
+    assert out["status"] == "Skipped" and "no delta files" in out["reason"]
+
+    # OPTIMIZE: rewrite + z-cluster every bucket in place
+    out = t.compact(
+        min_delta_files=0, zorder_by=["ts", "turn_idx"], max_rows_per_file=500
+    )
+    assert out["status"] == "Success"
+    m = t.manifest()
+    assert m["zordered_by"] == ["ts", "turn_idx"]
+    assert m["epoch_id"].startswith("compact:")
+    total = sum(len(ps) for ps in m["files"].values())
+    assert total >= 32  # ~5k rows/bucket rolled at 500
+    after = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"]) for r in t.read().collect()
+    )
+    assert after == before
+
+    # state-preserving: the change feed across the optimize is EMPTY and
+    # stays on the fast path (no O(table) snapshot diff)
+    assert t.changes(v0).count() == 0
+    assert t._append_candidates(v0, t.current_version(),
+                                t.manifest(v0), m) is not None
+
+    # the clustering is real: a second-dim window skips files (at only
+    # ~10 files/bucket the curve's perimeter cost caps the skip fraction
+    # — the 40k-row test above pins the asymptotic behavior)
+    w = t.read(where={"turn_idx": (0, 12)})
+    assert w.count() == n * 13 // 100
+    assert len(w.inputFiles()) <= total * 2 // 3
+
+
+def test_clustering_marker_carries_through_delta_not_cow(spark, tmp_root):
+    """The manifest's sorted_by/zordered_by markers survive DELTA commits
+    (which never touch base files) and are dropped by CoW commits (which
+    rewrite touched buckets unsorted) — the marker always states what is
+    true of the base files."""
+    t = ManifestTable.create(
+        spark, os.path.join(tmp_root, "t"), TRANSCRIPT_SCHEMA, n_buckets=2
+    )
+    rows = _day_rows(1, ["a", "b"], 0)
+    t.merge(_changes_df(spark, rows), 0, mode="delta")
+    t.compact(sort_by=["ts"], max_rows_per_file=4)
+    assert t.manifest()["sorted_by"] == ["ts"]
+
+    # delta commit: base files untouched -> marker carries forward
+    t.merge(_changes_df(spark, _day_rows(2, ["c"], 100)), 1, mode="delta")
+    assert t.manifest()["sorted_by"] == ["ts"]
+
+    # CoW commit: touched buckets rewritten unsorted -> marker dropped
+    t.merge(_changes_df(spark, _day_rows(3, ["d"], 200)), 2)
+    assert t.manifest()["sorted_by"] == []
+    assert t.manifest()["zordered_by"] == []

@@ -29,7 +29,14 @@ def main() -> int:
     ap.add_argument("--table", required=True, help="table root dir")
     sub = ap.add_subparsers(dest="op", required=True)
     sc = sub.add_parser("compact", help="fold delta files into base")
-    sc.add_argument("--min-delta-files", type=int, default=1)
+    sc.add_argument(
+        "--min-delta-files",
+        type=int,
+        default=1,
+        help="fold buckets with at least this many delta files; 0 = "
+        "OPTIMIZE semantics (rewrite every bucket, deltas or not — the "
+        "in-place way to (re)cluster a copy-on-write table)",
+    )
     sc.add_argument(
         "--sort-by",
         default=None,
