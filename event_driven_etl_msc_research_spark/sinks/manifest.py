@@ -245,6 +245,16 @@ def _footer_minmax(md, stats_cols: list[str]) -> dict[str, list]:
     return out
 
 
+# column names the engine claims for itself: 'op'/'lsn' are the change-batch
+# verb/version columns (a payload column by either name could never ride in
+# a change batch alongside them), and the underscore names are internal —
+# row metadata persisted in every file (_lsn/_deleted/_bucket) or transient
+# writer/clustering columns (_pb/_z) that the write paths withColumn() over,
+# which would SILENTLY CLOBBER a same-named user column.  Rejected at
+# create() so the failure is a loud DDL error, not data corruption later.
+_RESERVED_COLS = {"op", "lsn", "_lsn", "_deleted", "_bucket", "_pb", "_z"}
+
+
 class ManifestTable:
     """A snapshot-versioned, bucket-partitioned Parquet table with
     exactly-once MERGE, additive schema evolution, and time travel."""
@@ -291,12 +301,26 @@ class ManifestTable:
         capability Iceberg's per-file stats add over the reference's
         MSCK-partition model (``Phase3-DataLoad.py:169-175``): a bounded
         ``read(where=...)`` opens only overlapping files."""
+        bad = [f.name for f in schema.fields if f.name in _RESERVED_COLS]
+        if bad:
+            raise ValueError(
+                f"schema uses engine-reserved column names {bad}: 'op'/'lsn' "
+                f"are the change-batch verb/version columns and underscore "
+                f"names (_lsn/_deleted/_bucket/_pb/_z) are internal row "
+                f"metadata / writer columns — rename them"
+            )
         t = cls(spark, root, storage=storage)
         if t.exists():
             return t
         t.storage.ensure_root()
         kc = key_cols or KEY_COLS
         have = {f.name for f in schema.fields}
+        missing_keys = [k for k in kc if k not in have]
+        if missing_keys:
+            raise ValueError(
+                f"key_cols not in schema: {missing_keys} "
+                f"(schema has {sorted(have)})"
+            )
         manifest = {
             "version": 0,
             "parent": None,

@@ -399,3 +399,38 @@ def test_rebucket_preserves_state_and_rescales(spark, tmp_root):
     assert len({p.split("/_pb=")[1].split("/")[0] for p in got.inputFiles()}) == 1
     # no-op rebucket is skipped
     assert t.rebucket(8)["status"] == "Skipped"
+
+
+def test_create_rejects_reserved_and_missing_key_columns(spark, tmp_root):
+    """DDL-time validation: a user column named like an engine column
+    ('op'/'lsn' from the change-batch shape, or an internal underscore
+    column the write paths withColumn() over) would be silently clobbered
+    downstream — create() must fail loudly instead.  Likewise key_cols
+    that don't exist in the schema."""
+    for bad in ("op", "lsn", "_lsn", "_deleted", "_bucket", "_pb", "_z"):
+        schema = T.StructType(
+            [
+                T.StructField("conv_id", T.StringType()),
+                T.StructField("turn_idx", T.IntegerType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField(bad, T.StringType()),
+            ]
+        )
+        with pytest.raises(ValueError, match="reserved"):
+            ManifestTable.create(
+                spark, os.path.join(tmp_root, f"r_{bad}"), schema
+            )
+
+    with pytest.raises(ValueError, match="key_cols not in schema"):
+        ManifestTable.create(
+            spark,
+            os.path.join(tmp_root, "k"),
+            TRANSCRIPT_SCHEMA,
+            key_cols=["conv_id", "nope"],
+        )
+
+    # valid schemas still create idempotently
+    t = ManifestTable.create(
+        spark, os.path.join(tmp_root, "ok"), TRANSCRIPT_SCHEMA
+    )
+    assert t.exists()
