@@ -454,6 +454,15 @@ class ManifestTable:
                         f"same-family numeric widening only)"
                     )
             else:
+                if f.name in _RESERVED_COLS:
+                    # the same guard create() applies to the initial schema:
+                    # an added column named like an internal/verb column
+                    # would be clobbered by the write paths downstream
+                    raise SchemaEvolutionError(
+                        f"incoming column {f.name!r} is an engine-reserved "
+                        f"name (op/lsn/_lsn/_deleted/_bucket/_pb/_z) — "
+                        f"rename it in the change stream"
+                    )
                 out.append(T.StructField(f.name, f.dataType, True))
                 added.append(f.name)
         return T.StructType(out), added

@@ -155,3 +155,25 @@ def test_cross_family_conflict_still_raises(spark, tmp_root):
     t = _mk_table(spark, tmp_root, "conflict", [T.StructField("val", T.LongType())])
     with pytest.raises(SchemaEvolutionError, match="val"):
         t.merge(_changes(spark, [("U", 1, "2024-01-01", "a", 1.5)], "DOUBLE"), 0)
+
+
+def test_added_reserved_column_rejected(spark, tmp_root):
+    """Evolution cannot smuggle in an engine-reserved column name: a change
+    batch carrying a NEW column named like an internal/writer column
+    (_lsn/_deleted/_bucket/_pb/_z) raises SchemaEvolutionError instead of
+    silently entering the schema and being clobbered by later writes."""
+    from pyspark.sql import types as T
+
+    from event_driven_etl_msc_research_spark.sinks.manifest import (
+        SchemaEvolutionError,
+    )
+
+    t = _mk_table(spark, tmp_root, "resv", [T.StructField("val", T.LongType())])
+    t.merge(_changes(spark, [("U", 1, "2024-01-01", "a", 1)], "BIGINT"), 0)
+    bad = _changes(spark, [("U", 2, "2024-01-02", "b", 2)], "BIGINT")
+    bad = bad.selectExpr("*", "'x' AS _z")
+    with pytest.raises(SchemaEvolutionError, match="reserved"):
+        t.merge(bad, 1)
+    # table unchanged, subsequent valid merges still work
+    t.merge(_changes(spark, [("U", 3, "2024-01-03", "c", 3)], "BIGINT"), 2)
+    assert t.read().count() == 2
