@@ -483,6 +483,16 @@ class ManifestTable:
             for p in paths
         ]
 
+    def _all_files_rel(self, manifest: dict[str, Any]) -> list[str]:
+        """Every live file as a storage-relative path (base + delta)."""
+        return [
+            p for paths in manifest["files"].values() for p in paths
+        ] + [
+            p
+            for paths in (manifest.get("delta_files") or {}).values()
+            for p in paths
+        ]
+
     def _read_files(
         self, files: list[str], schema: T.StructType
     ) -> DataFrame:
@@ -1206,6 +1216,26 @@ class ManifestTable:
                     file_stats[relpath] = st
         return files_by_bucket, rows_by_bucket, total, file_stats
 
+    def _rows_for_bytes(
+        self, max_file_bytes: int, relpaths: list[str], total_rows: int
+    ) -> int | None:
+        """Rows-per-file target for a BYTES target: average on-disk row
+        width from the given files' object sizes (one storage LIST per
+        distinct parent dir — driver-side metadata, no file reads) divided
+        into ``max_file_bytes``.  ``None`` (no per-file cap) when the
+        metadata can't support an estimate (no rows/bytes recorded)."""
+        want = set(relpaths)
+        dirs = {p.rsplit("/", 1)[0] for p in want if "/" in p}
+        total_bytes = 0
+        for d in sorted(dirs):
+            for o in self.storage.list(d):
+                if o.key in want:
+                    total_bytes += o.size
+        if total_rows <= 0 or total_bytes <= 0:
+            return None
+        avg = max(1.0, total_bytes / total_rows)
+        return max(1, int(max_file_bytes // avg))
+
     # ---------- compaction (MOR maintenance) ----------
 
     def compact(
@@ -1216,6 +1246,7 @@ class ManifestTable:
         sort_by: list[str] | None = None,
         max_rows_per_file: int | None = None,
         zorder_by: list[str] | None = None,
+        max_file_bytes: int | None = None,
     ) -> dict[str, Any]:
         """Fold delta files into base files at bucket granularity.
 
@@ -1251,9 +1282,23 @@ class ManifestTable:
         on ALL the clustered columns, so a bounded read on any of them
         skips files — a lexicographic sort only ever skips on its leading
         column.  Costs one extra column-pruned pass over the same files
-        the fold reads anyway (the equi-depth boundary sketch)."""
+        the fold reads anyway (the equi-depth boundary sketch).
+
+        ``max_file_bytes`` (mutually exclusive with ``max_rows_per_file``)
+        sizes rolled files by TARGET BYTES instead of rows — what you
+        actually tune at 100 TB, where row width varies per table (Delta
+        OPTIMIZE's ~1 GB default is a bytes target).  The average on-disk
+        row width is estimated driver-side from the fold's own input
+        (object sizes via the storage LIST verb ÷ manifest row counts — no
+        Spark job, no file reads) and converted to a ``maxRecordsPerFile``;
+        actual files land near the target, modulated by how much better the
+        re-sorted data compresses."""
         if sort_by and zorder_by:
             raise ValueError("sort_by and zorder_by are mutually exclusive")
+        if max_file_bytes and max_rows_per_file:
+            raise ValueError(
+                "max_rows_per_file and max_file_bytes are mutually exclusive"
+            )
         if sort_by:
             m0 = self.manifest()
             schema_cols = {
@@ -1298,11 +1343,19 @@ class ManifestTable:
         key_cols = m["key_cols"]
         ischema = self._internal_schema()
         old_files = {int(b): ps for b, ps in m["files"].items()}
-        inputs = [
-            self.storage.spark_path(p)
-            for b in cand
-            for p in old_files.get(b, []) + old_delta.get(b, [])
+        cand_rel = [
+            p for b in cand for p in old_files.get(b, []) + old_delta.get(b, [])
         ]
+        if max_file_bytes:
+            br = m.get("bucket_rows") or {}
+            dr = m.get("delta_rows") or {}
+            cand_rows = sum(int(br.get(str(b), 0)) for b in cand) + sum(
+                int(dr.get(str(b), 0)) for b in cand
+            )
+            max_rows_per_file = self._rows_for_bytes(
+                max_file_bytes, cand_rel, cand_rows
+            )
+        inputs = [self.storage.spark_path(p) for p in cand_rel]
         merged = dedup_latest(
             self._read_files(inputs, ischema), key_cols, ["ts", "_lsn"]
         )
@@ -1531,6 +1584,7 @@ class ManifestTable:
         sort_by: list[str] | None = None,
         max_rows_per_file: int | None = None,
         zorder_by: list[str] | None = None,
+        max_file_bytes: int | None = None,
     ) -> dict[str, Any]:
         """Change the table's hash-bucket count (Iceberg's partition-spec
         evolution for the bucket transform): fold the full current state
@@ -1546,8 +1600,9 @@ class ManifestTable:
         the same optimistic put-if-absent — on a lost race to an ingest
         commit it returns Skipped to be retried at a quieter moment.
 
-        ``sort_by`` / ``zorder_by`` / ``max_rows_per_file`` cluster the
-        rewrite exactly as in :meth:`compact` — a rebucket rewrites every
+        ``sort_by`` / ``zorder_by`` / ``max_rows_per_file`` /
+        ``max_file_bytes`` cluster and size the rewrite exactly as in
+        :meth:`compact` — a rebucket rewrites every
         file anyway, so re-establishing clustering here is free (without it
         a rebucket would destroy the file-range locality a prior clustered
         compaction built)."""
@@ -1555,6 +1610,10 @@ class ManifestTable:
         m = self.manifest()
         if sort_by and zorder_by:
             raise ValueError("sort_by and zorder_by are mutually exclusive")
+        if max_file_bytes and max_rows_per_file:
+            raise ValueError(
+                "max_rows_per_file and max_file_bytes are mutually exclusive"
+            )
         if sort_by:
             schema_cols = {
                 f.name for f in T.StructType.fromJson(m["schema"]).fields
@@ -1566,6 +1625,12 @@ class ManifestTable:
             from ..functions.zorder import zorder_validate
 
             zorder_validate(T.StructType.fromJson(m["schema"]), zorder_by)
+        if max_file_bytes:
+            max_rows_per_file = self._rows_for_bytes(
+                max_file_bytes,
+                self._all_files_rel(m),
+                int(m["total_rows"]) + int(m.get("delta_rows_total") or 0),
+            )
         if n_buckets == m["n_buckets"]:
             return {
                 "status": "Skipped",

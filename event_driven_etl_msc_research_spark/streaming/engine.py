@@ -138,6 +138,9 @@ class CDCEngine:
         # several columns at once (Morton interleave; mutually exclusive
         # with compact_sort_by — see ManifestTable.compact / functions.zorder)
         compact_max_rows_per_file: int | None = None,
+        compact_max_file_bytes: int | None = None,  # bytes-targeted sizing
+        # (row width estimated from the fold's input — see
+        # ManifestTable.compact; mutually exclusive with the rows cap)
         vacuum_keep_versions: int = 8,  # 0 disables auto-vacuum
         vacuum_grace_s: float = 600.0,  # never GC dirs younger than this —
         # a CONCURRENT writer's staging dir (second engine on another
@@ -177,6 +180,7 @@ class CDCEngine:
         self.compact_sort_by = compact_sort_by
         self.compact_zorder_by = compact_zorder_by
         self.compact_max_rows_per_file = compact_max_rows_per_file
+        self.compact_max_file_bytes = compact_max_file_bytes
         self.vacuum_keep_versions = vacuum_keep_versions
         self.vacuum_grace_s = vacuum_grace_s
         self._epochs_since_compact = 0
@@ -269,6 +273,7 @@ class CDCEngine:
                         sort_by=self.compact_sort_by,
                         zorder_by=self.compact_zorder_by,
                         max_rows_per_file=self.compact_max_rows_per_file,
+                        max_file_bytes=self.compact_max_file_bytes,
                     )
                     self.lineage.record_stage(
                         epoch_id,

@@ -601,3 +601,62 @@ def test_clustering_marker_carries_through_delta_not_cow(spark, tmp_root):
     t.merge(_changes_df(spark, _day_rows(3, ["d"], 200)), 2)
     assert t.manifest()["sorted_by"] == []
     assert t.manifest()["zordered_by"] == []
+
+
+def test_bytes_targeted_file_sizing(spark, tmp_root):
+    """compact(max_file_bytes=) — the Delta-OPTIMIZE-style BYTES target.
+    The rows-per-file cap is derived from the fold's own input footprint
+    (object sizes / manifest rows, driver-side), so rolled files land near
+    the byte target regardless of row width.  Compression shifts after a
+    sort, so the contract is approximate: every rolled file ≤ ~2.5× the
+    target and each bucket rolls into MULTIPLE files."""
+    from pyspark.sql import functions as F
+
+    n = 20_000
+    ch = spark.range(n).select(
+        F.lit("I").alias("op"),
+        F.col("id").alias("lsn"),
+        F.timestamp_seconds(F.lit(DAY) + F.col("id")).alias("ts"),
+        F.concat(F.lit("c"), F.col("id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        # incompressible-ish payload so sizes are meaningful
+        F.sha2(F.concat(F.lit("s"), F.col("id")), 256).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+    )
+    t = ManifestTable.create(
+        spark, os.path.join(tmp_root, "t"), TRANSCRIPT_SCHEMA, n_buckets=4
+    )
+    t.merge(ch, 0, mode="delta")
+    target = 64 * 1024
+    out = t.compact(sort_by=["ts"], max_file_bytes=target)
+    assert out["status"] == "Success"
+    m = t.manifest()
+    sizes = {
+        o.key: o.size
+        for ps in m["files"].values()
+        for d in {p.rsplit("/", 1)[0] for p in ps}
+        for o in t.storage.list(d)
+    }
+    per_bucket = {b: len(ps) for b, ps in m["files"].items()}
+    assert all(c >= 2 for c in per_bucket.values()), per_bucket
+    for ps in m["files"].values():
+        for p in ps:
+            assert sizes[p] <= target * 2.5, (p, sizes[p])
+    # state intact and clustering still applied
+    assert t.read().count() == n
+    assert m["sorted_by"] == ["ts"]
+
+    # mutual exclusion fails fast
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        t.compact(min_delta_files=0, max_rows_per_file=10, max_file_bytes=10)
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        t.rebucket(8, max_rows_per_file=10, max_file_bytes=10)
+
+    # rebucket honors the bytes target too
+    st = t.rebucket(2, sort_by=["ts"], max_file_bytes=target)
+    assert st["status"] == "Success"
+    m2 = t.manifest()
+    assert all(len(ps) >= 2 for ps in m2["files"].values())

@@ -57,6 +57,14 @@ def main() -> int:
         help="roll each bucket into multiple files at this row count "
         "(pairs with --sort-by/--zorder-by for file-level range pruning)",
     )
+    sc.add_argument(
+        "--max-file-bytes",
+        type=int,
+        default=None,
+        help="roll files to ~this many bytes instead of a row count (row "
+        "width estimated from the fold's input; mutually exclusive with "
+        "--max-rows-per-file)",
+    )
     sv = sub.add_parser("vacuum", help="GC unreferenced data dirs")
     sv.add_argument("--keep-versions", type=int, default=8)
     sv.add_argument("--grace-s", type=float, default=600.0)
@@ -67,6 +75,8 @@ def main() -> int:
     sr.add_argument("--zorder-by", default=None,
                     help="z-order-cluster the rewrite (see compact --zorder-by)")
     sr.add_argument("--max-rows-per-file", type=int, default=None)
+    sr.add_argument("--max-file-bytes", type=int, default=None,
+                    help="bytes-targeted file sizing (see compact)")
     sh = sub.add_parser("history", help="print the snapshot history table")
     sh.add_argument("--limit", type=int, default=50, help="newest N rows")
     se = sub.add_parser("expire", help="expire old snapshots (metadata)")
@@ -103,6 +113,7 @@ def main() -> int:
             sort_by=args.sort_by.split(",") if args.sort_by else None,
             zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
             max_rows_per_file=args.max_rows_per_file,
+            max_file_bytes=args.max_file_bytes,
         )
     elif args.op == "vacuum":
         removed = t.vacuum(keep_versions=args.keep_versions, grace_s=args.grace_s)
@@ -148,6 +159,7 @@ def main() -> int:
             sort_by=args.sort_by.split(",") if args.sort_by else None,
             zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
             max_rows_per_file=args.max_rows_per_file,
+            max_file_bytes=args.max_file_bytes,
         )
     print(json.dumps(out))
     return 0 if out.get("status") in ("Success", "Skipped", "NoChange") else 1
