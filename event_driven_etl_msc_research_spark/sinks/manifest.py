@@ -58,6 +58,7 @@ from .storage import LocalFSStorage, TableStorage
 
 _MANIFEST_DIR = "_manifest"
 _DATA_DIR = "data"
+_TAGS_DIR = "_tags"
 
 
 class SchemaEvolutionError(ValueError):
@@ -507,9 +508,12 @@ class ManifestTable:
         version: int | None = None,
         include_internal: bool = False,
         where: dict[str, tuple] | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Snapshot read.  ``version`` gives time travel (replaces the
-        reference's final-backup copies, ``Phase3-BackupData.py:23-27``).
+        reference's final-backup copies, ``Phase3-BackupData.py:23-27``);
+        ``tag`` time-travels by NAME (``read(tag="prod")`` — mutually
+        exclusive with ``version``; see :meth:`tag`).
 
         Merge-on-read: when the snapshot carries delta files, base+delta are
         folded by the same per-key max-version rule as the write path.  Base
@@ -536,6 +540,10 @@ class ManifestTable:
         additionally pins the single hash bucket that can hold the key
         (Iceberg bucket-transform analogue) — the O(one-bucket) point
         lookup regardless of stats."""
+        if tag is not None:
+            if version is not None:
+                raise ValueError("read(version=, tag=) are mutually exclusive")
+            version = self._resolve_tag(tag)
         m = self.manifest(version)
         ischema = self._internal_schema(version)
         if where:
@@ -1751,7 +1759,11 @@ class ManifestTable:
         candidates, so steady-state vacuum work is O(garbage), not O(table)."""
         versions = self._list_versions()
         referenced: set[str] = set()
-        for v in versions[-max(1, keep_versions):]:
+        # newest K surviving manifests PLUS every tagged snapshot — a named
+        # ref pins its data files for as long as the tag exists
+        keep = set(versions[-max(1, keep_versions):])
+        keep |= {v for v in self.tags().values() if v in set(versions)}
+        for v in sorted(keep):
             m = self.manifest(v)
             for d in (m["files"], m.get("delta_files") or {}):
                 for ps in d.values():
@@ -1871,13 +1883,83 @@ class ManifestTable:
             cutoff = d.timestamp()
         keep_last = max(1, keep_last)
         versions = self._list_versions()
+        tagged = set(self.tags().values())  # named refs never expire
         expired: list[int] = []
         for v in versions[:-keep_last]:
+            if v in tagged:
+                continue
             m = json.loads(self.storage.get(self._manifest_key(v)))
             if cutoff is None or float(m["committed_at"]) < cutoff:
                 self.storage.delete(self._manifest_key(v))
                 expired.append(v)
         return expired
+
+    # ---------- named refs (Iceberg tags analogue) ----------
+
+    def tag(
+        self, name: str, version: int | None = None, replace: bool = False
+    ) -> int:
+        """Pin ``name`` to a snapshot version (Iceberg TAG ref: ``read(tag=
+        "prod")`` time travel by name).  A tagged snapshot is PROTECTED —
+        ``expire_snapshots`` skips it and ``vacuum`` keeps its data files
+        referenced — so a tag is also the retention pin for audits and
+        reproducible reads.  The tag object commits via put-if-absent
+        (atomic; a concurrent same-name tag loses loudly); ``replace=True``
+        re-points an existing name (delete + re-put — an ops verb, not a
+        concurrency primitive: racing replaces are last-writer-wins)."""
+        import re
+
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name or ""):
+            raise ValueError(
+                f"invalid tag name {name!r}: use letters, digits, '.', "
+                f"'_', '-' (must start alphanumeric)"
+            )
+        v = self.current_version() if version is None else int(version)
+        self.manifest(v)  # validate the snapshot exists (raises if expired)
+        key = f"{_TAGS_DIR}/{name}.json"
+        payload = json.dumps({"version": v, "created_at": time.time()})
+        if not self.storage.put_if_absent(key, payload.encode()):
+            if not replace:
+                raise ValueError(
+                    f"tag {name!r} already exists "
+                    f"(version {self.tags().get(name)}); pass replace=True"
+                )
+            self.storage.delete(key)
+            if not self.storage.put_if_absent(key, payload.encode()):
+                raise ManifestConflict(
+                    f"tag {name!r} was re-created by a concurrent writer"
+                )
+        return v
+
+    def untag(self, name: str) -> bool:
+        """Remove a tag (the snapshot itself is untouched; it becomes
+        expirable again).  Returns whether the tag existed."""
+        key = f"{_TAGS_DIR}/{name}.json"
+        existed = any(o.key == key for o in self.storage.list(_TAGS_DIR))
+        if existed:
+            self.storage.delete(key)
+        return existed
+
+    def tags(self) -> dict[str, int]:
+        """All named refs: ``{name: version}``."""
+        out: dict[str, int] = {}
+        for o in self.storage.list(_TAGS_DIR):
+            fname = o.key.rsplit("/", 1)[-1]
+            if not fname.endswith(".json"):
+                continue
+            try:
+                out[fname[:-5]] = int(
+                    json.loads(self.storage.get(o.key))["version"]
+                )
+            except (ValueError, KeyError, json.JSONDecodeError):
+                continue  # foreign/corrupt object: skip, never crash reads
+        return out
+
+    def _resolve_tag(self, name: str) -> int:
+        got = self.tags().get(name)
+        if got is None:
+            raise FileNotFoundError(f"no tag {name!r} on {self.root}")
+        return got
 
     # ---------- change feed (downstream incremental consumers) ----------
 

@@ -98,6 +98,18 @@ def main() -> int:
         help="inspect (default) or --clear the dead-letter tree of a table",
     )
     sq.add_argument("--clear", action="store_true")
+    st_ = sub.add_parser(
+        "tag",
+        help="pin a name to a snapshot (protected from expire/vacuum); "
+        "read back with ManifestTable.read(tag=...)",
+    )
+    st_.add_argument("--name", required=True)
+    st_.add_argument("--version", type=int, default=None,
+                     help="snapshot version (default: current)")
+    st_.add_argument("--replace", action="store_true")
+    su = sub.add_parser("untag", help="remove a named ref")
+    su.add_argument("--name", required=True)
+    sub.add_parser("tags", help="list named refs as {name: version}")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -138,6 +150,14 @@ def main() -> int:
             "status": st.get("status"),
             "synced_to_version": st.get("version"),
         }
+    elif args.op == "tag":
+        v = t.tag(args.name, version=args.version, replace=args.replace)
+        out = {"status": "Success", "tag": args.name, "version": v}
+    elif args.op == "untag":
+        existed = t.untag(args.name)
+        out = {"status": "Success", "existed": existed}
+    elif args.op == "tags":
+        out = {"status": "Success", "tags": t.tags()}
     elif args.op == "quarantine":
         if args.clear:
             n = t.storage.delete_prefix("_quarantine")
