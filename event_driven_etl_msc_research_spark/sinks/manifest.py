@@ -1805,6 +1805,9 @@ class ManifestTable:
 
         versions = self._list_versions()
         manifests = {v: self.manifest(v) for v in versions}
+        by_version_tags: dict[int, list[str]] = {}
+        for name, tv in self.tags().items():
+            by_version_tags.setdefault(tv, []).append(name)
 
         def _files_of(m: dict[str, Any]) -> set[str]:
             return {p for ps in m["files"].values() for p in ps} | {
@@ -1848,12 +1851,14 @@ class ManifestTable:
                     len(fs),
                     added,
                     removed,
+                    sorted(by_version_tags.get(v, [])),
                 )
             )
         schema = (
             "version long, parent long, epoch_id string, operation string, "
             "committed_at timestamp, total_rows long, delta_rows_total long, "
-            "n_files long, added_files long, removed_files long"
+            "n_files long, added_files long, removed_files long, "
+            "tags array<string>"
         )
         return self.spark.createDataFrame(rows, schema)
 

@@ -91,3 +91,15 @@ def test_tag_read_expire_vacuum_contract(spark, tmp_root, storage_factory):
     t.merge(_changes(spark, 4, ["d"], 30), 3)
     t.tag("rc", t.current_version(), replace=True)
     assert t.tags()["rc"] == t.current_version()
+
+
+def test_history_shows_tags(spark, tmp_root):
+    t = ManifestTable.create(
+        spark, os.path.join(tmp_root, "h"), TRANSCRIPT_SCHEMA, n_buckets=2
+    )
+    t.merge(_changes(spark, 1, ["a"], 0), 0)
+    t.tag("v1-audit")
+    t.merge(_changes(spark, 2, ["b"], 10), 1)
+    h = {r["version"]: r["tags"] for r in t.history().collect()}
+    tagged = [v for v, tags in h.items() if tags]
+    assert tagged == [1] and h[1] == ["v1-audit"]
