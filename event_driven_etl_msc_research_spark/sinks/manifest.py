@@ -1825,6 +1825,8 @@ class ManifestTable:
                 if str(ek).startswith("compact:")
                 else "rebucket"
                 if str(ek).startswith("rebucket:")
+                else "set-stats"
+                if str(ek).startswith("set-stats:")
                 else "merge"
             )
             fs = _files_of(m)
@@ -1898,6 +1900,57 @@ class ManifestTable:
                 self.storage.delete(self._manifest_key(v))
                 expired.append(v)
         return expired
+
+    def set_stats_cols(self, stats_cols: list[str]) -> dict[str, Any]:
+        """Change which columns get per-file min/max stats harvested
+        (Iceberg's updatable metrics config) — a METADATA-ONLY commit.
+
+        stats_cols are frozen at create, but additive evolution keeps
+        adding columns (tool metadata, backfilled scores) that readers
+        then want to SKIP on.  This publishes a new manifest with the new
+        list; existing files keep their already-harvested stats (still
+        valid), files simply have NO stats yet for newly-listed columns —
+        pruning treats missing stats conservatively (file kept), so reads
+        stay exact immediately.  Stats for the new columns are backfilled
+        by the next rewrite of each file: organically by compaction on the
+        tail cadence, or at once with ``compact(min_delta_files=0)``
+        (OPTIMIZE).  The commit has identical files/deltas to its parent,
+        so the change feed's fast-path chain walk sees zero added files
+        and ``changes()`` across it stays O(changes)."""
+        m = self.manifest()
+        have = {f.name for f in T.StructType.fromJson(m["schema"]).fields}
+        missing = [c for c in stats_cols if c not in have]
+        if missing:
+            raise ValueError(f"stats_cols not in schema: {missing}")
+        if list(stats_cols) == list(m.get("stats_cols") or []):
+            return {
+                "status": "Skipped",
+                "reason": "stats_cols unchanged",
+                "version": m["version"],
+            }
+        version = m["version"] + 1
+        new_manifest = {
+            **m,
+            "version": version,
+            "parent": m["version"],
+            "epoch_id": f"set-stats:{version}",
+            "stats_cols": list(stats_cols),
+            "added_cols": [],
+            "committed_at": time.time(),
+        }
+        try:
+            self._publish(new_manifest)
+        except ManifestConflict:
+            return {
+                "status": "Skipped",
+                "reason": "lost manifest race to a concurrent writer",
+                "version": self.current_version(),
+            }
+        return {
+            "status": "Success",
+            "version": version,
+            "stats_cols": list(stats_cols),
+        }
 
     # ---------- named refs (Iceberg tags analogue) ----------
 

@@ -660,3 +660,76 @@ def test_bytes_targeted_file_sizing(spark, tmp_root):
     assert st["status"] == "Success"
     m2 = t.manifest()
     assert all(len(ps) >= 2 for ps in m2["files"].values())
+
+
+def test_set_stats_cols_then_optimize_backfills_pruning(spark, tmp_root):
+    """stats_cols are frozen at create, but evolution keeps adding columns
+    readers want to skip on.  set_stats_cols() is a METADATA-ONLY commit
+    (reads stay exact immediately — missing stats are kept conservatively);
+    the next rewrite backfills per-file stats, here at once via
+    compact(min_delta_files=0).  The metadata commit must not break the
+    change feed's fast path."""
+    from pyspark.sql import functions as F
+
+    n = 8_000
+    base = spark.range(n).select(
+        F.lit("I").alias("op"),
+        F.col("id").alias("lsn"),
+        F.timestamp_seconds(F.lit(DAY) + F.col("id")).alias("ts"),
+        F.concat(F.lit("c"), F.col("id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.lit("x").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+    )
+    t = ManifestTable.create(
+        spark, os.path.join(tmp_root, "t"), TRANSCRIPT_SCHEMA, n_buckets=4
+    )
+    t.merge(base, 0, mode="delta")
+    # evolve a score column in (the added column has NO stats harvesting)
+    scored = base.withColumn("lsn", F.col("lsn") + n).withColumn(
+        "score", (F.col("lsn") % 100).cast("double")
+    )
+    t.merge(scored, 1, mode="delta")
+    assert "score" not in (t.manifest().get("stats_cols") or [])
+    v1 = t.current_version()
+
+    st = t.set_stats_cols(["ts", "conv_id", "turn_idx", "score"])
+    assert st["status"] == "Success"
+    m = t.manifest()
+    assert m["epoch_id"] == f"set-stats:{m['version']}"
+    # metadata-only: reads exact right away (missing stats kept), and a
+    # score-bounded read can't prune yet
+    full = t.read()
+    w = {"score": (0.0, 9.0)}
+    exp = full.filter(F.col("score") <= 9.0).count()
+    assert t.read(where=w).count() == exp > 0
+    assert len(t.read(where=w).inputFiles()) == len(full.inputFiles())
+
+    # change feed ACROSS the metadata commit stays on the fast path
+    assert t._append_candidates(
+        v1, t.current_version(), t.manifest(v1), t.manifest()
+    ) is not None
+    assert t.changes(v1).count() == 0
+
+    # OPTIMIZE backfills stats for the new column -> pruning kicks in
+    out = t.compact(min_delta_files=0, sort_by=["score"], max_rows_per_file=500)
+    assert out["status"] == "Success"
+    m2 = t.manifest()
+    some_file = next(p for ps in m2["files"].values() for p in ps)
+    assert "score" in m2["file_stats"][some_file]
+    pruned = t.read(where=w)
+    assert pruned.count() == exp
+    assert len(pruned.inputFiles()) < len(t.read().inputFiles())
+
+    # history labels the metadata commit
+    ops = {r["version"]: r["operation"] for r in t.history().collect()}
+    assert "set-stats" in ops.values()
+
+    # misuse: unknown column, unchanged list
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stats_cols not in schema"):
+        t.set_stats_cols(["nope"])
+    again = t.set_stats_cols(["ts", "conv_id", "turn_idx", "score"])
+    assert again["status"] == "Skipped"

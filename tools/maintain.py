@@ -110,6 +110,12 @@ def main() -> int:
     su = sub.add_parser("untag", help="remove a named ref")
     su.add_argument("--name", required=True)
     sub.add_parser("tags", help="list named refs as {name: version}")
+    ss = sub.add_parser(
+        "set-stats",
+        help="change which columns get per-file min/max stats (metadata-"
+        "only; backfill with `compact --min-delta-files 0`)",
+    )
+    ss.add_argument("--cols", required=True, help="comma-separated columns")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -158,6 +164,8 @@ def main() -> int:
         out = {"status": "Success", "existed": existed}
     elif args.op == "tags":
         out = {"status": "Success", "tags": t.tags()}
+    elif args.op == "set-stats":
+        out = t.set_stats_cols(args.cols.split(","))
     elif args.op == "quarantine":
         if args.clear:
             n = t.storage.delete_prefix("_quarantine")
