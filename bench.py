@@ -63,6 +63,7 @@ HEADLINE = [
     "top_users_by_value",
     "cdc_latest_event_per_user",
     "cdc_events_zorder_window",
+    "cdc_branch_wap",
     "mv_incremental_rollup",
     "events_asof_last_error",
     "events_range_join",

@@ -526,6 +526,53 @@ def cdc_merge_events_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write-audit-publish lifecycle on driver data: the same change
+    stream as ``cdc_merge_events_delta`` split at the deterministic
+    ``(min+max)//2`` midpoint — first half merged on MAIN, second half
+    staged on a WRITE BRANCH (``create_branch``), audited, then atomically
+    published with ``fast_forward`` and the branch dropped.  The final
+    main-table snapshot must equal applying both halves directly, so it
+    shares the ``cdc_merge_events`` oracle."""
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("event_id").alias("lsn"),
+        F.col("ts").cast("timestamp"),
+        F.col("user_id").cast("string").alias("user_key"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_key", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    r = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    mid = (int(r[0]) + int(r[1])) // 2
+    root = tempfile.mkdtemp(prefix="cdc_branch_wap_")
+    table = ManifestTable.create(
+        spark, root, payload, key_cols=["user_key"], n_buckets=8
+    )
+    table.merge(changes.filter(F.col("lsn") <= mid), 0, mode="delta", epoch_scope="d")
+    br = table.create_branch("wap")
+    br.merge(changes.filter(F.col("lsn") > mid), 1, mode="delta", epoch_scope="d")
+    # audit gate before publish: the staged commit landed on the branch
+    # (head advanced past the fork) and main is still untouched by it
+    assert br.current_version() == table.current_version() + 1
+    table.fast_forward("wap")
+    table.drop_branch("wap")
+    return table.read().select(
+        "user_key",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        "event_type",
+        "value",
+    )
+
+
 def cdc_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CDF surface on driver data (``ManifestTable.changes`` — the
     downstream-incremental-consumer feed): the same change stream as
@@ -1965,6 +2012,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_latest_event_per_user": (cdc_latest_event_per_user, CDC_LATEST_SQL),
     "cdc_merge_events": (cdc_merge_events, CDC_MERGE_SQL),
     "cdc_merge_events_delta": (cdc_merge_events_delta, CDC_MERGE_SQL),
+    "cdc_branch_wap": (cdc_branch_wap, CDC_MERGE_SQL),
     "cdc_events_time_window": (cdc_events_time_window, CDC_TIME_WINDOW_SQL),
     "cdc_events_zorder_window": (cdc_events_zorder_window, CDC_ZORDER_WINDOW_SQL),
     "cdc_table_changes": (cdc_table_changes, CDC_CHANGES_SQL),

@@ -59,6 +59,8 @@ from .storage import LocalFSStorage, TableStorage
 _MANIFEST_DIR = "_manifest"
 _DATA_DIR = "data"
 _TAGS_DIR = "_tags"
+_BRANCH_REFS_DIR = "_branches"           # branch ref objects ({name}.json)
+_BRANCH_META_DIR = "_manifest_branches"  # per-branch manifest chains
 
 
 class SchemaEvolutionError(ValueError):
@@ -270,6 +272,7 @@ class ManifestTable:
         spark: SparkSession,
         root: str,
         storage: TableStorage | None = None,
+        branch: str | None = None,
     ):
         self.spark = spark
         self.root = root
@@ -279,6 +282,12 @@ class ManifestTable:
         # equivalent by the parameterized concurrency/chaos/vacuum suites
         self.storage = storage or LocalFSStorage(root)
         self._manifest: dict[str, Any] | None = None
+        # a branch handle commits to its own manifest namespace while
+        # sharing the table's data/ tree — see create_branch()
+        self.branch = branch
+        self._manifest_dir = (
+            _MANIFEST_DIR if branch is None else f"{_BRANCH_META_DIR}/{branch}"
+        )
 
     # ---------- bootstrap ----------
 
@@ -348,11 +357,11 @@ class ManifestTable:
     # ---------- manifest plumbing ----------
 
     def _manifest_key(self, version: int) -> str:
-        return f"{_MANIFEST_DIR}/v{version:012d}.json"
+        return f"{self._manifest_dir}/v{version:012d}.json"
 
     def _list_versions(self) -> list[int]:
         versions = []
-        for o in self.storage.list(_MANIFEST_DIR):
+        for o in self.storage.list(self._manifest_dir):
             name = o.key.rsplit("/", 1)[-1]
             if name.startswith("v") and name.endswith(".json"):
                 try:
@@ -369,7 +378,17 @@ class ManifestTable:
         v = self.current_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no manifest at {self.root}")
-        return json.loads(self.storage.get(self._manifest_key(v)))
+        try:
+            return json.loads(self.storage.get(self._manifest_key(v)))
+        except FileNotFoundError:
+            if self.branch is None:
+                raise
+            # pre-fork snapshots live on the main chain: a branch is seeded
+            # with a copy of its fork-base manifest only, so time travel /
+            # chain walks below the fork fall through to the main namespace
+            return json.loads(
+                self.storage.get(f"{_MANIFEST_DIR}/v{v:012d}.json")
+            )
 
     def _publish(self, manifest: dict[str, Any]) -> None:
         """Atomic publish: a conditional PUT of the version key — the
@@ -1757,6 +1776,7 @@ class ManifestTable:
         Cost shape: referenced dirs are skipped on the cheap top-level
         ``list_dirs`` alone; the per-object listing runs ONLY over removal
         candidates, so steady-state vacuum work is O(garbage), not O(table)."""
+        self._require_main("vacuum")
         versions = self._list_versions()
         referenced: set[str] = set()
         # newest K surviving manifests PLUS every tagged snapshot — a named
@@ -1769,6 +1789,23 @@ class ManifestTable:
                 for ps in d.values():
                     for p in ps:
                         referenced.add(p.split("/")[1])  # data/<dir>/...
+        # live branches pin every dir their surviving chain references —
+        # branch writers share data/ and their staged dirs must survive the
+        # audit window; drop_branch releases them (branches are short-lived
+        # WAP refs, so this is O(branch manifests) small-object GETs)
+        for name in self.branches():
+            b = ManifestTable(
+                self.spark, self.root, storage=self.storage, branch=name
+            )
+            for bv in b._list_versions():
+                try:
+                    m = b.manifest(bv)
+                except FileNotFoundError:
+                    continue
+                for d in (m["files"], m.get("delta_files") or {}):
+                    for ps in d.values():
+                        for p in ps:
+                            referenced.add(p.split("/")[1])
         removed = []
         now = time.time()
         for d in self.storage.list_dirs(_DATA_DIR):
@@ -1827,6 +1864,8 @@ class ManifestTable:
                 if str(ek).startswith("rebucket:")
                 else "set-stats"
                 if str(ek).startswith("set-stats:")
+                else "publish"
+                if str(ek).startswith("publish:")
                 else "merge"
             )
             fs = _files_of(m)
@@ -1877,6 +1916,7 @@ class ManifestTable:
         ``vacuum()`` (which scopes "referenced" to surviving manifests)
         collects them.  Time travel to an expired version raises
         ``FileNotFoundError``.  Returns the expired version numbers."""
+        self._require_main("expire_snapshots")
         import datetime as _dt
 
         cutoff = older_than_ts
@@ -1972,6 +2012,9 @@ class ManifestTable:
                 f"invalid tag name {name!r}: use letters, digits, '.', "
                 f"'_', '-' (must start alphanumeric)"
             )
+        # a tag names a MAIN-chain snapshot; tagging a branch-chain version
+        # would leave a dangling ref once the branch is dropped
+        self._require_main("tag")
         v = self.current_version() if version is None else int(version)
         self.manifest(v)  # validate the snapshot exists (raises if expired)
         key = f"{_TAGS_DIR}/{name}.json"
@@ -1992,6 +2035,7 @@ class ManifestTable:
     def untag(self, name: str) -> bool:
         """Remove a tag (the snapshot itself is untouched; it becomes
         expirable again).  Returns whether the tag existed."""
+        self._require_main("untag")
         key = f"{_TAGS_DIR}/{name}.json"
         existed = any(o.key == key for o in self.storage.list(_TAGS_DIR))
         if existed:
@@ -2018,6 +2062,167 @@ class ManifestTable:
         if got is None:
             raise FileNotFoundError(f"no tag {name!r} on {self.root}")
         return got
+
+    # ---------- branches (write-audit-publish) ----------
+
+    def _require_main(self, what: str) -> None:
+        if self.branch is not None:
+            raise ValueError(
+                f"{what} is a main-table operation; this handle is branch "
+                f"{self.branch!r} — branches are short-lived WAP refs "
+                f"(create_branch → write → audit → fast_forward → "
+                f"drop_branch), run table maintenance on the main handle"
+            )
+
+    @staticmethod
+    def _check_ref_name(kind: str, name: str) -> None:
+        import re
+
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name or ""):
+            raise ValueError(
+                f"invalid {kind} name {name!r}: use letters, digits, '.', "
+                f"'_', '-' (must start alphanumeric)"
+            )
+
+    def create_branch(
+        self, name: str, version: int | None = None
+    ) -> "ManifestTable":
+        """Fork a WRITE BRANCH at a snapshot (Iceberg BRANCH ref — the
+        write-audit-publish workflow: stage commits on the branch, audit
+        its state with ordinary reads, then ``fast_forward`` main to it, or
+        ``drop_branch`` to abandon).  The branch gets its own manifest
+        chain under ``_manifest_branches/{name}/``, seeded with a COPY of
+        the fork-base manifest, and shares the table's ``data/`` tree —
+        branch commits only ever ADD nonce-named staging dirs, so branch
+        and main writers can never collide on data paths, and an abandoned
+        branch's files are ordinary vacuum garbage.  Every table verb
+        (merge / read / changes / compact / history / time travel) works on
+        the branch handle unchanged because the commit protocol is the same
+        conditional-PUT manifest chain, just namespaced.
+
+        The ref object commits via put-if-absent: creating an existing
+        branch raises (use ``branch()`` to re-attach)."""
+        self._require_main("create_branch")
+        self._check_ref_name("branch", name)
+        v = self.current_version() if version is None else int(version)
+        base = self.manifest(v)  # validates the snapshot exists
+        ref_key = f"{_BRANCH_REFS_DIR}/{name}.json"
+        if not self.storage.put_if_absent(
+            ref_key,
+            json.dumps({"base_version": v, "created_at": time.time()}).encode(),
+        ):
+            raise ValueError(
+                f"branch {name!r} already exists; use branch({name!r}) to "
+                f"attach or drop_branch first"
+            )
+        b = ManifestTable(self.spark, self.root, storage=self.storage, branch=name)
+        # seed the branch chain with the fork-base snapshot so the handle is
+        # self-contained (current_version/read work before the first commit);
+        # put_if_absent keeps a crashed create retryable after drop_branch
+        b.storage.put_if_absent(
+            b._manifest_key(v), json.dumps(base).encode()
+        )
+        return b
+
+    def branch_ref(self, name: str) -> "ManifestTable":
+        """Attach to an existing branch by name."""
+        self._require_main("branch_ref")
+        if name not in self.branches():
+            raise FileNotFoundError(f"no branch {name!r} on {self.root}")
+        return ManifestTable(
+            self.spark, self.root, storage=self.storage, branch=name
+        )
+
+    def branches(self) -> dict[str, dict[str, int]]:
+        """All branch refs: ``{name: {"base": fork version, "head": current
+        branch version}}``."""
+        out: dict[str, dict[str, int]] = {}
+        for o in self.storage.list(_BRANCH_REFS_DIR):
+            fname = o.key.rsplit("/", 1)[-1]
+            if not fname.endswith(".json"):
+                continue
+            name = fname[:-5]
+            try:
+                ref = json.loads(self.storage.get(o.key))
+                b = ManifestTable(
+                    self.spark, self.root, storage=self.storage, branch=name
+                )
+                head = b.current_version()
+                out[name] = {
+                    "base": int(ref["base_version"]),
+                    "head": int(head if head is not None else ref["base_version"]),
+                }
+            except (ValueError, KeyError, json.JSONDecodeError, FileNotFoundError):
+                continue  # foreign/corrupt ref: skip, never crash reads
+        return out
+
+    def fast_forward(self, name: str) -> dict[str, Any]:
+        """Publish a branch's state onto main (Iceberg ``fast_forward`` —
+        the WAP publish step).  Atomic: ONE squash commit whose content is
+        the branch HEAD manifest (files, delta files, stats, schema, and
+        the applied-epoch ledger — so the branch's exactly-once tokens
+        carry to main and a post-publish redelivery is a ledger no-op),
+        stamped ``epoch_id="publish:{name}"``.  Requires main's head to
+        still be the branch's fork base — if main advanced since the fork
+        this raises ``ManifestConflict`` (Iceberg's ancestor requirement;
+        rebase by forking a fresh branch off the new head and replaying).
+
+        The squash trades snapshot-granular lineage on main for a
+        single-conditional-PUT publish (no partially-published multi-commit
+        window); the branch chain itself keeps the fine-grained history
+        until ``drop_branch``.  When the branch only made delta commits,
+        the publish step's files-vs-parent diff is exactly those delta
+        files, so downstream ``changes()`` fast paths walk straight
+        through it."""
+        self._require_main("fast_forward")
+        refs = self.branches()
+        if name not in refs:
+            raise FileNotFoundError(f"no branch {name!r} on {self.root}")
+        base, head = refs[name]["base"], refs[name]["head"]
+        b = ManifestTable(
+            self.spark, self.root, storage=self.storage, branch=name
+        )
+        bh = b.manifest(head)
+        main_head = self.current_version()
+        if main_head != base:
+            raise ManifestConflict(
+                f"cannot fast-forward {name!r}: main is at v{main_head} but "
+                f"the branch forked at v{base} — main advanced since the "
+                f"fork; create a fresh branch off v{main_head} and replay"
+            )
+        if head == base:
+            return {"status": "NoChange", "version": main_head}
+        pub = dict(
+            bh,
+            version=main_head + 1,
+            parent=main_head,
+            epoch_id=f"publish:{name}",
+            committed_at=time.time(),
+        )
+        self._publish(pub)  # lost race → ManifestConflict, nothing published
+        return {
+            "status": "Success",
+            "version": main_head + 1,
+            "branch_head": head,
+            "branch_commits": head - base,
+        }
+
+    def drop_branch(self, name: str) -> bool:
+        """Delete a branch ref and its manifest chain (published or
+        abandoned).  Data files only the branch referenced become
+        unreferenced and are collected by the next ``vacuum`` after its
+        grace period.  Returns whether the branch existed."""
+        self._require_main("drop_branch")
+        ref_key = f"{_BRANCH_REFS_DIR}/{name}.json"
+        existed = any(
+            o.key == ref_key for o in self.storage.list(_BRANCH_REFS_DIR)
+        )
+        # ref first: a vacuum racing the drop either still sees the ref (and
+        # keeps the chain's files) or sees neither — never a chain with no ref
+        if existed:
+            self.storage.delete(ref_key)
+        self.storage.delete_prefix(f"{_BRANCH_META_DIR}/{name}")
+        return existed
 
     # ---------- change feed (downstream incremental consumers) ----------
 

@@ -11,6 +11,9 @@ MOR pattern — Iceberg/Paimon/Hudi compaction services)::
     ... maintain.py --table /lake/transcripts expire --older-than 2026-08-01
     ... maintain.py --table /lake/transcripts sync-mv --mv /lake/conv_rollup
     ... maintain.py --table /lake/transcripts quarantine [--clear]
+    ... maintain.py --table /lake/transcripts branch --name audit-0817
+    ... maintain.py --table /lake/transcripts publish --name audit-0817
+    ... maintain.py --table /lake/transcripts drop-branch --name audit-0817
 
 Safe against a concurrently running tail: every operation commits through
 the same optimistic put-if-absent manifest protocol (a lost race returns
@@ -116,6 +119,26 @@ def main() -> int:
         "only; backfill with `compact --min-delta-files 0`)",
     )
     ss.add_argument("--cols", required=True, help="comma-separated columns")
+    sb = sub.add_parser(
+        "branch",
+        help="fork a write branch at a snapshot (write-audit-publish)",
+    )
+    sb.add_argument("--name", required=True)
+    sb.add_argument("--version", type=int, default=None,
+                    help="fork-base snapshot (default: current)")
+    sub.add_parser("branches", help="list branch refs as {name: base/head}")
+    sp = sub.add_parser(
+        "publish",
+        help="fast-forward main to a branch's head (atomic squash commit; "
+        "fails if main advanced since the fork)",
+    )
+    sp.add_argument("--name", required=True)
+    sd = sub.add_parser(
+        "drop-branch",
+        help="delete a branch ref + its chain; its unique files become "
+        "vacuum garbage",
+    )
+    sd.add_argument("--name", required=True)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -166,6 +189,20 @@ def main() -> int:
         out = {"status": "Success", "tags": t.tags()}
     elif args.op == "set-stats":
         out = t.set_stats_cols(args.cols.split(","))
+    elif args.op == "branch":
+        b = t.create_branch(args.name, version=args.version)
+        out = {
+            "status": "Success",
+            "branch": args.name,
+            "base_version": b.current_version(),
+        }
+    elif args.op == "branches":
+        out = {"status": "Success", "branches": t.branches()}
+    elif args.op == "publish":
+        out = t.fast_forward(args.name)
+    elif args.op == "drop-branch":
+        existed = t.drop_branch(args.name)
+        out = {"status": "Success", "existed": existed}
     elif args.op == "quarantine":
         if args.clear:
             n = t.storage.delete_prefix("_quarantine")
