@@ -1903,6 +1903,86 @@ class ManifestTable:
         )
         return self.spark.createDataFrame(rows, schema)
 
+    def files(self, version: int | None = None) -> DataFrame:
+        """Data-file metadata table (Iceberg's ``files`` analogue): one row
+        per data file of a snapshot — path, bucket, kind (``base`` /
+        ``delta``), on-disk bytes, and the per-file min/max stats the
+        manifest prunes with (JSON-encoded, exactly as stored) — the ops
+        surface for "which buckets are delta-heavy?", "how skewed are file
+        sizes?", "what ranges does this file cover?" without parsing raw
+        manifest JSON.
+
+        Driver cost: the manifest (already in hand) plus one storage LIST
+        per distinct staging dir for object sizes — the same granularity
+        ``vacuum`` lists at, metadata-only, no file contents read."""
+        import datetime as _dt
+
+        m = self.manifest(version)
+        stats = m.get("file_stats") or {}
+        entries: list[tuple[str, int, str]] = []  # (relpath, bucket, kind)
+        for b, ps in m["files"].items():
+            entries += [(p, int(b), "base") for p in ps]
+        for b, ps in (m.get("delta_files") or {}).items():
+            entries += [(p, int(b), "delta") for p in ps]
+        sizes: dict[str, int] = {}
+        mtimes: dict[str, float] = {}
+        for d in sorted({p.split("/")[1] for p, _, _ in entries}):
+            for o in self.storage.list(f"{_DATA_DIR}/{d}"):
+                sizes[o.key] = o.size
+                mtimes[o.key] = o.last_modified
+        rows = [
+            (
+                p,
+                b,
+                kind,
+                sizes.get(p),
+                json.dumps(stats[p], sort_keys=True) if p in stats else None,
+                _dt.datetime.fromtimestamp(mtimes[p], tz=_dt.timezone.utc)
+                if p in mtimes
+                else None,
+            )
+            for p, b, kind in sorted(entries)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "file_path string, bucket int, kind string, size_bytes long, "
+            "stats_json string, written_at timestamp",
+        )
+
+    def partitions(self, version: int | None = None) -> DataFrame:
+        """Per-bucket summary table (Iceberg's ``partitions`` analogue):
+        file counts and bytes split base/delta plus the bucket's delta row
+        count — the one-look surface for compaction planning ("which
+        buckets have enough deltas to fold?") and skew diagnosis.  Built
+        from ``files()``, so the cost is the same metadata-only LISTs."""
+        f = self.files(version)
+        m = self.manifest(version)
+        dr = {int(b): int(n) for b, n in (m.get("delta_rows") or {}).items()}
+        agg = (
+            f.groupBy("bucket")
+            .agg(
+                F.sum(F.when(F.col("kind") == "base", 1).otherwise(0))
+                .cast("long")
+                .alias("base_files"),
+                F.sum(F.when(F.col("kind") == "delta", 1).otherwise(0))
+                .cast("long")
+                .alias("delta_files"),
+                F.sum(F.when(F.col("kind") == "base", F.col("size_bytes")))
+                .cast("long")
+                .alias("base_bytes"),
+                F.sum(F.when(F.col("kind") == "delta", F.col("size_bytes")))
+                .cast("long")
+                .alias("delta_bytes"),
+            )
+        )
+        drdf = self.spark.createDataFrame(
+            [(b, n) for b, n in sorted(dr.items())] or [],
+            "bucket int, delta_rows long",
+        )
+        return agg.join(drdf, "bucket", "left").na.fill(
+            {"delta_rows": 0}
+        ).orderBy("bucket")
+
     def expire_snapshots(
         self, older_than_ts=None, keep_last: int = 1
     ) -> list[int]:

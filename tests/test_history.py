@@ -113,3 +113,49 @@ def test_expire_accepts_iso_string(spark, table):
     table.merge(_changes_df(spark, _rows(0, n=4)), 1)
     assert table.expire_snapshots(older_than_ts="2000-01-01") == []
     assert table.expire_snapshots(older_than_ts="2100-01-01") == [0]
+
+
+def test_files_and_partitions_metadata_tables(spark, table):
+    """files(): one row per data file with bucket/kind/bytes/stats;
+    partitions(): per-bucket base/delta rollup consistent with the manifest
+    — the compaction-planning surface."""
+    import json
+
+    table.merge(_changes_df(spark, _rows(0, n=12)), 1)
+    table.merge(_changes_df(spark, _rows(100, n=6)), 2, mode="delta")
+
+    f = table.files().collect()
+    m = table.manifest()
+    n_base = sum(len(ps) for ps in m["files"].values())
+    n_delta = sum(len(ps) for ps in (m.get("delta_files") or {}).values())
+    assert len(f) == n_base + n_delta > 0
+    kinds = {r["kind"] for r in f}
+    assert kinds == {"base", "delta"}
+    for r in f:
+        assert r["size_bytes"] and r["size_bytes"] > 0
+        assert r["file_path"].startswith("data/")
+        assert r["written_at"] is not None
+        st = json.loads(r["stats_json"])
+        # stats carry the configured cols with [min, max] bounds
+        assert "conv_id" in st and len(st["conv_id"]) == 2
+
+    p = {r["bucket"]: r for r in table.partitions().collect()}
+    assert sum(r["base_files"] for r in p.values()) == n_base
+    assert sum(r["delta_files"] for r in p.values()) == n_delta
+    assert sum(r["delta_rows"] for r in p.values()) == 6
+    # bytes rollup matches the per-file table
+    assert sum(r["base_bytes"] or 0 for r in p.values()) == sum(
+        r["size_bytes"] for r in f if r["kind"] == "base"
+    )
+
+    # time travel: the pre-delta snapshot has no delta files
+    f1 = table.files(version=table.current_version() - 1).collect()
+    assert {r["kind"] for r in f1} == {"base"}
+
+    # after compaction the deltas fold away
+    table.compact()
+    assert {r["kind"] for r in table.files().collect()} == {"base"}
+    assert all(
+        r["delta_files"] == 0 and r["delta_rows"] == 0
+        for r in table.partitions().collect()
+    )

@@ -82,6 +82,16 @@ def main() -> int:
                     help="bytes-targeted file sizing (see compact)")
     sh = sub.add_parser("history", help="print the snapshot history table")
     sh.add_argument("--limit", type=int, default=50, help="newest N rows")
+    sf_ = sub.add_parser(
+        "files", help="print the data-file metadata table (Iceberg .files)"
+    )
+    sf_.add_argument("--version", type=int, default=None)
+    sf_.add_argument("--limit", type=int, default=200)
+    spn = sub.add_parser(
+        "partitions",
+        help="per-bucket base/delta file+byte summary (compaction planning)",
+    )
+    spn.add_argument("--version", type=int, default=None)
     se = sub.add_parser("expire", help="expire old snapshots (metadata)")
     se.add_argument(
         "--older-than",
@@ -163,6 +173,14 @@ def main() -> int:
         h = t.history().orderBy("version", ascending=False).limit(args.limit)
         h.show(args.limit, truncate=False)
         out = {"status": "Success", "snapshots": h.count()}
+    elif args.op == "files":
+        f = t.files(version=args.version)
+        f.show(args.limit, truncate=False)
+        out = {"status": "Success", "files": f.count()}
+    elif args.op == "partitions":
+        p = t.partitions(version=args.version)
+        p.show(1000, truncate=False)
+        out = {"status": "Success", "buckets": p.count()}
     elif args.op == "expire":
         expired = t.expire_snapshots(
             older_than_ts=args.older_than, keep_last=args.keep_last
