@@ -301,6 +301,7 @@ class ManifestTable:
         n_buckets: int = 16,
         tenant_id: str | None = None,
         stats_cols: list[str] | None = None,
+        bloom_filter_cols: list[str] | None = None,
         storage: TableStorage | None = None,
     ) -> "ManifestTable":
         """Idempotent create (cf. ``IF NOT EXISTS`` DDL, ``Phase3-DataLoad.py:86,104``).
@@ -310,7 +311,17 @@ class ManifestTable:
         scan pruning (default: ``ts`` + the key columns).  This is the
         capability Iceberg's per-file stats add over the reference's
         MSCK-partition model (``Phase3-DataLoad.py:169-175``): a bounded
-        ``read(where=...)`` opens only overlapping files."""
+        ``read(where=...)`` opens only overlapping files.
+
+        ``bloom_filter_cols`` — columns the data writers attach PARQUET
+        BLOOM FILTERS for (default: none).  Complements min/max stats for
+        POINT lookups on scattered values: within the files the manifest
+        can't prune (a hot bucket's delta files span wide key ranges by
+        nature), Spark's parquet reader consults the bloom to skip whole
+        row groups on a pushed-down equality predicate — no engine read
+        path changes, no manifest growth (the bloom lives in the data
+        file, bounded by ``bloom_filter_max_bytes``).  Typically the key
+        column(s) a point lookup pins on."""
         bad = [f.name for f in schema.fields if f.name in _RESERVED_COLS]
         if bad:
             raise ValueError(
@@ -331,6 +342,9 @@ class ManifestTable:
                 f"key_cols not in schema: {missing_keys} "
                 f"(schema has {sorted(have)})"
             )
+        missing_bloom = [c for c in (bloom_filter_cols or []) if c not in have]
+        if missing_bloom:
+            raise ValueError(f"bloom_filter_cols not in schema: {missing_bloom}")
         manifest = {
             "version": 0,
             "parent": None,
@@ -344,6 +358,7 @@ class ManifestTable:
             "applied_ranges": {},
             "stats_cols": stats_cols
             or [c for c in (["ts"] + kc) if c in have],
+            "bloom_filter_cols": list(bloom_filter_cols or []),
             "applied_epochs": [],
             "total_rows": 0,
             "committed_at": time.time(),
@@ -850,7 +865,9 @@ class ManifestTable:
                 .withColumn("_pb", F.col("_bucket"))
                 .repartition(max(n_buckets, 1), F.col("_bucket"))
             )
-            writer.write.mode("overwrite").partitionBy("_pb").parquet(stage_dir)
+            self._with_bloom(writer.write.mode("overwrite"), m).partitionBy(
+                "_pb"
+            ).parquet(stage_dir)
             staged_files, rows_by_bucket, staged_rows, staged_stats = (
                 self._scan_staging(stage_rel)
             )
@@ -871,14 +888,13 @@ class ManifestTable:
             ch_rel = os.path.join(stage_rel, "changes")
             ch_dir = self.storage.spark_path(ch_rel)
             ch_obs = Observation()
-            (
+            self._with_bloom(
                 change_rows.observe(ch_obs, F.count(F.lit(1)).alias("rows"))
                 .withColumn("_pb", F.col("_bucket"))
                 .repartition(max(n_buckets, 1), F.col("_bucket"))
-                .write.mode("overwrite")
-                .partitionBy("_pb")
-                .parquet(ch_dir)
-            )
+                .write.mode("overwrite"),
+                m,
+            ).partitionBy("_pb").parquet(ch_dir)
             ch_files, ch_rows_by_bucket, n_change_keys, ch_stats = (
                 self._scan_staging(ch_rel)
             )
@@ -945,9 +961,9 @@ class ManifestTable:
                     writer = writer.repartition(
                         max(len(touched), 1), F.col("_bucket")
                     )
-                writer.write.mode("overwrite").partitionBy("_pb").parquet(
-                    merged_dir
-                )
+                self._with_bloom(writer.write.mode("overwrite"), m).partitionBy(
+                    "_pb"
+                ).parquet(merged_dir)
                 staged_files, rows_by_bucket, staged_rows, staged_stats = (
                     self._scan_staging(merged_rel, buckets=touched)
                 )
@@ -1064,6 +1080,7 @@ class ManifestTable:
                     mc, files, delta_files, staged_stats
                 ),
                 "stats_cols": mc.get("stats_cols") or [],
+                "bloom_filter_cols": mc.get("bloom_filter_cols") or [],
                 # clustering markers: a delta commit appends side files and
                 # leaves every base file untouched, so the base clustering
                 # survives and the claim carries forward; a CoW commit
@@ -1420,7 +1437,7 @@ class ManifestTable:
                 .sortWithinPartitions("_pb", "_z")
                 .drop("_z")
             )
-        writer = out.write.mode("overwrite")
+        writer = self._with_bloom(out.write.mode("overwrite"), m)
         if max_rows_per_file:
             writer = writer.option("maxRecordsPerFile", int(max_rows_per_file))
         writer.partitionBy("_pb").parquet(stage_dir)
@@ -1453,6 +1470,7 @@ class ManifestTable:
             "delta_files": {str(b): p for b, p in delta_files.items()},
             "file_stats": self._fold_stats(m, files, delta_files, staged_stats),
             "stats_cols": m.get("stats_cols") or [],
+            "bloom_filter_cols": m.get("bloom_filter_cols") or [],
             # informational: the clustering applied by THIS rewrite (pruning
             # reads file_stats directly and needs no ordering guarantee)
             "sorted_by": list(sort_by or []),
@@ -1593,6 +1611,37 @@ class ManifestTable:
         br = manifest.get("bucket_rows") or {}
         return sum(int(br.get(str(b), 0)) for b in buckets)
 
+    # size cap for each per-column-chunk parquet bloom (parquet-mr's
+    # parquet.bloom.filter.max.bytes; 128 KiB ≈ NDV 100k at 1% fpp —
+    # bounded per file, zero manifest growth)
+    bloom_filter_max_bytes: int = 131072
+
+    def _with_bloom(self, writer, m: dict[str, Any]):
+        """Attach the configured parquet bloom-filter writer options.
+        Applied at EVERY data write site (delta staging, CoW changes +
+        merged rewrite, compact, rebucket) so the blooms survive rewrites
+        the same way clustering does; a no-op when unconfigured.
+
+        parquet-mr only MATERIALIZES the bloom for column chunks that fall
+        back from dictionary encoding (verified empirically: all-unique
+        keys grow the file by the bloom size, repeat-heavy keys do not) —
+        which is exactly right: dictionary-encoded chunks already give the
+        reader EXACT page-dictionary filtering, and the fallback regime is
+        the high-cardinality one (10^10 mostly-unique conv_ids per file at
+        scale) where only a bloom can skip row groups on a point
+        equality.  So the option costs nothing on low-cardinality chunks
+        and pays precisely where min/max stats and dictionaries both stop
+        working."""
+        cols = m.get("bloom_filter_cols") or []
+        for c in cols:
+            writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        if cols:
+            writer = writer.option(
+                "parquet.bloom.filter.max.bytes",
+                str(int(self.bloom_filter_max_bytes)),
+            )
+        return writer
+
     def _staging_relpath(self, version: int, epoch_id) -> str:
         # unique per attempt AND per writer: the suffix is a process/clock
         # nonce, not a check-then-act counter — two writers staging the
@@ -1696,7 +1745,7 @@ class ManifestTable:
                 .sortWithinPartitions("_pb", "_z")
                 .drop("_z")
             )
-        writer = out.write.mode("overwrite")
+        writer = self._with_bloom(out.write.mode("overwrite"), m)
         if max_rows_per_file:
             writer = writer.option("maxRecordsPerFile", int(max_rows_per_file))
         writer.partitionBy("_pb").parquet(stage_dir)
@@ -1720,6 +1769,7 @@ class ManifestTable:
             "delta_files": {},
             "file_stats": self._fold_stats(m, staged_files, {}, staged_stats),
             "stats_cols": m.get("stats_cols") or [],
+            "bloom_filter_cols": m.get("bloom_filter_cols") or [],
             "sorted_by": list(sort_by or []),
             "zordered_by": list(zorder_by or []),
             "bucket_rows": rows_by_bucket,
@@ -1864,6 +1914,8 @@ class ManifestTable:
                 if str(ek).startswith("rebucket:")
                 else "set-stats"
                 if str(ek).startswith("set-stats:")
+                else "set-bloom"
+                if str(ek).startswith("set-bloom:")
                 else "publish"
                 if str(ek).startswith("publish:")
                 else "merge"
@@ -2070,6 +2122,52 @@ class ManifestTable:
             "status": "Success",
             "version": version,
             "stats_cols": list(stats_cols),
+        }
+
+    def set_bloom_filter_cols(self, cols: list[str]) -> dict[str, Any]:
+        """Change which columns future data writes attach parquet bloom
+        filters for — a METADATA-ONLY commit, the twin of
+        ``set_stats_cols``.  Even simpler semantics: the read path has NO
+        dependency on blooms (Spark's parquet reader uses them
+        opportunistically per file), so existing files without blooms stay
+        exactly as readable; every write after this commit — delta
+        staging, CoW rewrites, compaction, rebucket — carries them, and
+        one ``compact(min_delta_files=0)`` backfills the whole table.  The
+        commit has identical files to its parent, so the change-feed fast
+        path walks through it."""
+        m = self.manifest()
+        have = {f.name for f in T.StructType.fromJson(m["schema"]).fields}
+        missing = [c for c in cols if c not in have]
+        if missing:
+            raise ValueError(f"bloom_filter_cols not in schema: {missing}")
+        if list(cols) == list(m.get("bloom_filter_cols") or []):
+            return {
+                "status": "Skipped",
+                "reason": "bloom_filter_cols unchanged",
+                "version": m["version"],
+            }
+        version = m["version"] + 1
+        new_manifest = {
+            **m,
+            "version": version,
+            "parent": m["version"],
+            "epoch_id": f"set-bloom:{version}",
+            "bloom_filter_cols": list(cols),
+            "added_cols": [],
+            "committed_at": time.time(),
+        }
+        try:
+            self._publish(new_manifest)
+        except ManifestConflict:
+            return {
+                "status": "Skipped",
+                "reason": "lost manifest race to a concurrent writer",
+                "version": self.current_version(),
+            }
+        return {
+            "status": "Success",
+            "version": version,
+            "bloom_filter_cols": list(cols),
         }
 
     # ---------- named refs (Iceberg tags analogue) ----------

@@ -170,6 +170,10 @@ class CDCEngine:
         storage=None,  # TableStorage backend for the sink table (defaults to
         # the POSIX LocalFSStorage; pass FakeObjectStorage or an object-store
         # client implementation — see sinks/storage.py)
+        bloom_filter_cols: list[str] | None = None,  # columns the data
+        # writers attach parquet bloom filters for (point-lookup row-group
+        # skipping inside files min/max stats can't prune — typically the
+        # key columns; see ManifestTable.create)
     ):
         self.spark = spark
         self.change_schema = change_schema
@@ -200,6 +204,7 @@ class CDCEngine:
             key_cols=key_cols or KEY_COLS,
             n_buckets=n_buckets,
             tenant_id=tenant_id,
+            bloom_filter_cols=bloom_filter_cols,
             storage=storage,
         )
         # high flush_every so intra-epoch record calls buffer; apply_batch

@@ -129,6 +129,13 @@ def main() -> int:
         "only; backfill with `compact --min-delta-files 0`)",
     )
     ss.add_argument("--cols", required=True, help="comma-separated columns")
+    sbl = sub.add_parser(
+        "set-bloom",
+        help="change which columns future writes attach parquet bloom "
+        "filters for (metadata-only; backfill with `compact "
+        "--min-delta-files 0`)",
+    )
+    sbl.add_argument("--cols", required=True, help="comma-separated columns")
     sb = sub.add_parser(
         "branch",
         help="fork a write branch at a snapshot (write-audit-publish)",
@@ -207,6 +214,8 @@ def main() -> int:
         out = {"status": "Success", "tags": t.tags()}
     elif args.op == "set-stats":
         out = t.set_stats_cols(args.cols.split(","))
+    elif args.op == "set-bloom":
+        out = t.set_bloom_filter_cols(args.cols.split(","))
     elif args.op == "branch":
         b = t.create_branch(args.name, version=args.version)
         out = {
