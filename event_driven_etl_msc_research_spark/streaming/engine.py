@@ -174,6 +174,15 @@ class CDCEngine:
         # writers attach parquet bloom filters for (point-lookup row-group
         # skipping inside files min/max stats can't prune — typically the
         # key columns; see ManifestTable.create)
+        branch: str | None = None,  # streaming write-audit-publish: stage
+        # EVERY epoch on this write branch of the table instead of main
+        # (created at the current snapshot if it doesn't exist, re-attached
+        # if it does — a restart resumes the same staged chain).  Replay /
+        # tail / audit with read_table() as usual, then publish atomically
+        # with ManifestTable(spark, root).fast_forward(branch) and
+        # drop_branch.  Auto-vacuum is deferred to main (a branch handle
+        # must not GC the shared data/ tree); auto-compaction runs on the
+        # branch chain as usual
     ):
         self.spark = spark
         self.change_schema = change_schema
@@ -207,6 +216,12 @@ class CDCEngine:
             bloom_filter_cols=bloom_filter_cols,
             storage=storage,
         )
+        if branch is not None:
+            self.table = (
+                self.table.branch_ref(branch)
+                if branch in self.table.branches()
+                else self.table.create_branch(branch)
+            )
         # high flush_every so intra-epoch record calls buffer; apply_batch
         # flushes once per epoch (one small pyarrow file per epoch instead
         # of one per record — and a continuous tail stopped at ANY point
@@ -324,6 +339,10 @@ class CDCEngine:
         unreferenced by then, so the removal set is non-trivial exactly at
         this cadence.  keep_versions also bounds time-travel depth."""
         if self.vacuum_keep_versions <= 0:
+            return
+        if self.table.branch is not None:
+            # vacuum is a MAIN-handle verb (it GCs the shared data/ tree);
+            # a WAP tail defers GC to main's post-publish maintenance
             return
         self._epochs_since_vacuum += 1
         if not force and self._epochs_since_vacuum < self.vacuum_keep_versions:

@@ -204,3 +204,55 @@ def test_branch_misuse_surface(spark, tmp_root):
     # publishing a branch with no commits is a no-op, not an error
     assert t.fast_forward("once")["status"] == "NoChange"
     t.drop_branch("once")
+
+
+def test_engine_wap_tail_stages_on_branch_then_publishes(spark, tmp_root):
+    """Streaming write-audit-publish: a CDCEngine(branch=...) tail stages
+    every epoch on the branch while main stays empty; after fast_forward
+    the main table equals a direct (branchless) replay of the same WAL."""
+    import os as _os
+
+    from event_driven_etl_msc_research_spark.datagen import (
+        ChangeStreamSpec,
+        generate_change_stream,
+    )
+    from event_driven_etl_msc_research_spark.schemas import (
+        CHANGE_EVENT_SCHEMA_EVOLVED,
+    )
+    from event_driven_etl_msc_research_spark.streaming.engine import CDCEngine
+
+    spec = ChangeStreamSpec(n_events=4_000, n_convs=80, segment_size=1_000, seed=5)
+    log = _os.path.join(tmp_root, "log")
+    generate_change_stream(log, spec)
+
+    eng = CDCEngine(
+        spark,
+        _os.path.join(tmp_root, "wap_t"),
+        change_schema=CHANGE_EVENT_SCHEMA_EVOLVED,
+        n_buckets=4,
+        merge_mode="delta",
+        branch="staged",
+    )
+    eng.replay(log, _os.path.join(tmp_root, "wap_cp"), max_files_per_trigger=2)
+
+    main = ManifestTable(spark, _os.path.join(tmp_root, "wap_t"))
+    assert main.read().count() == 0  # main untouched until publish
+    staged_rows = eng.read_table().count()
+    assert staged_rows > 0
+    assert main.fast_forward("staged")["status"] == "Success"
+    assert main.drop_branch("staged") is True
+    assert main.read().count() == staged_rows
+
+    # equals the branchless replay of the same WAL
+    direct = CDCEngine(
+        spark,
+        _os.path.join(tmp_root, "direct_t"),
+        change_schema=CHANGE_EVENT_SCHEMA_EVOLVED,
+        n_buckets=4,
+        merge_mode="delta",
+    )
+    direct.replay(log, _os.path.join(tmp_root, "direct_cp"), max_files_per_trigger=2)
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    got = sorted(map(tuple, main.read().select(*cols).collect()))
+    exp = sorted(map(tuple, direct.read_table().select(*cols).collect()))
+    assert got == exp
