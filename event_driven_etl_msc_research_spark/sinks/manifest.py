@@ -543,11 +543,15 @@ class ManifestTable:
         include_internal: bool = False,
         where: dict[str, tuple] | None = None,
         tag: str | None = None,
+        as_of=None,
     ) -> DataFrame:
         """Snapshot read.  ``version`` gives time travel (replaces the
         reference's final-backup copies, ``Phase3-BackupData.py:23-27``);
-        ``tag`` time-travels by NAME (``read(tag="prod")`` — mutually
-        exclusive with ``version``; see :meth:`tag`).
+        ``tag`` time-travels by NAME (``read(tag="prod")``);
+        ``as_of`` time-travels by TIMESTAMP (epoch seconds, ISO string, or
+        datetime — the newest surviving snapshot committed at or before it;
+        Iceberg's ``TIMESTAMP AS OF``).  The three selectors are mutually
+        exclusive.
 
         Merge-on-read: when the snapshot carries delta files, base+delta are
         folded by the same per-key max-version rule as the write path.  Base
@@ -574,10 +578,14 @@ class ManifestTable:
         additionally pins the single hash bucket that can hold the key
         (Iceberg bucket-transform analogue) — the O(one-bucket) point
         lookup regardless of stats."""
+        if sum(x is not None for x in (version, tag, as_of)) > 1:
+            raise ValueError(
+                "read(version=, tag=, as_of=) are mutually exclusive"
+            )
         if tag is not None:
-            if version is not None:
-                raise ValueError("read(version=, tag=) are mutually exclusive")
             version = self._resolve_tag(tag)
+        if as_of is not None:
+            version = self._resolve_as_of(as_of)
         m = self.manifest(version)
         ischema = self._internal_schema(version)
         if where:
@@ -1918,6 +1926,8 @@ class ManifestTable:
                 if str(ek).startswith("set-bloom:")
                 else "publish"
                 if str(ek).startswith("publish:")
+                else "rollback"
+                if str(ek).startswith("rollback:")
                 else "merge"
             )
             fs = _files_of(m)
@@ -2049,17 +2059,11 @@ class ManifestTable:
         collects them.  Time travel to an expired version raises
         ``FileNotFoundError``.  Returns the expired version numbers."""
         self._require_main("expire_snapshots")
-        import datetime as _dt
-
-        cutoff = older_than_ts
-        if isinstance(cutoff, str):
-            d = _dt.datetime.fromisoformat(cutoff)
-            if d.tzinfo is None:
-                d = d.replace(tzinfo=_dt.timezone.utc)
-            cutoff = d.timestamp()
-        elif isinstance(cutoff, _dt.datetime):
-            d = cutoff if cutoff.tzinfo else cutoff.replace(tzinfo=_dt.timezone.utc)
-            cutoff = d.timestamp()
+        cutoff = (
+            None
+            if older_than_ts is None
+            else self._to_epoch_seconds(older_than_ts)
+        )
         keep_last = max(1, keep_last)
         versions = self._list_versions()
         tagged = set(self.tags().values())  # named refs never expire
@@ -2240,6 +2244,70 @@ class ManifestTable:
         if got is None:
             raise FileNotFoundError(f"no tag {name!r} on {self.root}")
         return got
+
+    @staticmethod
+    def _to_epoch_seconds(ts) -> float:
+        import datetime as _dt
+
+        if isinstance(ts, str):
+            d = _dt.datetime.fromisoformat(ts)
+            if d.tzinfo is None:
+                d = d.replace(tzinfo=_dt.timezone.utc)
+            return d.timestamp()
+        if isinstance(ts, _dt.datetime):
+            d = ts if ts.tzinfo else ts.replace(tzinfo=_dt.timezone.utc)
+            return d.timestamp()
+        return float(ts)
+
+    def _resolve_as_of(self, ts) -> int:
+        """Newest SURVIVING snapshot committed at or before ``ts``
+        (``TIMESTAMP AS OF``).  Walks the version list newest-first with
+        one manifest GET per step until the first non-future commit —
+        O(1) for the common "recent timestamp" case."""
+        cutoff = self._to_epoch_seconds(ts)
+        for v in reversed(self._list_versions()):
+            if float(self.manifest(v)["committed_at"]) <= cutoff:
+                return v
+        raise FileNotFoundError(
+            f"no surviving snapshot at or before {ts!r} on {self.root}"
+        )
+
+    def rollback_to(
+        self, version: int | None = None, tag: str | None = None
+    ) -> dict[str, Any]:
+        """Roll the table back to an earlier snapshot (Iceberg
+        ``rollback_to_snapshot``) — publishes a NEW manifest whose content
+        is the target snapshot's, so nothing is deleted and the bad
+        versions stay inspectable until ``expire_snapshots`` removes them;
+        a rollback of a rollback works the same way.  Stamped
+        ``epoch_id="rollback:{target}"``.
+
+        The applied-epoch ledger is the TARGET's: epochs committed after
+        the target are forgotten, so a replay/redelivery of those change
+        batches re-applies cleanly — exactly the recovery semantics a
+        rollback exists for.  Raises ``ManifestConflict`` if a concurrent
+        writer commits first (re-check state and retry deliberately)."""
+        if (version is None) == (tag is None):
+            raise ValueError("rollback_to needs exactly one of version/tag")
+        if tag is not None:
+            version = self._resolve_tag(tag)
+        cur = self.current_version()
+        if version == cur:
+            return {"status": "NoChange", "version": cur}
+        target = self.manifest(version)  # raises if expired
+        pub = dict(
+            target,
+            version=cur + 1,
+            parent=cur,
+            epoch_id=f"rollback:{version}",
+            committed_at=time.time(),
+        )
+        self._publish(pub)
+        return {
+            "status": "Success",
+            "version": cur + 1,
+            "rolled_back_to": version,
+        }
 
     # ---------- branches (write-audit-publish) ----------
 
@@ -2495,6 +2563,12 @@ class ManifestTable:
             ek = str(child.get("epoch_id") or "")
             if ek.startswith("compact:") or ek.startswith("rebucket:"):
                 continue  # state-preserving: contributes zero changes
+            if ek.startswith("rollback:"):
+                # a rollback REMOVES later epochs' rows while possibly
+                # leaving base files identical — its changes are deletions
+                # the added-files walk cannot see; only the snapshot diff
+                # is correct across it
+                return None
             if (
                 child["files"] != parent["files"]
                 or child["n_buckets"] != parent["n_buckets"]

@@ -159,3 +159,67 @@ def test_files_and_partitions_metadata_tables(spark, table):
         r["delta_files"] == 0 and r["delta_rows"] == 0
         for r in table.partitions().collect()
     )
+
+
+def test_read_as_of_timestamp(spark, table):
+    import datetime as dt
+
+    table.merge(_changes_df(spark, _rows(0, n=4)), 1)
+    t1 = dt.datetime.now(tz=dt.timezone.utc)
+    v1 = table.current_version()
+    time.sleep(0.05)
+    new_rows = [("I", 200 + i, 2000 + i, f"x{i}", 0, "user", f"new{i}", None)
+                for i in range(4)]
+    table.merge(_changes_df(spark, new_rows), 2, mode="delta")
+
+    # as_of between the commits resolves to the first snapshot
+    assert table.read(as_of=t1).count() == table.read(version=v1).count() == 4
+    # ISO string and epoch-seconds forms; "now" resolves to current
+    assert table.read(as_of=dt.datetime.now(tz=dt.timezone.utc)).count() == 8
+    assert table.read(as_of=t1.isoformat()).count() == 4
+    assert table.read(as_of=t1.timestamp()).count() == 4
+    # before the table existed → loud error
+    with pytest.raises(FileNotFoundError, match="no surviving snapshot"):
+        table.read(as_of="2000-01-01")
+    # selectors are mutually exclusive
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        table.read(version=0, as_of=t1)
+
+
+def test_rollback_to_snapshot(spark, table):
+    table.merge(_changes_df(spark, _rows(0, n=4)), 1)
+    good = table.current_version()
+    table.tag("good", good)
+    new_rows = [("I", 200 + i, 2000 + i, f"x{i}", 0, "user", f"new{i}", None)
+                for i in range(4)]
+    table.merge(_changes_df(spark, new_rows), 2, mode="delta")
+    bad = table.current_version()
+    assert table.read().count() == 8
+
+    res = table.rollback_to(tag="good")
+    assert res["status"] == "Success" and res["rolled_back_to"] == good
+    assert table.current_version() == bad + 1
+    assert table.read().count() == 4
+    # nothing deleted: the bad snapshot is still inspectable
+    assert table.read(version=bad).count() == 8
+    h = {r["version"]: r["operation"] for r in table.history().collect()}
+    assert h[bad + 1] == "rollback"
+
+    # the ledger is the target's: the rolled-back epoch re-applies cleanly
+    r = table.merge(_changes_df(spark, new_rows), 2, mode="delta")
+    assert r["status"] == "Success"
+    assert table.read().count() == 8
+
+    # change feed across a rollback must see the deletions (no fast path)
+    table.rollback_to(version=good)
+    ch = table.changes(bad)
+    kinds = {r["_change_type"] for r in ch.collect()}
+    assert kinds == {"delete"}
+    assert ch.count() == 4
+
+    # misuse
+    with pytest.raises(ValueError, match="exactly one"):
+        table.rollback_to()
+    with pytest.raises(ValueError, match="exactly one"):
+        table.rollback_to(version=good, tag="good")
+    assert table.rollback_to(version=table.current_version())["status"] == "NoChange"

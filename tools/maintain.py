@@ -156,6 +156,14 @@ def main() -> int:
         "vacuum garbage",
     )
     sd.add_argument("--name", required=True)
+    srb = sub.add_parser(
+        "rollback",
+        help="roll the table back to an earlier snapshot (new commit with "
+        "the target's content; nothing deleted until expire)",
+    )
+    g = srb.add_mutually_exclusive_group(required=True)
+    g.add_argument("--version", type=int, default=None)
+    g.add_argument("--tag", default=None)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -230,6 +238,8 @@ def main() -> int:
     elif args.op == "drop-branch":
         existed = t.drop_branch(args.name)
         out = {"status": "Success", "existed": existed}
+    elif args.op == "rollback":
+        out = t.rollback_to(version=args.version, tag=args.tag)
     elif args.op == "quarantine":
         if args.clear:
             n = t.storage.delete_prefix("_quarantine")
