@@ -25,7 +25,9 @@ from .schemas import (
 )
 from .session import get_spark
 from .operators.dedup import dedup_latest, salted_repartition
+from .sinks.derived import DerivedTable
 from .sinks.manifest import ManifestTable
+from .sinks.storage import FakeObjectStorage, LocalFSStorage, TableStorage
 from .streaming.engine import CDCEngine
 
 __all__ = [
@@ -35,6 +37,10 @@ __all__ = [
     "get_spark",
     "dedup_latest",
     "salted_repartition",
+    "DerivedTable",
     "ManifestTable",
+    "TableStorage",
+    "LocalFSStorage",
+    "FakeObjectStorage",
     "CDCEngine",
 ]
