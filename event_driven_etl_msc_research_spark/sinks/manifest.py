@@ -1810,7 +1810,12 @@ class ManifestTable:
 
     # ---------- maintenance ----------
 
-    def vacuum(self, keep_versions: int = 1, grace_s: float = 600.0) -> list[str]:
+    def vacuum(
+        self,
+        keep_versions: int = 1,
+        grace_s: float = 600.0,
+        dry_run: bool = False,
+    ) -> list[str]:
         """Remove data dirs unreferenced by the newest ``keep_versions``
         SURVIVING manifests (the lazy cleanup that replaces the reference's
         eager compensation deletes, ``HandleDataExtractionErrorLambda.py:49-62``;
@@ -1829,7 +1834,10 @@ class ManifestTable:
         than ``grace_s`` between its last staged write and its publish can
         still lose its dir — size ``grace_s`` above the slowest expected
         merge gap (default 600 s).  ``grace_s=0`` restores eager
-        single-writer behavior (used by tests).
+        single-writer behavior (used by tests).  ``dry_run=True`` reports
+        the removal set under the same rules without deleting anything
+        (Iceberg's remove-orphan-files dry run — what an operator checks
+        before lowering ``grace_s`` or ``keep_versions``).
 
         Cost shape: referenced dirs are skipped on the cheap top-level
         ``list_dirs`` alone; the per-object listing runs ONLY over removal
@@ -1877,7 +1885,8 @@ class ManifestTable:
                 )
                 if now - newest < grace_s:
                     continue  # possibly an in-flight writer's staging dir
-            self.storage.delete_prefix(prefix)
+            if not dry_run:  # dry_run: report the removal set, touch nothing
+                self.storage.delete_prefix(prefix)
             removed.append(d)
         return removed
 

@@ -223,3 +223,14 @@ def test_rollback_to_snapshot(spark, table):
     with pytest.raises(ValueError, match="exactly one"):
         table.rollback_to(version=good, tag="good")
     assert table.rollback_to(version=table.current_version())["status"] == "NoChange"
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, table):
+    table.merge(_changes_df(spark, _rows(0, n=4)), 1)
+    table.merge(_changes_df(spark, _rows(0, n=4)), 2)  # CoW rewrite → orphans
+    would = table.vacuum(keep_versions=1, grace_s=0.0, dry_run=True)
+    assert would  # superseded bucket rewrites are collectable
+    assert set(table.storage.list_dirs("data")) >= set(would)  # nothing gone
+    removed = table.vacuum(keep_versions=1, grace_s=0.0)
+    assert sorted(removed) == sorted(would)
+    assert not set(table.storage.list_dirs("data")) & set(removed)

@@ -71,6 +71,8 @@ def main() -> int:
     sv = sub.add_parser("vacuum", help="GC unreferenced data dirs")
     sv.add_argument("--keep-versions", type=int, default=8)
     sv.add_argument("--grace-s", type=float, default=600.0)
+    sv.add_argument("--dry-run", action="store_true",
+                    help="report the removal set without deleting")
     sr = sub.add_parser("rebucket", help="change the hash bucket count")
     sr.add_argument("--n-buckets", type=int, required=True)
     sr.add_argument("--sort-by", default=None,
@@ -182,8 +184,16 @@ def main() -> int:
             max_file_bytes=args.max_file_bytes,
         )
     elif args.op == "vacuum":
-        removed = t.vacuum(keep_versions=args.keep_versions, grace_s=args.grace_s)
-        out = {"status": "Success", "removed_dirs": len(removed)}
+        removed = t.vacuum(
+            keep_versions=args.keep_versions,
+            grace_s=args.grace_s,
+            dry_run=args.dry_run,
+        )
+        out = {
+            "status": "Success",
+            "removed_dirs": len(removed),
+            "dry_run": args.dry_run,
+        }
     elif args.op == "history":
         h = t.history().orderBy("version", ascending=False).limit(args.limit)
         h.show(args.limit, truncate=False)
