@@ -2054,6 +2054,70 @@ class ManifestTable:
             {"delta_rows": 0}
         ).orderBy("bucket")
 
+    def check(
+        self, version: int | None = None, verify_rows: bool = False
+    ) -> dict[str, Any]:
+        """Table consistency check (fsck): every data file the snapshot
+        references must exist in storage (one LIST per staging dir —
+        metadata-only, the same granularity vacuum works at).  With
+        ``verify_rows=True`` the referenced parquet footers are also read
+        (thread-pooled ranged reads, no Spark job) and per-bucket row
+        totals must match the manifest's ``bucket_rows``/``delta_rows`` —
+        the check an operator runs after restoring an object store from
+        backup or before lowering vacuum retention.  Returns
+        ``{"status": "Success"|"Corrupt", "files", "missing_files",
+        "row_mismatches"}``; never raises on corruption (the point is the
+        report)."""
+        m = self.manifest(version)
+        refs: list[tuple[str, str]] = []  # (relpath, bucket-kind key)
+        for b, ps in m["files"].items():
+            refs += [(p, f"base:{int(b)}") for p in ps]
+        for b, ps in (m.get("delta_files") or {}).items():
+            refs += [(p, f"delta:{int(b)}") for p in ps]
+        present: set[str] = set()
+        for d in sorted({p.split("/")[1] for p, _ in refs}):
+            present.update(o.key for o in self.storage.list(f"{_DATA_DIR}/{d}"))
+        missing = sorted(p for p, _ in refs if p not in present)
+
+        mismatches: list[dict[str, Any]] = []
+        if verify_rows and not missing:
+            import pyarrow.parquet as pq
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _rows(item):
+                p, key = item
+                with self.storage.open_input(p) as fh:
+                    return key, pq.ParquetFile(fh).metadata.num_rows
+
+            got: dict[str, int] = {}
+            with ThreadPoolExecutor(max_workers=min(16, max(len(refs), 1))) as ex:
+                for key, n in ex.map(_rows, refs):
+                    got[key] = got.get(key, 0) + n
+            want: dict[str, int] = {}
+            for b, r in (m.get("bucket_rows") or {}).items():
+                want[f"base:{int(b)}"] = int(r)
+            for b, r in (m.get("delta_rows") or {}).items():
+                if int(r):
+                    want[f"delta:{int(b)}"] = int(r)
+            for key in sorted(set(want) | set(got)):
+                if want.get(key, 0) != got.get(key, 0):
+                    kind, _, b = key.partition(":")
+                    mismatches.append(
+                        {
+                            "bucket": int(b),
+                            "kind": kind,
+                            "manifest_rows": want.get(key, 0),
+                            "footer_rows": got.get(key, 0),
+                        }
+                    )
+        return {
+            "status": "Corrupt" if (missing or mismatches) else "Success",
+            "version": m["version"],
+            "files": len(refs),
+            "missing_files": missing,
+            "row_mismatches": mismatches,
+        }
+
     def expire_snapshots(
         self, older_than_ts=None, keep_last: int = 1
     ) -> list[int]:

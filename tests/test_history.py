@@ -234,3 +234,43 @@ def test_vacuum_dry_run_reports_without_deleting(spark, table):
     removed = table.vacuum(keep_versions=1, grace_s=0.0)
     assert sorted(removed) == sorted(would)
     assert not set(table.storage.list_dirs("data")) & set(removed)
+
+
+def test_check_fsck(spark, tmp_root):
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = _os.path.join(tmp_root, "fsck")
+    t = ManifestTable.create(
+        spark, root, TRANSCRIPT_SCHEMA, n_buckets=2
+    )
+    t.merge(_changes_df(spark, _rows(0, n=8)), 1)
+    t.merge(
+        _changes_df(
+            spark,
+            [("I", 50 + i, 1500 + i, f"y{i}", 0, "user", f"t{i}", None)
+             for i in range(4)],
+        ),
+        2,
+        mode="delta",
+    )
+    r = t.check(verify_rows=True)
+    assert r["status"] == "Success" and not r["missing_files"]
+    assert r["files"] > 0 and not r["row_mismatches"]
+
+    # simulate restore corruption: replace one referenced delta file with a
+    # short parquet → row mismatch; then remove it entirely → missing file
+    victim = next(
+        p for ps in t.manifest()["delta_files"].values() for p in ps
+    )
+    vpath = _os.path.join(root, victim)
+    pq.write_table(pa.table({"x": [1]}), vpath)
+    r = t.check(verify_rows=True)
+    assert r["status"] == "Corrupt" and r["row_mismatches"]
+    assert r["row_mismatches"][0]["kind"] == "delta"
+
+    _os.remove(vpath)
+    r = t.check()
+    assert r["status"] == "Corrupt" and r["missing_files"] == [victim]

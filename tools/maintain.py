@@ -158,6 +158,13 @@ def main() -> int:
         "vacuum garbage",
     )
     sd.add_argument("--name", required=True)
+    sck = sub.add_parser(
+        "check",
+        help="consistency check (fsck): referenced files exist; "
+        "--verify-rows also matches footer row counts to the manifest",
+    )
+    sck.add_argument("--version", type=int, default=None)
+    sck.add_argument("--verify-rows", action="store_true")
     srb = sub.add_parser(
         "rollback",
         help="roll the table back to an earlier snapshot (new commit with "
@@ -250,6 +257,8 @@ def main() -> int:
         out = {"status": "Success", "existed": existed}
     elif args.op == "rollback":
         out = t.rollback_to(version=args.version, tag=args.tag)
+    elif args.op == "check":
+        out = t.check(version=args.version, verify_rows=args.verify_rows)
     elif args.op == "quarantine":
         if args.clear:
             n = t.storage.delete_prefix("_quarantine")
