@@ -64,6 +64,7 @@ HEADLINE = [
     "cdc_latest_event_per_user",
     "cdc_events_zorder_window",
     "cdc_branch_wap",
+    "cdc_delete_where",
     "mv_incremental_rollup",
     "events_asof_last_error",
     "events_range_join",

@@ -526,6 +526,56 @@ def cdc_merge_events_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE on driver data: the ``cdc_merge_events`` table,
+    then ``delete_where("event_type = 'click'")`` — per-key tombstones
+    through the merge path (exactly-once, payload nulled), physical
+    erasure via OPTIMIZE.  Oracle: latest event per user, minus users
+    whose latest event is an error (the CDC deletes) or a click (the
+    row-level delete)."""
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("event_id").alias("lsn"),
+        F.col("ts").cast("timestamp"),
+        F.col("user_id").cast("string").alias("user_key"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_key", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_delete_where_")
+    table = ManifestTable.create(
+        spark, root, payload, key_cols=["user_key"], n_buckets=8
+    )
+    table.merge(changes, epoch_id=0, epoch_scope="driver", mode="delta")
+    table.delete_where("event_type = 'click'", epoch_id=1)
+    table.compact(min_delta_files=0)  # physical erasure of tombstoned bytes
+    return table.read().select(
+        "user_key",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        "event_type",
+        "value",
+    )
+
+
+CDC_DELETE_SQL = f"""
+SELECT CAST(user_id AS VARCHAR) AS user_key,
+       strftime(ts, '{_TS_FMT_DUCK}') AS ts, event_type, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type NOT IN ('error', 'click')
+"""
+
+
 def cdc_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The write-audit-publish lifecycle on driver data: the same change
     stream as ``cdc_merge_events_delta`` split at the deterministic
@@ -2013,6 +2063,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_merge_events": (cdc_merge_events, CDC_MERGE_SQL),
     "cdc_merge_events_delta": (cdc_merge_events_delta, CDC_MERGE_SQL),
     "cdc_branch_wap": (cdc_branch_wap, CDC_MERGE_SQL),
+    "cdc_delete_where": (cdc_delete_where, CDC_DELETE_SQL),
     "cdc_events_time_window": (cdc_events_time_window, CDC_TIME_WINDOW_SQL),
     "cdc_events_zorder_window": (cdc_events_zorder_window, CDC_ZORDER_WINDOW_SQL),
     "cdc_table_changes": (cdc_table_changes, CDC_CHANGES_SQL),

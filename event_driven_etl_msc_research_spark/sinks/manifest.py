@@ -2054,6 +2054,59 @@ class ManifestTable:
             {"delta_rows": 0}
         ).orderBy("bucket")
 
+    def delete_where(
+        self,
+        predicate: str,
+        epoch_id: int,
+        epoch_scope: str = "delete",
+        mode: str = "delta",
+        **merge_kwargs,
+    ) -> dict[str, Any]:
+        """Row-level ``DELETE FROM t WHERE predicate`` (the GDPR /
+        right-to-be-forgotten verb) — expressed as an ordinary change
+        batch so it inherits EVERYTHING the merge path gives: exactly-once
+        by epoch, delta-mode O(matching rows) cost, the change feed sees
+        the deletes, and downstream MVs sync them incrementally.
+
+        CDC-consistent versioning: each matching LIVE row becomes a delete
+        tombstone stamped ``(its own ts, its _lsn + 1)`` — it outranks
+        exactly the version it deletes and LOSES to any genuinely newer
+        change, so a later binlog update re-inserts the key (Iceberg
+        DELETE + subsequent MERGE re-insert semantics) while an
+        out-of-order OLDER update still cannot resurrect it.  A predicate
+        matching nothing is a clean no-op epoch.
+
+        The predicate is evaluated against LIVE rows of the current
+        snapshot (user columns only).  Physical removal of the tombstoned
+        payload bytes happens at the next rewrite of those buckets
+        (``compact(min_delta_files=0)`` for at-once erasure — the same
+        two-step logical-then-physical deletion contract as Iceberg/Delta
+        row-level deletes)."""
+        m = self.manifest()
+        key_cols = set(m["key_cols"])
+        fields = list(self.schema().fields)
+        live = self.read(include_internal=True).filter(F.expr(predicate))
+        # the tombstone carries ONLY what versioning and routing need: the
+        # key columns and the row's ts — every other payload column is
+        # nulled so the deleted content never rides in the delta files
+        batch = live.select(
+            F.lit("D").alias("op"),
+            (F.coalesce(F.col("_lsn"), F.lit(0)) + 1).alias("lsn"),
+            *[
+                F.col(f.name)
+                if f.name in key_cols or f.name == "ts"
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in fields
+            ],
+        )
+        return self.merge(
+            batch,
+            epoch_id=epoch_id,
+            epoch_scope=epoch_scope,
+            mode=mode,
+            **merge_kwargs,
+        )
+
     def check(
         self, version: int | None = None, verify_rows: bool = False
     ) -> dict[str, Any]:

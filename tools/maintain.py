@@ -158,6 +158,15 @@ def main() -> int:
         "vacuum garbage",
     )
     sd.add_argument("--name", required=True)
+    sdl = sub.add_parser(
+        "delete",
+        help="row-level DELETE FROM ... WHERE (tombstones via the merge "
+        "path; physical erasure at the next rewrite / OPTIMIZE)",
+    )
+    sdl.add_argument("--where", required=True, help="SQL predicate")
+    sdl.add_argument("--epoch-id", type=int, required=True,
+                     help="exactly-once token for this delete")
+    sdl.add_argument("--mode", default="delta", choices=["delta", "cow"])
     sck = sub.add_parser(
         "check",
         help="consistency check (fsck): referenced files exist; "
@@ -259,6 +268,8 @@ def main() -> int:
         out = t.rollback_to(version=args.version, tag=args.tag)
     elif args.op == "check":
         out = t.check(version=args.version, verify_rows=args.verify_rows)
+    elif args.op == "delete":
+        out = t.delete_where(args.where, epoch_id=args.epoch_id, mode=args.mode)
     elif args.op == "quarantine":
         if args.clear:
             n = t.storage.delete_prefix("_quarantine")
