@@ -65,6 +65,7 @@ HEADLINE = [
     "cdc_events_zorder_window",
     "cdc_branch_wap",
     "cdc_delete_where",
+    "cdc_update_where",
     "mv_incremental_rollup",
     "events_asof_last_error",
     "events_range_join",

@@ -576,6 +576,57 @@ FROM (
 """
 
 
+def cdc_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE on driver data: the ``cdc_merge_events`` table,
+    then ``update_where("event_type = 'view'", {"value": "value * 2"})``
+    — upserts through the merge path stamped (row ts, _lsn+1).  Oracle:
+    latest event per user minus error-latest, with view-latest users'
+    value doubled."""
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("event_id").alias("lsn"),
+        F.col("ts").cast("timestamp"),
+        F.col("user_id").cast("string").alias("user_key"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_key", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_update_where_")
+    table = ManifestTable.create(
+        spark, root, payload, key_cols=["user_key"], n_buckets=8
+    )
+    table.merge(changes, epoch_id=0, epoch_scope="driver", mode="delta")
+    table.update_where(
+        "event_type = 'view'", {"value": "value * 2"}, epoch_id=1
+    )
+    return table.read().select(
+        "user_key",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        "event_type",
+        "value",
+    )
+
+
+CDC_UPDATE_SQL = f"""
+SELECT CAST(user_id AS VARCHAR) AS user_key,
+       strftime(ts, '{_TS_FMT_DUCK}') AS ts, event_type,
+       CASE WHEN event_type = 'view' THEN value * 2 ELSE value END AS value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type != 'error'
+"""
+
+
 def cdc_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The write-audit-publish lifecycle on driver data: the same change
     stream as ``cdc_merge_events_delta`` split at the deterministic
@@ -2064,6 +2115,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_merge_events_delta": (cdc_merge_events_delta, CDC_MERGE_SQL),
     "cdc_branch_wap": (cdc_branch_wap, CDC_MERGE_SQL),
     "cdc_delete_where": (cdc_delete_where, CDC_DELETE_SQL),
+    "cdc_update_where": (cdc_update_where, CDC_UPDATE_SQL),
     "cdc_events_time_window": (cdc_events_time_window, CDC_TIME_WINDOW_SQL),
     "cdc_events_zorder_window": (cdc_events_zorder_window, CDC_ZORDER_WINDOW_SQL),
     "cdc_table_changes": (cdc_table_changes, CDC_CHANGES_SQL),

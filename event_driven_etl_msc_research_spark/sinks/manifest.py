@@ -2107,6 +2107,60 @@ class ManifestTable:
             **merge_kwargs,
         )
 
+    def update_where(
+        self,
+        predicate: str,
+        set: dict[str, str],
+        epoch_id: int,
+        epoch_scope: str = "update",
+        mode: str = "delta",
+        **merge_kwargs,
+    ) -> dict[str, Any]:
+        """Row-level ``UPDATE t SET col = expr WHERE predicate`` (Delta
+        UPDATE analogue) — the DML triple's third verb, built exactly like
+        :meth:`delete_where`: each matching LIVE row becomes an upsert
+        stamped ``(its own ts, _lsn + 1)`` carrying the mutated payload,
+        so the update outranks exactly the version it read, loses to
+        genuinely newer changes, and an out-of-order older change cannot
+        undo it.  ``set`` maps payload column -> SQL expression evaluated
+        over the matching row (``{"text": "'[redacted]'"}``,
+        ``{"value": "value * 2"}``).  Key columns and ``ts`` cannot be
+        set (changing a key is delete+insert — two explicit verbs; ``ts``
+        is the version column).  Exactly-once by epoch; O(matching rows)
+        in delta mode; the change feed reports updates with both images."""
+        m = self.manifest()
+        key_cols = list(m["key_cols"])
+        fields = list(self.schema().fields)
+        names = {f.name for f in fields}
+        set_ = dict(set)  # `set` shadows the builtin inside this scope
+        bad = [c for c in set_ if c not in names]
+        if bad:
+            raise ValueError(f"set columns not in schema: {bad}")
+        immutable = [c for c in set_ if c in key_cols or c == "ts"]
+        if immutable:
+            raise ValueError(
+                f"cannot set {immutable}: key columns identify the row "
+                f"(delete + insert instead) and ts is the version column"
+            )
+        live = self.read(include_internal=True).filter(F.expr(predicate))
+        batch = live.select(
+            F.lit("U").alias("op"),
+            (F.coalesce(F.col("_lsn"), F.lit(0)) + 1).alias("lsn"),
+            *[
+                F.expr(set_[f.name]).cast(f.dataType).alias(f.name)
+                if f.name in set_
+                else F.col(f.name)
+                for f in fields
+            ],
+        )
+        return self.merge(
+            batch,
+            epoch_id=epoch_id,
+            epoch_scope=epoch_scope,
+            mode=mode,
+            **merge_kwargs,
+        )
+
     def check(
         self, version: int | None = None, verify_rows: bool = False
     ) -> dict[str, Any]:

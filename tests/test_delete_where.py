@@ -119,3 +119,52 @@ def test_delete_where_feeds_changes_and_erasure(spark, table):
         raw.filter(F.col("text").isin(*deleted_texts)).count() == 0
     )
     assert table.read().count() == 4
+
+
+def test_update_where_semantics(spark, table):
+    v0 = table.current_version()
+    res = table.update_where(
+        "conv_id = 'c2'", {"text": "'[redacted]'", "role": "upper(role)"},
+        epoch_id=1,
+    )
+    assert res["status"] == "Success"
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["text"], r["role"])
+        for r in table.read().collect()
+    }
+    assert got[("c2", 0)] == ("[redacted]", "USER")
+    assert got[("c2", 1)] == ("[redacted]", "USER")
+    assert got[("c0", 0)] == ("text-0", "user")  # non-matching untouched
+    assert len(got) == 8  # updates, not inserts/deletes
+
+    # exactly-once redelivery
+    assert (
+        table.update_where("conv_id = 'c2'", {"text": "'x'"}, epoch_id=1)[
+            "status"
+        ]
+        == "Skipped"
+    )
+
+    # change feed reports them as updates
+    kinds = {r["_change_type"] for r in table.changes(v0).collect()}
+    assert kinds == {"update"}
+
+    # an out-of-order OLDER change cannot undo the update
+    table.merge(
+        _batch(spark, [("U", 1, 500, "c2", 0, "user", "ancient", None)]),
+        2,
+        mode="delta",
+    )
+    assert table.read().filter(
+        (F.col("conv_id") == "c2") & (F.col("turn_idx") == 0)
+    ).first()["text"] == "[redacted]"
+
+    # misuse: unknown column, key column, ts
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in schema"):
+        table.update_where("1=1", {"ghost": "'x'"}, epoch_id=9)
+    with _pytest.raises(ValueError, match="cannot set"):
+        table.update_where("1=1", {"conv_id": "'x'"}, epoch_id=9)
+    with _pytest.raises(ValueError, match="cannot set"):
+        table.update_where("1=1", {"ts": "ts"}, epoch_id=9)

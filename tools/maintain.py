@@ -167,6 +167,16 @@ def main() -> int:
     sdl.add_argument("--epoch-id", type=int, required=True,
                      help="exactly-once token for this delete")
     sdl.add_argument("--mode", default="delta", choices=["delta", "cow"])
+    sup = sub.add_parser(
+        "update",
+        help="row-level UPDATE ... SET col=expr WHERE (upserts via the "
+        "merge path)",
+    )
+    sup.add_argument("--where", required=True, help="SQL predicate")
+    sup.add_argument("--set", required=True, action="append",
+                     help="col=SQL-expr (repeatable)")
+    sup.add_argument("--epoch-id", type=int, required=True)
+    sup.add_argument("--mode", default="delta", choices=["delta", "cow"])
     sck = sub.add_parser(
         "check",
         help="consistency check (fsck): referenced files exist; "
@@ -270,6 +280,11 @@ def main() -> int:
         out = t.check(version=args.version, verify_rows=args.verify_rows)
     elif args.op == "delete":
         out = t.delete_where(args.where, epoch_id=args.epoch_id, mode=args.mode)
+    elif args.op == "update":
+        sets = dict(kv.split("=", 1) for kv in args.set)
+        out = t.update_where(
+            args.where, sets, epoch_id=args.epoch_id, mode=args.mode
+        )
     elif args.op == "quarantine":
         if args.clear:
             n = t.storage.delete_prefix("_quarantine")
