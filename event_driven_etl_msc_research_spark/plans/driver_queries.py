@@ -526,6 +526,73 @@ def cdc_merge_events_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_rename_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only schema surgery mid-stream (``rename_column`` /
+    ``drop_column`` — the Iceberg ALTER TABLE analogues the reference
+    cannot express without re-declaring its warehouse DDL and reloading
+    the full prefix, `Phase3-DataLoad.py:103-120`): the
+    ``cdc_merge_events_delta`` change stream lands as two delta epochs;
+    between them ``value`` is RENAMED to ``score`` (zero files rewritten —
+    epoch-0 files keep the old physical name and read through the shadow
+    chain) and after the tail ``event_type`` is DROPPED (zero files
+    rewritten — reads stop projecting it).  The final snapshot must fold
+    both physical generations to the same per-key latest state.  Oracle:
+    latest non-error event per user with ``value`` aliased ``score``."""
+    ev = _t(spark, sf_dir, "events")
+
+    def _changes(value_col: str) -> DataFrame:
+        return ev.select(
+            F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+            F.col("event_id").alias("lsn"),
+            F.col("ts").cast("timestamp"),
+            F.col("user_id").cast("string").alias("user_key"),
+            F.col("event_type"),
+            F.col("value").alias(value_col),
+        )
+
+    payload = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_key", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    mid = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).first()[0]
+    root = tempfile.mkdtemp(prefix="cdc_rename_drop_")
+    table = ManifestTable.create(
+        spark, root, payload, key_cols=["user_key"], n_buckets=8
+    )
+    table.merge(
+        _changes("value").filter(F.col("lsn") <= mid),
+        0, mode="delta", epoch_scope="d",
+    )
+    st = table.rename_column("value", "score")
+    assert st["status"] == "Success", st
+    table.merge(
+        _changes("score").filter(F.col("lsn") > mid),
+        1, mode="delta", epoch_scope="d",
+    )
+    st = table.drop_column("event_type")
+    assert st["status"] == "Success", st
+    return table.read().select(
+        "user_key",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        "score",
+    )
+
+
+CDC_RENAME_DROP_SQL = f"""
+SELECT CAST(user_id AS VARCHAR) AS user_key,
+       strftime(ts, '{_TS_FMT_DUCK}') AS ts, value AS score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type != 'error'
+"""
+
+
 def cdc_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level DELETE on driver data: the ``cdc_merge_events`` table,
     then ``delete_where("event_type = 'click'")`` — per-key tombstones
@@ -2114,6 +2181,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_merge_events": (cdc_merge_events, CDC_MERGE_SQL),
     "cdc_merge_events_delta": (cdc_merge_events_delta, CDC_MERGE_SQL),
     "cdc_branch_wap": (cdc_branch_wap, CDC_MERGE_SQL),
+    "cdc_rename_drop_column": (cdc_rename_drop_column, CDC_RENAME_DROP_SQL),
     "cdc_delete_where": (cdc_delete_where, CDC_DELETE_SQL),
     "cdc_update_where": (cdc_update_where, CDC_UPDATE_SQL),
     "cdc_events_time_window": (cdc_events_time_window, CDC_TIME_WINDOW_SQL),

@@ -450,8 +450,26 @@ class ManifestTable:
         b = cls._WIDEN_RANK.get(to.simpleString())
         return a is not None and b is not None and a[0] == b[0] and b[1] > a[1]
 
+    @staticmethod
+    def _tombstoned_names(m: dict[str, Any]) -> set[str]:
+        """Column names that may NOT be (re)introduced while live data
+        files still physically carry them: names removed by
+        ``drop_column`` and historical names retired by ``rename_column``.
+        Re-adding one would resurrect stale values out of old files under
+        name-based parquet resolution; a full rewrite (``rebucket`` or an
+        all-bucket ``compact(min_delta_files=0)``) physicalizes the
+        current naming and clears the set."""
+        return set(m.get("dropped_cols") or []) | {
+            o
+            for olds in (m.get("renamed_cols") or {}).values()
+            for o in olds
+        }
+
     def _evolve_schema(
-        self, current: T.StructType, incoming_payload: T.StructType
+        self,
+        current: T.StructType,
+        incoming_payload: T.StructType,
+        tombstoned: set[str] | frozenset[str] = frozenset(),
     ) -> tuple[T.StructType, list[str]]:
         """Schema evolution (cf. Iceberg schema-update transactions; the
         detection / diff is ours, SURVEY.md §4.3):
@@ -464,6 +482,12 @@ class ManifestTable:
           table type and the change batch is up-cast at merge time;
         * anything else (cross-family, narrowing of the table, non-numeric
           conflicts) raises ``SchemaEvolutionError`` naming the column.
+
+        ``tombstoned``: dropped / rename-retired names that must not be
+        re-added while old files still carry them (see
+        ``_tombstoned_names``) — a change stream still emitting a renamed
+        column's old name fails loudly here instead of silently forking a
+        second column.
         """
         cur = {f.name: f for f in current.fields}
         added: list[str] = []
@@ -498,6 +522,15 @@ class ManifestTable:
                         f"name (op/lsn/_lsn/_deleted/_bucket/_pb/_z) — "
                         f"rename it in the change stream"
                     )
+                if f.name in tombstoned:
+                    raise SchemaEvolutionError(
+                        f"incoming column {f.name!r} was dropped or renamed "
+                        f"away and live data files still carry it under "
+                        f"that name — update the change stream to the "
+                        f"current column name, or physicalize the schema "
+                        f"first (rebucket / compact(min_delta_files=0)) to "
+                        f"free the name"
+                    )
                 out.append(T.StructField(f.name, f.dataType, True))
                 added.append(f.name)
         return T.StructType(out), added
@@ -529,13 +562,46 @@ class ManifestTable:
         ]
 
     def _read_files(
-        self, files: list[str], schema: T.StructType
+        self,
+        files: list[str],
+        schema: T.StructType,
+        renames: dict[str, list[str]] | None = None,
     ) -> DataFrame:
         if not files:
             return self.spark.createDataFrame([], schema)
         # explicit schema: files written before an additive evolution simply
         # lack the new column → Spark fills null (verified in tests)
-        return self.spark.read.schema(schema).parquet(*files)
+        have = {f.name for f in schema.fields}
+        shadows = {
+            cur: olds
+            for cur, olds in (renames or {}).items()
+            if cur in have and olds
+        }
+        if not shadows:
+            return self.spark.read.schema(schema).parquet(*files)
+        # metadata-only renames: files written BEFORE rename_column() carry
+        # the old physical name, files after carry the current one — never
+        # both (re-adding a historical name is rejected until a full
+        # rewrite).  Read through the schema widened with the historical
+        # shadow names (absent columns null-fill at zero IO), coalesce
+        # newest-physical-name-first, and project the shadows away.  The
+        # coalesce is exact because exactly one physical generation exists
+        # per file; it stays in whole-stage codegen.
+        types = {f.name: f.dataType for f in schema.fields}
+        read_schema = T.StructType(
+            list(schema.fields)
+            + [
+                T.StructField(o, types[cur], True)
+                for cur, olds in sorted(shadows.items())
+                for o in olds
+            ]
+        )
+        df = self.spark.read.schema(read_schema).parquet(*files)
+        for cur, olds in shadows.items():
+            df = df.withColumn(
+                cur, F.coalesce(F.col(cur), *[F.col(o) for o in olds])
+            )
+        return df.select(*[f.name for f in schema.fields])
 
     def read(
         self,
@@ -597,7 +663,9 @@ class ManifestTable:
                 for p in paths
             ]
             delta_files = self._all_delta_files(m)
-        df = self._read_files(base_files + delta_files, ischema)
+        df = self._read_files(
+            base_files + delta_files, ischema, renames=m.get("renamed_cols")
+        )
         if delta_files:
             df = dedup_latest(df, m["key_cols"], ["ts", "_lsn"])
         df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
@@ -629,15 +697,27 @@ class ManifestTable:
             for c, (lo, hi) in where.items()
         }
 
+        # files written before a rename_column() carry their stats under the
+        # historical name — look the bound column up through the rename
+        # chain so old files keep pruning (missing either way = kept)
+        ren = m.get("renamed_cols") or {}
+
         def disjoint(p: str, c: str) -> bool:
             """PROVABLY no row of file ``p`` satisfies the bound on ``c``
             (recorded stats exist and the ranges cannot overlap)."""
             st = stats.get(p)
-            if not st or c not in st:
+            if not st:
+                return False
+            entry = None
+            for nm in (c, *ren.get(c, ())):
+                if nm in st:
+                    entry = st[nm]
+                    break
+            if entry is None:
                 return False
             lo, hi = nb[c]
-            fmin = _stat_from_json(st[c][0])
-            fmax = _stat_from_json(st[c][1])
+            fmin = _stat_from_json(entry[0])
+            fmax = _stat_from_json(entry[1])
             try:
                 return (lo is not None and fmax < lo) or (
                     hi is not None and fmin > hi
@@ -822,7 +902,9 @@ class ManifestTable:
             f for f in changes.schema.fields if f.name not in ("op", "lsn")
         ]
         new_schema, added_cols = self._evolve_schema(
-            cur_schema, T.StructType(payload_fields)
+            cur_schema,
+            T.StructType(payload_fields),
+            tombstoned=self._tombstoned_names(m),
         )
 
         # 2. within-batch dedup: salted two-level max-version aggregate
@@ -922,7 +1004,9 @@ class ManifestTable:
                 [self.storage.spark_path(p) for ps in ch_files.values() for p in ps],
                 ischema,
             )
-            target = self._read_files(touched_files, ischema)
+            target = self._read_files(
+                touched_files, ischema, renames=m.get("renamed_cols")
+            )
 
             # Fast path (the common micro-batch case): the deduped batch is
             # small → broadcast it; target data flows scan→write with ZERO
@@ -1019,7 +1103,9 @@ class ManifestTable:
             readable under the merged schema."""
             base_schema = T.StructType.fromJson(mc["schema"])
             schema_c, added_c = self._evolve_schema(
-                base_schema, T.StructType(payload_fields)
+                base_schema,
+                T.StructType(payload_fields),
+                tombstoned=self._tombstoned_names(mc),
             )
             oldf = {int(b): ps for b, ps in mc["files"].items()}
             oldd = {
@@ -1102,6 +1188,12 @@ class ManifestTable:
                 "zordered_by": (
                     list(mc.get("zordered_by") or []) if mode == "delta" else []
                 ),
+                # metadata-only schema history: untouched buckets keep files
+                # written under historical names, so both carry forward on
+                # every ingest commit (only a provably-full rewrite clears
+                # them — see compact/rebucket)
+                "renamed_cols": mc.get("renamed_cols") or {},
+                "dropped_cols": mc.get("dropped_cols") or [],
                 "bucket_rows": bucket_rows,
                 "applied_epochs": applied_c,
                 "applied_ranges": ranges_c,
@@ -1409,7 +1501,9 @@ class ManifestTable:
             )
         inputs = [self.storage.spark_path(p) for p in cand_rel]
         merged = dedup_latest(
-            self._read_files(inputs, ischema), key_cols, ["ts", "_lsn"]
+            self._read_files(inputs, ischema, renames=m.get("renamed_cols")),
+            key_cols,
+            ["ts", "_lsn"],
         )
         version = m["version"] + 1
         stage_rel = self._staging_relpath(version, f"compact{version}")
@@ -1439,7 +1533,12 @@ class ManifestTable:
             # 40k-row disjoint-stats test pins this).
             from ..functions.zorder import zorder_column
 
-            zc = zorder_column(self._read_files(inputs, ischema), zorder_by)
+            zc = zorder_column(
+                self._read_files(
+                    inputs, ischema, renames=m.get("renamed_cols")
+                ),
+                zorder_by,
+            )
             out = (
                 out.withColumn("_z", zc)
                 .sortWithinPartitions("_pb", "_z")
@@ -1466,6 +1565,14 @@ class ManifestTable:
             for k, v in (m.get("delta_rows") or {}).items()
             if int(k) not in cand
         }
+        # a FULL rewrite (OPTIMIZE covering every bucket, no surviving
+        # deltas) physicalizes metadata-only renames/drops: every live file
+        # now carries the current names, so the shadow maps and the re-add
+        # tombstones can clear — retired names become reusable
+        cset = set(cand)
+        full_rewrite = not delta_files and all(
+            int(b) in cset for b, ps in old_files.items() if ps
+        )
         new_manifest = {
             "version": version,
             "parent": m["version"],
@@ -1483,6 +1590,8 @@ class ManifestTable:
             # reads file_stats directly and needs no ordering guarantee)
             "sorted_by": list(sort_by or []),
             "zordered_by": list(zorder_by or []),
+            "renamed_cols": {} if full_rewrite else (m.get("renamed_cols") or {}),
+            "dropped_cols": [] if full_rewrite else (m.get("dropped_cols") or []),
             "bucket_rows": {
                 **{
                     str(b): r
@@ -1724,7 +1833,9 @@ class ManifestTable:
             }
         key_cols = m["key_cols"]
         ischema = self._internal_schema()
-        df = self._read_files(self._all_files(m), ischema)
+        df = self._read_files(
+            self._all_files(m), ischema, renames=m.get("renamed_cols")
+        )
         if self._all_delta_files(m):
             df = dedup_latest(df, key_cols, ["ts", "_lsn"])
         rebucketed = df.withColumn(
@@ -1746,7 +1857,12 @@ class ManifestTable:
             from ..functions.zorder import zorder_column
 
             zc = zorder_column(
-                self._read_files(self._all_files(m), ischema), zorder_by
+                self._read_files(
+                    self._all_files(m),
+                    ischema,
+                    renames=m.get("renamed_cols"),
+                ),
+                zorder_by,
             )
             out = (
                 out.withColumn("_z", zc)
@@ -1780,6 +1896,10 @@ class ManifestTable:
             "bloom_filter_cols": m.get("bloom_filter_cols") or [],
             "sorted_by": list(sort_by or []),
             "zordered_by": list(zorder_by or []),
+            # a rebucket rewrites EVERY live file under the current names,
+            # so rename shadows / drop tombstones physicalize and clear
+            "renamed_cols": {},
+            "dropped_cols": [],
             "bucket_rows": rows_by_bucket,
             "applied_epochs": m["applied_epochs"],
             "applied_ranges": m.get("applied_ranges") or {},
@@ -2354,6 +2474,172 @@ class ManifestTable:
             "bloom_filter_cols": list(cols),
         }
 
+    def rename_column(self, old: str, new: str) -> dict[str, Any]:
+        """``ALTER TABLE RENAME COLUMN`` — a METADATA-ONLY commit (Iceberg
+        renames via field-ids; this engine records the physical-name
+        history instead, since vanilla parquet resolution is by name).  At
+        100 TB this is the whole point: ZERO data files are rewritten.
+
+        Mechanics: the new manifest carries the renamed schema plus a
+        ``renamed_cols`` chain ``{current: [newest_old, ..., oldest]}``.
+        Reads widen the scan schema with the historical shadow names and
+        coalesce newest-first (``_read_files``) — exact because every file
+        carries exactly ONE physical generation of the column; stats
+        pruning follows the same chain, so old files keep skipping.  Key
+        columns rename freely (bucketing hashes values, not names); every
+        config list referencing the column (``key_cols``, ``stats_cols``,
+        ``bloom_filter_cols``, clustering markers) is updated in the same
+        commit.  The files are identical to the parent's, so the change
+        feed's fast-path chain walk crosses it untouched, and ``changes()``
+        across the rename reports zero phantom updates.
+
+        Constraints: the retired name cannot be re-introduced (by merge
+        schema evolution or a later rename) while live files still carry
+        it — a full rewrite (``rebucket`` or all-bucket
+        ``compact(min_delta_files=0)``) physicalizes current names and
+        frees it.  ``ts`` is the engine's version column and cannot be
+        renamed.  A change stream still emitting the old name fails the
+        next merge loudly (see ``_evolve_schema``); derived tables whose
+        definitions reference the old name must be re-created — their next
+        sync fails in analysis, never silently."""
+        import re as _re
+
+        m = self.manifest()
+        schema = T.StructType.fromJson(m["schema"])
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no column {old!r} in schema (have {names})")
+        if old == "ts":
+            raise ValueError(
+                "ts is the engine's version-ordering column and cannot be "
+                "renamed"
+            )
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        if new in _RESERVED_COLS:
+            raise ValueError(
+                f"{new!r} is an engine-reserved name "
+                f"(op/lsn/_lsn/_deleted/_bucket/_pb/_z)"
+            )
+        if new in self._tombstoned_names(m):
+            raise ValueError(
+                f"{new!r} was previously dropped or renamed away and live "
+                f"files still carry it — physicalize first "
+                f"(rebucket / compact(min_delta_files=0))"
+            )
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", new):
+            raise ValueError(f"invalid column name {new!r}")
+
+        ren = {k: list(v) for k, v in (m.get("renamed_cols") or {}).items()}
+        ren[new] = [old] + ren.pop(old, [])
+        fields = [
+            T.StructField(new, f.dataType, f.nullable) if f.name == old else f
+            for f in schema.fields
+        ]
+
+        def sub(c: str) -> str:
+            return new if c == old else c
+
+        version = m["version"] + 1
+        new_manifest = {
+            **m,
+            "version": version,
+            "parent": m["version"],
+            "epoch_id": f"rename:{old}>{new}",
+            "schema": T.StructType(fields).jsonValue(),
+            "key_cols": [sub(c) for c in m["key_cols"]],
+            "stats_cols": [sub(c) for c in (m.get("stats_cols") or [])],
+            "bloom_filter_cols": [
+                sub(c) for c in (m.get("bloom_filter_cols") or [])
+            ],
+            "sorted_by": [sub(c) for c in (m.get("sorted_by") or [])],
+            "zordered_by": [sub(c) for c in (m.get("zordered_by") or [])],
+            "renamed_cols": ren,
+            "added_cols": [],
+            "committed_at": time.time(),
+        }
+        try:
+            self._publish(new_manifest)
+        except ManifestConflict:
+            return {
+                "status": "Skipped",
+                "reason": "lost manifest race to a concurrent writer",
+                "version": self.current_version(),
+            }
+        return {"status": "Success", "version": version, "renamed": {old: new}}
+
+    def drop_column(self, name: str) -> dict[str, Any]:
+        """``ALTER TABLE DROP COLUMN`` — a METADATA-ONLY commit: the column
+        leaves the schema; no data file is rewritten (reads project by the
+        manifest schema, so parquet column pruning stops even scanning the
+        dropped bytes).  Physical removal rides the normal rewrite
+        lifecycle — compaction on the tail cadence, or at once with
+        ``compact(min_delta_files=0)`` — the same logical-then-physical
+        contract as the engine's row-level deletes.
+
+        The dropped name (plus its whole rename history) is tombstoned in
+        ``dropped_cols``: re-introducing it while live files still carry
+        the bytes would RESURRECT stale values under name-based parquet
+        resolution, so merges and renames reject it until a full rewrite
+        clears the tombstones.  Key columns and ``ts`` (the version
+        column) cannot be dropped; the column is auto-removed from
+        ``stats_cols`` / ``bloom_filter_cols`` / clustering markers in the
+        same commit."""
+        m = self.manifest()
+        schema = T.StructType.fromJson(m["schema"])
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise ValueError(f"no column {name!r} in schema (have {names})")
+        if name in m["key_cols"]:
+            raise ValueError(
+                f"{name!r} is a key column — keys identify rows and route "
+                f"buckets; dropping one changes table identity (create a "
+                f"new table)"
+            )
+        if name == "ts":
+            raise ValueError(
+                "ts is the engine's version-ordering column and cannot be "
+                "dropped"
+            )
+        ren = {k: list(v) for k, v in (m.get("renamed_cols") or {}).items()}
+        chain = [name] + ren.pop(name, [])
+        dropped = list(m.get("dropped_cols") or []) + chain
+        version = m["version"] + 1
+        new_manifest = {
+            **m,
+            "version": version,
+            "parent": m["version"],
+            "epoch_id": f"drop-column:{name}",
+            "schema": T.StructType(
+                [f for f in schema.fields if f.name != name]
+            ).jsonValue(),
+            "stats_cols": [
+                c for c in (m.get("stats_cols") or []) if c != name
+            ],
+            "bloom_filter_cols": [
+                c for c in (m.get("bloom_filter_cols") or []) if c != name
+            ],
+            "sorted_by": [
+                c for c in (m.get("sorted_by") or []) if c != name
+            ],
+            "zordered_by": [
+                c for c in (m.get("zordered_by") or []) if c != name
+            ],
+            "renamed_cols": ren,
+            "dropped_cols": dropped,
+            "added_cols": [],
+            "committed_at": time.time(),
+        }
+        try:
+            self._publish(new_manifest)
+        except ManifestConflict:
+            return {
+                "status": "Skipped",
+                "reason": "lost manifest race to a concurrent writer",
+                "version": self.current_version(),
+            }
+        return {"status": "Success", "version": version, "dropped": name}
+
     # ---------- named refs (Iceberg tags analogue) ----------
 
     def tag(
@@ -2691,6 +2977,7 @@ class ManifestTable:
         return self._read_files(
             [self.storage.spark_path(p) for p in added],
             self._internal_schema(tv),
+            renames=mb.get("renamed_cols"),
         )
 
     # candidate-key sets larger than this skip the broadcast semi-join and
@@ -2821,7 +3108,19 @@ class ManifestTable:
                 f"from_version {from_version} is newer than to_version {tv}"
             )
         ma, mb = self.manifest(from_version), self.manifest(tv)
-        if ma["key_cols"] != mb["key_cols"]:
+        # metadata-only renames inside the range: map every FROM-side name
+        # to its TO-side current name through the TO manifest's rename
+        # chains, so a rename surfaces as ZERO changes (the rows didn't
+        # move) instead of a phantom null-pre-image update of every key
+        renb = mb.get("renamed_cols") or {}
+
+        def _to_current(name: str) -> str:
+            for cur, olds in renb.items():
+                if name in olds:
+                    return cur
+            return name
+
+        if [_to_current(k) for k in ma["key_cols"]] != list(mb["key_cols"]):
             raise ValueError("key columns changed between the snapshots")
         key_cols = list(mb["key_cols"])
         to_schema = T.StructType.fromJson(mb["schema"])
@@ -2845,9 +3144,15 @@ class ManifestTable:
             return self.spark.createDataFrame([], out_schema)
 
         a = self.read(version=from_version)
-        for f in to_schema.fields:  # additive evolution: align FROM to TO
+        for f in to_schema.fields:  # schema evolution: align FROM to TO
             if f.name not in a.columns:
-                a = a.withColumn(f.name, F.lit(None).cast(f.dataType))
+                old = next(
+                    (o for o in renb.get(f.name, ()) if o in a.columns), None
+                )
+                if old is not None:  # renamed inside the range: same data
+                    a = a.withColumnRenamed(old, f.name)
+                else:  # added inside the range: backfill reads as null
+                    a = a.withColumn(f.name, F.lit(None).cast(f.dataType))
         a = a.select(*[f.name for f in to_schema.fields])
         b = self.read(version=tv)
 
@@ -2861,6 +3166,7 @@ class ManifestTable:
                 self._read_files(
                     [self.storage.spark_path(p) for p in added],
                     self._internal_schema(tv),
+                    renames=mb.get("renamed_cols"),
                 )
                 .select(*key_cols)
                 .distinct()

@@ -11,6 +11,8 @@ MOR pattern — Iceberg/Paimon/Hudi compaction services)::
     ... maintain.py --table /lake/transcripts expire --older-than 2026-08-01
     ... maintain.py --table /lake/transcripts sync-mv --mv /lake/conv_rollup
     ... maintain.py --table /lake/transcripts quarantine [--clear]
+    ... maintain.py --table /lake/transcripts rename-column --old tool --new tool_name
+    ... maintain.py --table /lake/transcripts drop-column --name tool
     ... maintain.py --table /lake/transcripts branch --name audit-0817
     ... maintain.py --table /lake/transcripts publish --name audit-0817
     ... maintain.py --table /lake/transcripts drop-branch --name audit-0817
@@ -138,6 +140,21 @@ def main() -> int:
         "--min-delta-files 0`)",
     )
     sbl.add_argument("--cols", required=True, help="comma-separated columns")
+    srn = sub.add_parser(
+        "rename-column",
+        help="ALTER TABLE RENAME COLUMN (metadata-only — zero files "
+        "rewritten; old files read through the physical-name shadow "
+        "chain; physicalize with rebucket / compact --min-delta-files 0)",
+    )
+    srn.add_argument("--old", required=True)
+    srn.add_argument("--new", required=True)
+    sdc = sub.add_parser(
+        "drop-column",
+        help="ALTER TABLE DROP COLUMN (metadata-only — zero files "
+        "rewritten; physical bytes removed by the next rewrite; the name "
+        "is tombstoned against re-adding until a full rewrite)",
+    )
+    sdc.add_argument("--name", required=True)
     sb = sub.add_parser(
         "branch",
         help="fork a write branch at a snapshot (write-audit-publish)",
@@ -260,6 +277,10 @@ def main() -> int:
         out = t.set_stats_cols(args.cols.split(","))
     elif args.op == "set-bloom":
         out = t.set_bloom_filter_cols(args.cols.split(","))
+    elif args.op == "rename-column":
+        out = t.rename_column(args.old, args.new)
+    elif args.op == "drop-column":
+        out = t.drop_column(args.name)
     elif args.op == "branch":
         b = t.create_branch(args.name, version=args.version)
         out = {
