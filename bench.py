@@ -66,6 +66,7 @@ HEADLINE = [
     "cdc_branch_wap",
     "cdc_delete_where",
     "cdc_update_where",
+    "cdc_rename_drop_column",
     "mv_incremental_rollup",
     "events_asof_last_error",
     "events_range_join",
