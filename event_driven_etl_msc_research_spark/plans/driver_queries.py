@@ -694,6 +694,93 @@ FROM (
 """
 
 
+def cdc_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General MERGE INTO with user clauses on driver data
+    (``ManifestTable.merge_into``): the ``cdc_merge_events`` table, then
+    one statement merging a per-user aggregate source —
+
+      WHEN MATCHED AND t.event_type = 'click' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET value = t.value + s.total
+      WHEN NOT MATCHED THEN INSERT (event_type 'backfill', value s.total,
+                                    ts s.last_ts)
+
+    The NOT MATCHED keys are exactly the error-latest users whose keys
+    the CDC merge tombstoned, so the insert-over-tombstone path (stamp
+    outranks the tombstone — Iceberg DELETE-then-MERGE re-insert) runs
+    on driver data too.  Oracle: latest event per user with click-latest
+    removed and value bumped by the user's total, unioned with backfill
+    rows for error-latest users."""
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("event_id").alias("lsn"),
+        F.col("ts").cast("timestamp"),
+        F.col("user_id").cast("string").alias("user_key"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_key", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_merge_into_")
+    table = ManifestTable.create(
+        spark, root, payload, key_cols=["user_key"], n_buckets=8
+    )
+    table.merge(changes, epoch_id=0, epoch_scope="driver", mode="delta")
+    source = ev.groupBy(F.col("user_id").cast("string").alias("user_key")).agg(
+        F.sum("value").alias("total"),
+        F.max(F.col("ts").cast("timestamp")).alias("last_ts"),
+    )
+    table.merge_into(
+        source,
+        epoch_id=1,
+        when_matched_delete="t.event_type = 'click'",
+        when_matched_update={"value": "t.value + s.total"},
+        when_not_matched_insert={
+            "ts": "s.last_ts",
+            "event_type": "'backfill'",
+            "value": "s.total",
+        },
+        validate_source_unique=False,  # unique by construction (groupBy)
+    )
+    return table.read().select(
+        "user_key",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        "event_type",
+        "value",
+    )
+
+
+CDC_MERGE_INTO_SQL = f"""
+WITH latest AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+), agg AS (
+  SELECT user_id, SUM(value) AS total, MAX(ts) AS last_ts
+  FROM events GROUP BY user_id
+)
+SELECT CAST(l.user_id AS VARCHAR) AS user_key,
+       strftime(l.ts, '{_TS_FMT_DUCK}') AS ts, l.event_type,
+       l.value + a.total AS value
+FROM latest l JOIN agg a ON l.user_id = a.user_id
+WHERE l.event_type NOT IN ('error', 'click')
+UNION ALL
+SELECT CAST(a.user_id AS VARCHAR) AS user_key,
+       strftime(a.last_ts, '{_TS_FMT_DUCK}') AS ts,
+       'backfill' AS event_type, a.total AS value
+FROM agg a JOIN latest l ON a.user_id = l.user_id
+WHERE l.event_type = 'error'
+"""
+
+
 def cdc_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The write-audit-publish lifecycle on driver data: the same change
     stream as ``cdc_merge_events_delta`` split at the deterministic
@@ -2184,6 +2271,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_rename_drop_column": (cdc_rename_drop_column, CDC_RENAME_DROP_SQL),
     "cdc_delete_where": (cdc_delete_where, CDC_DELETE_SQL),
     "cdc_update_where": (cdc_update_where, CDC_UPDATE_SQL),
+    "cdc_merge_into": (cdc_merge_into, CDC_MERGE_INTO_SQL),
     "cdc_events_time_window": (cdc_events_time_window, CDC_TIME_WINDOW_SQL),
     "cdc_events_zorder_window": (cdc_events_zorder_window, CDC_ZORDER_WINDOW_SQL),
     "cdc_table_changes": (cdc_table_changes, CDC_CHANGES_SQL),

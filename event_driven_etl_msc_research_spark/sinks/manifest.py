@@ -2281,6 +2281,275 @@ class ManifestTable:
             **merge_kwargs,
         )
 
+    def _folded_state(self) -> DataFrame:
+        """Current per-key folded state INCLUDING delete tombstones (what
+        :meth:`read` computes before its ``_deleted`` filter).  merge_into
+        needs the tombstones: an insert over a tombstoned key must stamp a
+        version that outranks the tombstone, which requires seeing it."""
+        m = self.manifest()
+        ischema = self._internal_schema()
+        base = [
+            self.storage.spark_path(p)
+            for paths in m["files"].values()
+            for p in paths
+        ]
+        deltas = self._all_delta_files(m)
+        df = self._read_files(
+            base + deltas, ischema, renames=m.get("renamed_cols")
+        )
+        if deltas:
+            df = dedup_latest(df, m["key_cols"], ["ts", "_lsn"])
+        return df
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        epoch_id: int,
+        when_matched_update: dict[str, str] | str | None = None,
+        matched_condition: str | None = None,
+        when_matched_delete: bool | str = False,
+        when_not_matched_insert: dict[str, str] | str | None = None,
+        not_matched_condition: str | None = None,
+        not_matched_by_source_delete: bool | str = False,
+        epoch_scope: str = "merge_into",
+        mode: str = "delta",
+        validate_source_unique: bool = True,
+        **merge_kwargs,
+    ) -> dict[str, Any]:
+        """General ``MERGE INTO t USING source ON t.key = s.key`` with
+        user clauses — the Delta/Iceberg MERGE surface, compiled down to
+        one change batch through :meth:`merge` so it inherits exactly-once
+        by epoch, delta-mode O(affected rows) cost, the change feed, and
+        incremental MV sync.  (:meth:`merge` itself is the CDC fast path:
+        a pre-shaped op/lsn/ts change batch; this is the DML verb for
+        callers holding an arbitrary source frame.)
+
+        The ON condition is fixed to the table's key columns (null-safe
+        equality) — that is what makes the apply key-partitionable and the
+        per-key version fold correct; an arbitrary ON predicate is a
+        different operator (a join), not an upsert.
+
+        Clauses (each optional; at least one required):
+
+        - ``when_matched_delete`` — ``True`` or a SQL condition over
+          ``s.*``/``t.*``.  Evaluated FIRST on matched live rows (the
+          standard MERGE idiom puts the narrowing delete clause first).
+        - ``when_matched_update`` — ``"all"`` (every non-key payload
+          column except ``ts`` ← source's same-named column) or a dict
+          ``{col: sql_expr}`` where expressions may reference ``s.<col>``
+          and ``t.<col>``; unlisted columns keep the target value.
+          ``matched_condition`` narrows it.  Applies to matched live rows
+          the delete clause did not take.
+        - ``when_not_matched_insert`` — ``"all"`` (every payload column ←
+          source's same-named column) or ``{col: sql_expr}`` over
+          ``s.*``; unlisted columns insert as null, except ``ts`` which
+          must be supplied (it is the version column).
+          ``not_matched_condition`` narrows it.
+        - ``not_matched_by_source_delete`` — ``True`` or a condition over
+          ``t.*``: delete live target rows with NO source row (Delta's
+          WHEN NOT MATCHED BY SOURCE; the sync-from-snapshot idiom).
+          Requires a full-outer join; without it the plan is a cheaper
+          left join from the source.
+
+        CDC-consistent versioning (same contract as :meth:`update_where`
+        / :meth:`delete_where`): every matched-row verb is stamped
+        ``(t.ts, t._lsn + 1)`` — outranks exactly the version it read,
+        loses to genuinely newer WAL changes.  An insert over a DELETE
+        TOMBSTONE is stamped ``(greatest(insert ts, tombstone ts),
+        tombstone lsn + 1)`` so MERGE insert semantics beat the tombstone
+        (Iceberg MERGE re-insert after DELETE) while an out-of-order
+        older WAL change still cannot shadow it.  A fresh insert carries
+        its own ``ts`` and lsn 1.
+
+        ``validate_source_unique`` (default on) runs one small count job
+        rejecting sources with duplicate keys — the MERGE cardinality
+        violation Delta/Iceberg raise at runtime; pass ``False`` when the
+        source is unique by construction.
+        """
+        if not any(
+            [
+                when_matched_update,
+                when_matched_delete,
+                when_not_matched_insert,
+                not_matched_by_source_delete,
+            ]
+        ):
+            raise ValueError("merge_into needs at least one clause")
+        if when_matched_delete is True and when_matched_update:
+            raise ValueError(
+                "when_matched_delete=True (unconditional) makes the update "
+                "clause unreachable — give the delete clause a condition"
+            )
+        m = self.manifest()
+        key_cols = list(m["key_cols"])
+        fields = list(self.schema().fields)
+        names = {f.name for f in fields}
+        payload_nonkey = [
+            f.name for f in fields if f.name not in key_cols and f.name != "ts"
+        ]
+        missing_keys = [k for k in key_cols if k not in source.columns]
+        if missing_keys:
+            raise ValueError(f"source lacks key columns: {missing_keys}")
+        if isinstance(when_matched_update, dict):
+            bad = [c for c in when_matched_update if c not in names]
+            if bad:
+                raise ValueError(f"update columns not in schema: {bad}")
+            imm = [
+                c for c in when_matched_update if c in key_cols or c == "ts"
+            ]
+            if imm:
+                raise ValueError(
+                    f"cannot update {imm}: key columns identify the row and "
+                    "ts is the version column"
+                )
+        elif when_matched_update == "all":
+            lacking = [c for c in payload_nonkey if c not in source.columns]
+            if lacking:
+                raise ValueError(
+                    f'update "all" needs source columns: {lacking}'
+                )
+        elif when_matched_update is not None:
+            raise ValueError('when_matched_update must be "all" or a dict')
+        ins_map: dict[str, str] | None = None
+        if isinstance(when_not_matched_insert, dict):
+            bad = [c for c in when_not_matched_insert if c not in names]
+            if bad:
+                raise ValueError(f"insert columns not in schema: {bad}")
+            ins_map = dict(when_not_matched_insert)
+            if "ts" not in ins_map:
+                if "ts" not in source.columns:
+                    raise ValueError(
+                        "insert clause must supply ts (the version column) "
+                        "— add it to the dict or the source"
+                    )
+                ins_map["ts"] = "s.ts"
+        elif when_not_matched_insert == "all":
+            lacking = [
+                f.name for f in fields if f.name not in source.columns
+            ]
+            if lacking:
+                raise ValueError(
+                    f'insert "all" needs source columns: {lacking}'
+                )
+            ins_map = {f.name: f"s.{f.name}" for f in fields}
+        elif when_not_matched_insert is not None:
+            raise ValueError('when_not_matched_insert must be "all" or a dict')
+
+        if validate_source_unique:
+            dup = (
+                source.groupBy(*key_cols)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    "source has duplicate keys (MERGE cardinality "
+                    f"violation), e.g. {dup[0].asDict()}"
+                )
+
+        s = source.withColumn("_s_exists", F.lit(True)).alias("s")
+        t = self._folded_state().withColumn("_t_exists", F.lit(True)).alias("t")
+        on = functools.reduce(
+            lambda x, y: x & y,
+            [F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}")) for k in key_cols],
+        )
+        how = "full_outer" if not_matched_by_source_delete else "left_outer"
+        j = s.join(t, on, how)
+
+        s_ex = F.col("s._s_exists").isNotNull()
+        t_ex = F.col("t._t_exists").isNotNull()
+        tomb = t_ex & F.coalesce(F.col("t._deleted"), F.lit(False))
+        live = t_ex & ~F.coalesce(F.col("t._deleted"), F.lit(False))
+
+        def _cond(c: bool | str | None) -> "F.Column":
+            return F.expr(c) if isinstance(c, str) else F.lit(True)
+
+        # clause order is fixed and documented: matched-delete, matched-
+        # update, not-matched-insert, not-matched-by-source-delete.
+        # Internal verbs: D/S fold to op 'D', U/I to op 'U'.
+        verb = F.lit(None).cast("string")
+        if not_matched_by_source_delete:
+            verb = F.when(
+                ~s_ex & live & _cond(not_matched_by_source_delete), "S"
+            ).otherwise(verb)
+        if ins_map is not None:
+            verb = F.when(
+                s_ex & ~live & _cond(not_matched_condition), "I"
+            ).otherwise(verb)
+        if when_matched_update:
+            verb = F.when(
+                s_ex & live & _cond(matched_condition), "U"
+            ).otherwise(verb)
+        if when_matched_delete:
+            verb = F.when(
+                s_ex & live & _cond(when_matched_delete), "D"
+            ).otherwise(verb)
+
+        def _upd_val(f: T.StructField) -> "F.Column":
+            if when_matched_update == "all":
+                src_c = (
+                    F.col(f"s.{f.name}")
+                    if f.name in payload_nonkey
+                    else F.col(f"t.{f.name}")
+                )
+                return src_c
+            if when_matched_update and f.name in when_matched_update:
+                return F.expr(when_matched_update[f.name])
+            return F.col(f"t.{f.name}")
+
+        def _ins_val(f: T.StructField) -> "F.Column":
+            if ins_map is not None and f.name in ins_map:
+                return F.expr(ins_map[f.name])
+            return F.lit(None)
+
+        ins_ts = _ins_val(next(f for f in fields if f.name == "ts")) if (
+            ins_map is not None
+        ) else F.lit(None)
+        ts_type = next(f.dataType for f in fields if f.name == "ts")
+        out_ts = (
+            F.when(F.col("_verb").isin("D", "S", "U"), F.col("t.ts"))
+            .when(
+                F.col("_verb") == "I",
+                F.when(
+                    tomb, F.greatest(ins_ts.cast(ts_type), F.col("t.ts"))
+                ).otherwise(ins_ts.cast(ts_type)),
+            )
+        )
+
+        def _out(f: T.StructField) -> "F.Column":
+            if f.name in key_cols:
+                v = F.coalesce(F.col(f"s.{f.name}"), F.col(f"t.{f.name}"))
+            elif f.name == "ts":
+                v = out_ts
+            else:
+                v = (
+                    F.when(F.col("_verb") == "U", _upd_val(f))
+                    .when(F.col("_verb") == "I", _ins_val(f))
+                    .otherwise(F.lit(None))
+                )
+            return v.cast(f.dataType).alias(f.name)
+
+        batch = (
+            j.withColumn("_verb", verb)
+            .filter(F.col("_verb").isNotNull())
+            .select(
+                F.when(F.col("_verb").isin("D", "S"), F.lit("D"))
+                .otherwise(F.lit("U"))
+                .alias("op"),
+                (F.coalesce(F.col("t._lsn"), F.lit(0)) + 1).alias("lsn"),
+                *[_out(f) for f in fields],
+            )
+        )
+        return self.merge(
+            batch,
+            epoch_id=epoch_id,
+            epoch_scope=epoch_scope,
+            mode=mode,
+            **merge_kwargs,
+        )
+
     def check(
         self, version: int | None = None, verify_rows: bool = False
     ) -> dict[str, Any]:
