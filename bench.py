@@ -67,6 +67,7 @@ HEADLINE = [
     "cdc_delete_where",
     "cdc_update_where",
     "cdc_rename_drop_column",
+    "cdc_merge_into",
     "mv_incremental_rollup",
     "events_asof_last_error",
     "events_range_join",

@@ -2314,6 +2314,7 @@ class ManifestTable:
         epoch_scope: str = "merge_into",
         mode: str = "delta",
         validate_source_unique: bool = True,
+        evolve_schema: bool = False,
         **merge_kwargs,
     ) -> dict[str, Any]:
         """General ``MERGE INTO t USING source ON t.key = s.key`` with
@@ -2365,6 +2366,16 @@ class ManifestTable:
         rejecting sources with duplicate keys — the MERGE cardinality
         violation Delta/Iceberg raise at runtime; pass ``False`` when the
         source is unique by construction.
+
+        ``evolve_schema`` (Delta's ``withSchemaEvolution()``): when True,
+        source columns absent from the table schema flow through the
+        statement — ``"all"`` clauses copy them, dict clauses may assign
+        to them — and the batch rides :meth:`merge`'s additive evolution
+        (new nullable column; rows the statement did not touch read
+        null).  When False (default, Delta's default too), ``"all"``
+        clauses ignore extra source columns and a dict assigning to an
+        unknown column raises.  Reserved and tombstoned names are
+        rejected before any job either way.
         """
         if not any(
             [
@@ -2390,10 +2401,26 @@ class ManifestTable:
         missing_keys = [k for k in key_cols if k not in source.columns]
         if missing_keys:
             raise ValueError(f"source lacks key columns: {missing_keys}")
+        # evolve_schema: names the statement introduces, in first-seen
+        # order.  "all" clauses contribute extra source columns; dict
+        # clauses contribute unknown assignment targets.  The emitted
+        # batch carries them and merge()'s additive evolution lands them.
+        new_cols: list[str] = []
+
+        def _introduce(col: str) -> None:
+            if col not in new_cols:
+                new_cols.append(col)
+
+        src_extras = [c for c in source.columns if c not in names]
         if isinstance(when_matched_update, dict):
             bad = [c for c in when_matched_update if c not in names]
-            if bad:
-                raise ValueError(f"update columns not in schema: {bad}")
+            if bad and not evolve_schema:
+                raise ValueError(
+                    f"update columns not in schema: {bad} "
+                    "(pass evolve_schema=True to add them)"
+                )
+            for c in bad:
+                _introduce(c)
             imm = [
                 c for c in when_matched_update if c in key_cols or c == "ts"
             ]
@@ -2408,13 +2435,21 @@ class ManifestTable:
                 raise ValueError(
                     f'update "all" needs source columns: {lacking}'
                 )
+            if evolve_schema:
+                for c in src_extras:
+                    _introduce(c)
         elif when_matched_update is not None:
             raise ValueError('when_matched_update must be "all" or a dict')
         ins_map: dict[str, str] | None = None
         if isinstance(when_not_matched_insert, dict):
             bad = [c for c in when_not_matched_insert if c not in names]
-            if bad:
-                raise ValueError(f"insert columns not in schema: {bad}")
+            if bad and not evolve_schema:
+                raise ValueError(
+                    f"insert columns not in schema: {bad} "
+                    "(pass evolve_schema=True to add them)"
+                )
+            for c in bad:
+                _introduce(c)
             ins_map = dict(when_not_matched_insert)
             if "ts" not in ins_map:
                 if "ts" not in source.columns:
@@ -2432,8 +2467,26 @@ class ManifestTable:
                     f'insert "all" needs source columns: {lacking}'
                 )
             ins_map = {f.name: f"s.{f.name}" for f in fields}
+            if evolve_schema:
+                for c in src_extras:
+                    _introduce(c)
+                    ins_map[c] = f"s.{c}"
         elif when_not_matched_insert is not None:
             raise ValueError('when_not_matched_insert must be "all" or a dict')
+        if new_cols:
+            clash = [c for c in new_cols if c in _RESERVED_COLS]
+            if clash:
+                raise ValueError(
+                    f"cannot evolve reserved column names {clash} "
+                    "(op/lsn/_lsn/_deleted/_bucket/_pb/_z)"
+                )
+            dead = [c for c in new_cols if c in self._tombstoned_names(m)]
+            if dead:
+                raise ValueError(
+                    f"cannot evolve {dead}: dropped/renamed-away names whose "
+                    "bytes live files still carry — physicalize first "
+                    "(rebucket / compact(min_delta_files=0))"
+                )
 
         if validate_source_unique:
             dup = (
@@ -2531,6 +2584,30 @@ class ManifestTable:
                 )
             return v.cast(f.dataType).alias(f.name)
 
+        def _out_new(c: str) -> "F.Column":
+            # evolved column: no table side exists yet.  Update takes the
+            # source column ("all") or the user expression; insert takes
+            # the ins_map expression; delete verbs null.  Types come from
+            # the analyzer's when/otherwise common type (a clash between
+            # the update and insert expressions fails loudly at analysis).
+            if when_matched_update == "all":
+                upd = F.col(f"s.{c}")
+            elif when_matched_update and c in when_matched_update:
+                upd = F.expr(when_matched_update[c])
+            else:
+                upd = F.lit(None)
+            ins = (
+                F.expr(ins_map[c])
+                if ins_map is not None and c in ins_map
+                else F.lit(None)
+            )
+            return (
+                F.when(F.col("_verb") == "U", upd)
+                .when(F.col("_verb") == "I", ins)
+                .otherwise(F.lit(None))
+                .alias(c)
+            )
+
         batch = (
             j.withColumn("_verb", verb)
             .filter(F.col("_verb").isNotNull())
@@ -2540,6 +2617,7 @@ class ManifestTable:
                 .alias("op"),
                 (F.coalesce(F.col("t._lsn"), F.lit(0)) + 1).alias("lsn"),
                 *[_out(f) for f in fields],
+                *[_out_new(c) for c in new_cols],
             )
         )
         return self.merge(

@@ -254,3 +254,95 @@ def test_merge_into_cow_mode(spark, table):
     st = _state(table)
     assert st[("c0", 0)][0] == "cow"
     assert st[("c9", 0)] == ("fresh", None)
+
+def test_merge_into_schema_evolution(spark, table):
+    """evolve_schema=True (Delta withSchemaEvolution parity): extra
+    source columns flow through "all" clauses and dict assignments as
+    additive evolution; untouched rows read null; default is strict."""
+    src = _source(
+        spark, [("c0", 0, "patched", 9000), ("c9", 0, "fresh", 9000)]
+    ).withColumn("score", F.lit(7).cast("int"))
+
+    # default: dict assigning an unknown column is rejected
+    with pytest.raises(ValueError, match="evolve_schema=True"):
+        table.merge_into(
+            src, epoch_id=2, when_matched_update={"score": "s.score"},
+        )
+
+    table.merge_into(
+        src,
+        epoch_id=2,
+        when_matched_update={"text": "s.text", "score": "s.score * 10"},
+        when_not_matched_insert={
+            "text": "s.text", "ts": "s.ts", "score": "s.score",
+        },
+        evolve_schema=True,
+    )
+    assert "score" in [f.name for f in table.schema().fields]
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["text"], r["score"])
+        for r in table.read().collect()
+    }
+    assert got[("c0", 0)] == ("patched", 70)   # update expression
+    assert got[("c9", 0)] == ("fresh", 7)      # insert expression
+    assert got[("c1", 0)] == ("text-1", None)  # untouched → null
+
+    # the evolved column is ordinary payload afterwards: WAL merges and
+    # further merge_intos see it like any other column
+    table.merge_into(
+        _source(spark, [("c1", 0, "later", 9500)]).withColumn(
+            "score", F.lit(3).cast("int")
+        ),
+        epoch_id=3,
+        when_matched_update={"text": "s.text", "score": "s.score"},
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["score"]
+        for r in table.read().collect()
+    }
+    assert got[("c1", 0)] == 3
+
+
+def test_merge_into_evolution_all_clauses_and_guards(spark, table):
+    """"all" clauses copy extras only under evolve_schema; reserved and
+    tombstoned names are rejected before any job."""
+    src = (
+        _source(spark, [("c0", 0, "x", 9000)])
+        .withColumn("extra", F.lit("e"))
+        .withColumn("role", F.lit("user"))
+    )
+
+    # strict default: "all" silently ignores the extra column
+    table.merge_into(
+        src, epoch_id=2, when_matched_update={"text": "s.text"},
+    )
+    assert "extra" not in [f.name for f in table.schema().fields]
+
+    with pytest.raises(ValueError, match="reserved"):
+        table.merge_into(
+            src.withColumnRenamed("extra", "_bucket"),
+            epoch_id=3,
+            when_matched_update={"_bucket": "s._bucket"},
+            evolve_schema=True,
+        )
+
+    # a dropped column's name is tombstoned until a full rewrite
+    table.drop_column("tool")
+    with pytest.raises(ValueError, match="physicalize"):
+        table.merge_into(
+            src.withColumnRenamed("extra", "tool"),
+            epoch_id=3,
+            when_matched_update={"tool": "s.tool"},
+            evolve_schema=True,
+        )
+
+    # update "all" + evolve: extras ride along for matched rows
+    table.merge_into(
+        src, epoch_id=4, when_matched_update="all", evolve_schema=True,
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["extra"]
+        for r in table.read().collect()
+    }
+    assert got[("c0", 0)] == "e"
+    assert got[("c1", 0)] is None
