@@ -68,6 +68,7 @@ HEADLINE = [
     "cdc_update_where",
     "cdc_rename_drop_column",
     "cdc_merge_into",
+    "cdc_check_constraints",
     "mv_incremental_rollup",
     "events_asof_last_error",
     "events_range_join",

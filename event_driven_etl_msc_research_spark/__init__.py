@@ -26,7 +26,12 @@ from .schemas import (
 from .session import get_spark
 from .operators.dedup import dedup_latest, salted_repartition
 from .sinks.derived import DerivedTable
-from .sinks.manifest import ManifestTable
+from .sinks.manifest import (
+    ConstraintViolationError,
+    ManifestConflict,
+    ManifestTable,
+    SchemaEvolutionError,
+)
 from .sinks.storage import FakeObjectStorage, LocalFSStorage, TableStorage
 from .streaming.engine import CDCEngine
 
@@ -39,6 +44,9 @@ __all__ = [
     "salted_repartition",
     "DerivedTable",
     "ManifestTable",
+    "ManifestConflict",
+    "SchemaEvolutionError",
+    "ConstraintViolationError",
     "TableStorage",
     "LocalFSStorage",
     "FakeObjectStorage",

@@ -781,6 +781,89 @@ WHERE l.event_type = 'error'
 """
 
 
+def cdc_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time CHECK constraints on driver data (Delta ``ADD
+    CONSTRAINT`` parity): the ``cdc_merge_events`` table created with
+    ``{"value_nonneg": "value >= 0", "type_nn": "event_type IS NOT
+    NULL"}``, first half merged clean, then a POISONED second half (click
+    values negated) — the whole epoch is rejected before publish
+    (``ConstraintViolationError``, snapshot untouched, asserted in-line) —
+    then the clean second half applies under the same epoch id.  Delete
+    tombstones (op='D' error events) flow through the constrained merges
+    untouched, exercising the exemption.  Oracle: the plain
+    latest-per-user state — exactly because the poisoned epoch left no
+    trace."""
+    from ..sinks.manifest import ConstraintViolationError
+
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("event_id").alias("lsn"),
+        F.col("ts").cast("timestamp"),
+        F.col("user_id").cast("string").alias("user_key"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_key", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    mid = (lo + hi) // 2
+    root = tempfile.mkdtemp(prefix="cdc_check_constraints_")
+    table = ManifestTable.create(
+        spark,
+        root,
+        payload,
+        key_cols=["user_key"],
+        n_buckets=8,
+        constraints={
+            "value_nonneg": "value >= 0",
+            "type_nn": "event_type IS NOT NULL",
+        },
+    )
+    table.merge(
+        changes.filter(F.col("lsn") <= mid), 0, mode="delta", epoch_scope="d"
+    )
+    second = changes.filter(F.col("lsn") > mid)
+    poisoned = second.withColumn(
+        "value",
+        F.when(
+            (F.col("op") == "U") & (F.col("event_type") == "click"),
+            -F.col("value") - F.lit(1.0),
+        ).otherwise(F.col("value")),
+    )
+    v_before = table.current_version()
+    try:
+        table.merge(poisoned, 1, mode="delta", epoch_scope="d")
+        raise AssertionError("poisoned epoch must be rejected")
+    except ConstraintViolationError as e:
+        assert "value_nonneg" in str(e), e
+    assert table.current_version() == v_before, "rejected epoch published"
+    table.merge(second, 1, mode="delta", epoch_scope="d")
+    return table.read().select(
+        "user_key",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        "event_type",
+        "value",
+    )
+
+
+CDC_CHECK_CONSTRAINTS_SQL = f"""
+SELECT CAST(user_id AS VARCHAR) AS user_key,
+       strftime(ts, '{_TS_FMT_DUCK}') AS ts, event_type, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type != 'error'
+"""
+
+
 def cdc_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The write-audit-publish lifecycle on driver data: the same change
     stream as ``cdc_merge_events_delta`` split at the deterministic
@@ -2272,6 +2355,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_delete_where": (cdc_delete_where, CDC_DELETE_SQL),
     "cdc_update_where": (cdc_update_where, CDC_UPDATE_SQL),
     "cdc_merge_into": (cdc_merge_into, CDC_MERGE_INTO_SQL),
+    "cdc_check_constraints": (cdc_check_constraints, CDC_CHECK_CONSTRAINTS_SQL),
     "cdc_events_time_window": (cdc_events_time_window, CDC_TIME_WINDOW_SQL),
     "cdc_events_zorder_window": (cdc_events_zorder_window, CDC_ZORDER_WINDOW_SQL),
     "cdc_table_changes": (cdc_table_changes, CDC_CHANGES_SQL),

@@ -67,6 +67,14 @@ class SchemaEvolutionError(ValueError):
     pass
 
 
+class ConstraintViolationError(ValueError):
+    """A change batch contains rows that fail a table CHECK constraint
+    (Delta Lake ``DeltaInvariantViolationException`` analogue).  Raised
+    BEFORE publish: the staged files are unreferenced and the table
+    snapshot is untouched — the epoch can be retried after fixing the
+    data or dropping the constraint."""
+
+
 class ManifestConflict(RuntimeError):
     """Another writer committed this manifest version first (optimistic
     concurrency loss).  ``merge`` catches it and rebases; see
@@ -303,6 +311,7 @@ class ManifestTable:
         stats_cols: list[str] | None = None,
         bloom_filter_cols: list[str] | None = None,
         storage: TableStorage | None = None,
+        constraints: dict[str, str] | None = None,
     ) -> "ManifestTable":
         """Idempotent create (cf. ``IF NOT EXISTS`` DDL, ``Phase3-DataLoad.py:86,104``).
 
@@ -321,7 +330,15 @@ class ManifestTable:
         row groups on a pushed-down equality predicate — no engine read
         path changes, no manifest growth (the bloom lives in the data
         file, bounded by ``bloom_filter_max_bytes``).  Typically the key
-        column(s) a point lookup pins on."""
+        column(s) a point lookup pins on.
+
+        ``constraints`` — named CHECK constraints ``{name: sql_bool_expr}``
+        (Delta Lake ``ALTER TABLE ADD CONSTRAINT ... CHECK`` parity,
+        enforced at write: every non-delete change row must satisfy every
+        expression or the whole epoch fails before publish).  NOT NULL is
+        the special case ``{"text_nn": "text IS NOT NULL"}``.  See
+        ``add_constraint`` for semantics (a NULL expression result is a
+        violation, matching Delta, not ANSI CHECK)."""
         bad = [f.name for f in schema.fields if f.name in _RESERVED_COLS]
         if bad:
             raise ValueError(
@@ -345,6 +362,8 @@ class ManifestTable:
         missing_bloom = [c for c in (bloom_filter_cols or []) if c not in have]
         if missing_bloom:
             raise ValueError(f"bloom_filter_cols not in schema: {missing_bloom}")
+        for cname, cexpr in (constraints or {}).items():
+            t._validate_constraint(schema, cname, cexpr)
         manifest = {
             "version": 0,
             "parent": None,
@@ -359,6 +378,7 @@ class ManifestTable:
             "stats_cols": stats_cols
             or [c for c in (["ts"] + kc) if c in have],
             "bloom_filter_cols": list(bloom_filter_cols or []),
+            "constraints": dict(constraints or {}),
             "applied_epochs": [],
             "total_rows": 0,
             "committed_at": time.time(),
@@ -961,6 +981,18 @@ class ManifestTable:
             staged_files, rows_by_bucket, staged_rows, staged_stats = (
                 self._scan_staging(stage_rel)
             )
+            # CHECK constraints gate publish: one O(batch) job over the
+            # staged files only (no-op when the table has no constraints)
+            self._enforce_constraints(
+                m,
+                [
+                    self.storage.spark_path(p)
+                    for ps in staged_files.values()
+                    for p in ps
+                ],
+                ischema,
+                epoch_id,
+            )
             touched = sorted(staged_files)
             n_change_keys = staged_rows
             merge_path = "delta"
@@ -994,6 +1026,18 @@ class ManifestTable:
                     f"{int(ch_obs.get['rows'])} change rows in stage job but "
                     f"footers total {n_change_keys}"
                 )
+            # CHECK constraints gate publish BEFORE the CoW rewrite job is
+            # even planned — a rejected batch costs only its own staging
+            self._enforce_constraints(
+                m,
+                [
+                    self.storage.spark_path(p)
+                    for ps in ch_files.values()
+                    for p in ps
+                ],
+                ischema,
+                epoch_id,
+            )
             touched = sorted(ch_files)
             touched_files = [
                 self.storage.spark_path(p)
@@ -1175,6 +1219,7 @@ class ManifestTable:
                 ),
                 "stats_cols": mc.get("stats_cols") or [],
                 "bloom_filter_cols": mc.get("bloom_filter_cols") or [],
+                "constraints": mc.get("constraints") or {},
                 # clustering markers: a delta commit appends side files and
                 # leaves every base file untouched, so the base clustering
                 # survives and the claim carries forward; a CoW commit
@@ -1586,6 +1631,7 @@ class ManifestTable:
             "file_stats": self._fold_stats(m, files, delta_files, staged_stats),
             "stats_cols": m.get("stats_cols") or [],
             "bloom_filter_cols": m.get("bloom_filter_cols") or [],
+            "constraints": m.get("constraints") or {},
             # informational: the clustering applied by THIS rewrite (pruning
             # reads file_stats directly and needs no ordering guarantee)
             "sorted_by": list(sort_by or []),
@@ -1894,6 +1940,7 @@ class ManifestTable:
             "file_stats": self._fold_stats(m, staged_files, {}, staged_stats),
             "stats_cols": m.get("stats_cols") or [],
             "bloom_filter_cols": m.get("bloom_filter_cols") or [],
+            "constraints": m.get("constraints") or {},
             "sorted_by": list(sort_by or []),
             "zordered_by": list(zorder_by or []),
             # a rebucket rewrites EVERY live file under the current names,
@@ -2821,6 +2868,213 @@ class ManifestTable:
             "bloom_filter_cols": list(cols),
         }
 
+    # ---------- CHECK constraints (write-time data quality contracts) ----------
+
+    def _validate_constraint(
+        self, schema: T.StructType, name: str, expr: str
+    ) -> None:
+        """Reject a constraint that could never be enforced: bad name, SQL
+        that doesn't parse or references unknown columns, a non-boolean
+        expression, or aggregates/windows (caught because they are illegal
+        in a WHERE clause).  Analysis-only — resolves against an EMPTY
+        local DataFrame, no Spark job."""
+        self._check_ref_name("constraint", name)
+        if not isinstance(expr, str) or not expr.strip():
+            raise ValueError(f"constraint {name!r}: empty expression")
+        probe = self.spark.createDataFrame([], schema)
+        try:
+            dtype = probe.selectExpr(f"({expr}) AS __c").schema[0].dataType
+        except Exception as e:  # AnalysisException / ParseException
+            raise ValueError(
+                f"constraint {name!r} does not resolve against the table "
+                f"schema: {expr!r} ({type(e).__name__}: {e})"
+            ) from None
+        if not isinstance(dtype, T.BooleanType):
+            raise ValueError(
+                f"constraint {name!r} must be a boolean expression, got "
+                f"{dtype.simpleString()}: {expr!r}"
+            )
+        try:
+            # enforcement evaluates the expression per input row: anything
+            # illegal in a WHERE clause (aggregates, window functions) must
+            # be rejected here, and filter analysis does exactly that
+            probe.filter(F.expr(expr)).schema
+        except Exception as e:
+            raise ValueError(
+                f"constraint {name!r} does not resolve against the table "
+                f"schema: {expr!r} ({type(e).__name__}: {e})"
+            ) from None
+
+    def _enforce_constraints(
+        self,
+        m: dict[str, Any],
+        staged_paths: list[str],
+        ischema: T.StructType,
+        epoch_id,
+    ) -> None:
+        """Validate a STAGED change batch against the table's CHECK
+        constraints before publish — ONE column-pruned Spark job over only
+        the batch's files (O(batch), zero target reads), all constraints
+        folded into a single aggregate pass.
+
+        Semantics (Delta ``CheckDeltaInvariant`` parity, stricter than
+        ANSI CHECK): a row passes only when the expression is TRUE — a
+        NULL result is a violation.  Change rows are full row images in
+        this engine (per-key max-version dedup keeps whole rows), so a
+        NULL really is the value being written; null-tolerant rules are
+        spelled ``col IS NULL OR <rule>``.  Delete tombstones are exempt —
+        their payload columns are deliberately nulled
+        (``delete_where``) and a delete writes no payload."""
+        cons = m.get("constraints") or {}
+        if not cons or not staged_paths:
+            return
+        live = self._read_files(staged_paths, ischema).filter(
+            ~F.coalesce(F.col("_deleted"), F.lit(False))
+        )
+        counts = live.agg(
+            *[
+                F.sum(
+                    F.when(F.expr(cexpr), F.lit(0)).otherwise(F.lit(1))
+                ).alias(cname)
+                for cname, cexpr in sorted(cons.items())
+            ]
+        ).collect()[0]
+        bad = {
+            cname: int(counts[cname])
+            for cname in cons
+            if counts[cname]  # None when the batch has zero live rows
+        }
+        if bad:
+            detail = "; ".join(
+                f"{n!r} CHECK ({cons[n]}) violated by {c} row(s)"
+                for n, c in sorted(bad.items())
+            )
+            raise ConstraintViolationError(
+                f"epoch {epoch_id} rejected before publish: {detail} "
+                f"(a NULL expression result counts as a violation; "
+                f"fix the data or drop_constraint)"
+            )
+
+    def constraints(self) -> dict[str, str]:
+        """The table's CHECK constraints ``{name: sql_bool_expr}``."""
+        return dict(self.manifest().get("constraints") or {})
+
+    def add_constraint(self, name: str, expr: str) -> dict[str, Any]:
+        """``ALTER TABLE ADD CONSTRAINT name CHECK (expr)`` (Delta parity).
+
+        Validates the expression against the schema (analysis-only), then
+        verifies EVERY existing live row satisfies it — one column-pruned
+        scan of the current snapshot, exactly Delta's ADD CONSTRAINT
+        behavior — and publishes a METADATA-ONLY commit (identical
+        files/deltas to the parent, so the change-feed fast path walks
+        through it).  Every subsequent merge/update/MERGE INTO enforces it
+        on the staged batch before publish.  Re-adding the identical
+        constraint is Skipped; a different expression under an existing
+        name must be dropped first (no silent redefinition)."""
+        self._require_main("add_constraint")
+        m = self.manifest()
+        cons = dict(m.get("constraints") or {})
+        self._validate_constraint(self.schema(), name, expr)
+        if name in cons:
+            if cons[name] == expr:
+                return {
+                    "status": "Skipped",
+                    "reason": "constraint already present",
+                    "version": m["version"],
+                }
+            raise ValueError(
+                f"constraint {name!r} already exists with a different "
+                f"expression ({cons[name]!r}); drop_constraint first"
+            )
+        has_data = any((m.get("files") or {}).values()) or any(
+            (m.get("delta_files") or {}).values()
+        )
+        if has_data:
+            violations = (
+                self.read()
+                .filter(
+                    F.when(F.expr(expr), F.lit(False)).otherwise(F.lit(True))
+                )
+                .limit(1)
+                .count()
+            )
+            if violations:
+                raise ConstraintViolationError(
+                    f"cannot add constraint {name!r}: existing rows violate "
+                    f"CHECK ({expr}) — clean the data first "
+                    f"(e.g. delete_where/update_where), then re-add"
+                )
+        version = m["version"] + 1
+        new_manifest = {
+            **m,
+            "version": version,
+            "parent": m["version"],
+            "epoch_id": f"add-constraint:{version}",
+            "constraints": {**cons, name: expr},
+            "added_cols": [],
+            "committed_at": time.time(),
+        }
+        try:
+            self._publish(new_manifest)
+        except ManifestConflict:
+            return {
+                "status": "Skipped",
+                "reason": "lost manifest race to a concurrent writer",
+                "version": self.current_version(),
+            }
+        return {"status": "Success", "version": version, "name": name}
+
+    def drop_constraint(self, name: str) -> dict[str, Any]:
+        """``ALTER TABLE DROP CONSTRAINT`` — metadata-only commit."""
+        self._require_main("drop_constraint")
+        m = self.manifest()
+        cons = dict(m.get("constraints") or {})
+        if name not in cons:
+            return {
+                "status": "Skipped",
+                "reason": f"no constraint {name!r}",
+                "version": m["version"],
+            }
+        cons.pop(name)
+        version = m["version"] + 1
+        new_manifest = {
+            **m,
+            "version": version,
+            "parent": m["version"],
+            "epoch_id": f"drop-constraint:{version}",
+            "constraints": cons,
+            "added_cols": [],
+            "committed_at": time.time(),
+        }
+        try:
+            self._publish(new_manifest)
+        except ManifestConflict:
+            return {
+                "status": "Skipped",
+                "reason": "lost manifest race to a concurrent writer",
+                "version": self.current_version(),
+            }
+        return {"status": "Success", "version": version, "name": name}
+
+    def _constraints_referencing(self, col: str) -> list[str]:
+        """Names of constraints whose expression references ``col`` —
+        detected by re-resolving each expression against the schema WITHOUT
+        the column (analysis-only, no job).  Used to guard rename/drop."""
+        cons = self.manifest().get("constraints") or {}
+        if not cons:
+            return []
+        reduced = T.StructType(
+            [f for f in self.schema().fields if f.name != col]
+        )
+        probe = self.spark.createDataFrame([], reduced)
+        hits = []
+        for cname, cexpr in sorted(cons.items()):
+            try:
+                probe.filter(F.expr(cexpr)).schema
+            except Exception:
+                hits.append(cname)
+        return hits
+
     def rename_column(self, old: str, new: str) -> dict[str, Any]:
         """``ALTER TABLE RENAME COLUMN`` — a METADATA-ONLY commit (Iceberg
         renames via field-ids; this engine records the physical-name
@@ -2876,6 +3130,13 @@ class ManifestTable:
             )
         if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", new):
             raise ValueError(f"invalid column name {new!r}")
+        refs = self._constraints_referencing(old)
+        if refs:
+            raise ValueError(
+                f"column {old!r} is referenced by CHECK constraint(s) "
+                f"{refs} — drop_constraint first, rename, then re-add "
+                f"against the new name (no silent expression rewriting)"
+            )
 
         ren = {k: list(v) for k, v in (m.get("renamed_cols") or {}).items()}
         ren[new] = [old] + ren.pop(old, [])
@@ -2947,6 +3208,12 @@ class ManifestTable:
             raise ValueError(
                 "ts is the engine's version-ordering column and cannot be "
                 "dropped"
+            )
+        refs = self._constraints_referencing(name)
+        if refs:
+            raise ValueError(
+                f"column {name!r} is referenced by CHECK constraint(s) "
+                f"{refs} — drop_constraint first"
             )
         ren = {k: list(v) for k, v in (m.get("renamed_cols") or {}).items()}
         chain = [name] + ren.pop(name, [])

@@ -174,6 +174,11 @@ class CDCEngine:
         # writers attach parquet bloom filters for (point-lookup row-group
         # skipping inside files min/max stats can't prune — typically the
         # key columns; see ManifestTable.create)
+        constraints: dict[str, str] | None = None,  # table CHECK
+        # constraints {name: sql_bool_expr} enforced on every staged change
+        # batch before publish (Delta ADD CONSTRAINT parity; applied only
+        # when this engine CREATES the table — an existing table keeps its
+        # own; evolve with table.add_constraint/drop_constraint)
         branch: str | None = None,  # streaming write-audit-publish: stage
         # EVERY epoch on this write branch of the table instead of main
         # (created at the current snapshot if it doesn't exist, re-attached
@@ -215,6 +220,7 @@ class CDCEngine:
             tenant_id=tenant_id,
             bloom_filter_cols=bloom_filter_cols,
             storage=storage,
+            constraints=constraints,
         )
         if branch is not None:
             self.table = (

@@ -13,6 +13,10 @@ MOR pattern — Iceberg/Paimon/Hudi compaction services)::
     ... maintain.py --table /lake/transcripts quarantine [--clear]
     ... maintain.py --table /lake/transcripts rename-column --old tool --new tool_name
     ... maintain.py --table /lake/transcripts drop-column --name tool
+    ... maintain.py --table /lake/transcripts add-constraint --name text_nn \\
+        --expr 'text IS NOT NULL'
+    ... maintain.py --table /lake/transcripts drop-constraint --name text_nn
+    ... maintain.py --table /lake/transcripts constraints
     ... maintain.py --table /lake/transcripts branch --name audit-0817
     ... maintain.py --table /lake/transcripts publish --name audit-0817
     ... maintain.py --table /lake/transcripts drop-branch --name audit-0817
@@ -155,6 +159,21 @@ def main() -> int:
         "is tombstoned against re-adding until a full rewrite)",
     )
     sdc.add_argument("--name", required=True)
+    sac = sub.add_parser(
+        "add-constraint",
+        help="ALTER TABLE ADD CONSTRAINT name CHECK (expr) — validates "
+        "existing rows (one scan), then a metadata-only commit; every "
+        "later merge enforces it on the staged batch before publish",
+    )
+    sac.add_argument("--name", required=True)
+    sac.add_argument("--expr", required=True, help="SQL boolean expression")
+    sdcn = sub.add_parser(
+        "drop-constraint", help="ALTER TABLE DROP CONSTRAINT (metadata-only)"
+    )
+    sdcn.add_argument("--name", required=True)
+    sub.add_parser(
+        "constraints", help="list CHECK constraints as {name: expr}"
+    )
     sb = sub.add_parser(
         "branch",
         help="fork a write branch at a snapshot (write-audit-publish)",
@@ -281,6 +300,12 @@ def main() -> int:
         out = t.rename_column(args.old, args.new)
     elif args.op == "drop-column":
         out = t.drop_column(args.name)
+    elif args.op == "add-constraint":
+        out = t.add_constraint(args.name, args.expr)
+    elif args.op == "drop-constraint":
+        out = t.drop_constraint(args.name)
+    elif args.op == "constraints":
+        out = {"status": "Success", "constraints": t.constraints()}
     elif args.op == "branch":
         b = t.create_branch(args.name, version=args.version)
         out = {
