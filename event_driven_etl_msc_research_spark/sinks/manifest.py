@@ -971,7 +971,11 @@ class ManifestTable:
             # ---- delta path: ONE Spark job (dedup → bucket-partitioned write)
             n_change_keys = None  # known after the job via the observation
             writer = (
-                change_rows.observe(obs, F.count(F.lit(1)).alias("rows"))
+                change_rows.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("rows"),
+                    *self._constraint_obs_aggs(m),
+                )
                 .withColumn("_pb", F.col("_bucket"))
                 .repartition(max(n_buckets, 1), F.col("_bucket"))
             )
@@ -981,18 +985,9 @@ class ManifestTable:
             staged_files, rows_by_bucket, staged_rows, staged_stats = (
                 self._scan_staging(stage_rel)
             )
-            # CHECK constraints gate publish: one O(batch) job over the
-            # staged files only (no-op when the table has no constraints)
-            self._enforce_constraints(
-                m,
-                [
-                    self.storage.spark_path(p)
-                    for ps in staged_files.values()
-                    for p in ps
-                ],
-                ischema,
-                epoch_id,
-            )
+            # CHECK constraints gate publish: the violation counts rode the
+            # staging write's observation — zero extra jobs
+            self._check_constraint_obs(m, obs.get, epoch_id)
             touched = sorted(staged_files)
             n_change_keys = staged_rows
             merge_path = "delta"
@@ -1011,7 +1006,11 @@ class ManifestTable:
             ch_dir = self.storage.spark_path(ch_rel)
             ch_obs = Observation()
             self._with_bloom(
-                change_rows.observe(ch_obs, F.count(F.lit(1)).alias("rows"))
+                change_rows.observe(
+                    ch_obs,
+                    F.count(F.lit(1)).alias("rows"),
+                    *self._constraint_obs_aggs(m),
+                )
                 .withColumn("_pb", F.col("_bucket"))
                 .repartition(max(n_buckets, 1), F.col("_bucket"))
                 .write.mode("overwrite"),
@@ -1027,17 +1026,9 @@ class ManifestTable:
                     f"footers total {n_change_keys}"
                 )
             # CHECK constraints gate publish BEFORE the CoW rewrite job is
-            # even planned — a rejected batch costs only its own staging
-            self._enforce_constraints(
-                m,
-                [
-                    self.storage.spark_path(p)
-                    for ps in ch_files.values()
-                    for p in ps
-                ],
-                ischema,
-                epoch_id,
-            )
+            # even planned — the counts rode the staging observation, so a
+            # rejected batch costs only its own staging (zero extra jobs)
+            self._check_constraint_obs(m, ch_obs.get, epoch_id)
             touched = sorted(ch_files)
             touched_files = [
                 self.storage.spark_path(p)
@@ -2905,17 +2896,12 @@ class ManifestTable:
                 f"schema: {expr!r} ({type(e).__name__}: {e})"
             ) from None
 
-    def _enforce_constraints(
-        self,
-        m: dict[str, Any],
-        staged_paths: list[str],
-        ischema: T.StructType,
-        epoch_id,
-    ) -> None:
-        """Validate a STAGED change batch against the table's CHECK
-        constraints before publish — ONE column-pruned Spark job over only
-        the batch's files (O(batch), zero target reads), all constraints
-        folded into a single aggregate pass.
+    def _constraint_obs_aggs(self, m: dict[str, Any]) -> list:
+        """Per-constraint violation-count aggregates, attached to the
+        staging write's ``Observation`` — enforcement costs ZERO extra
+        jobs and never re-reads the batch: the counts are collected by the
+        same job that stages it (the engine's established
+        write-audit-publish shape).
 
         Semantics (Delta ``CheckDeltaInvariant`` parity, stricter than
         ANSI CHECK): a row passes only when the expression is TRUE — a
@@ -2923,26 +2909,29 @@ class ManifestTable:
         this engine (per-key max-version dedup keeps whole rows), so a
         NULL really is the value being written; null-tolerant rules are
         spelled ``col IS NULL OR <rule>``.  Delete tombstones are exempt —
-        their payload columns are deliberately nulled
-        (``delete_where``) and a delete writes no payload."""
-        cons = m.get("constraints") or {}
-        if not cons or not staged_paths:
-            return
-        live = self._read_files(staged_paths, ischema).filter(
-            ~F.coalesce(F.col("_deleted"), F.lit(False))
-        )
-        counts = live.agg(
-            *[
-                F.sum(
+        their payload columns are deliberately nulled (``delete_where``)
+        and a delete writes no payload."""
+        return [
+            F.sum(
+                F.when(F.col("_deleted"), F.lit(0)).otherwise(
                     F.when(F.expr(cexpr), F.lit(0)).otherwise(F.lit(1))
-                ).alias(cname)
-                for cname, cexpr in sorted(cons.items())
-            ]
-        ).collect()[0]
+                )
+            ).alias(f"viol__{cname}")
+            for cname, cexpr in sorted((m.get("constraints") or {}).items())
+        ]
+
+    def _check_constraint_obs(
+        self, m: dict[str, Any], metrics: dict[str, Any], epoch_id
+    ) -> None:
+        """Raise if the staging write's observation counted any CHECK
+        violations — BEFORE publish (and before the CoW rewrite is even
+        planned), so the staged files stay unreferenced (vacuum collects
+        them) and the epoch id stays free for a corrected retry."""
+        cons = m.get("constraints") or {}
         bad = {
-            cname: int(counts[cname])
+            cname: int(metrics.get(f"viol__{cname}") or 0)
             for cname in cons
-            if counts[cname]  # None when the batch has zero live rows
+            if metrics.get(f"viol__{cname}")
         }
         if bad:
             detail = "; ".join(

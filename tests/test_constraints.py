@@ -254,6 +254,38 @@ def test_constraints_survive_compaction_and_rebucket(spark, tmp_root):
         )
 
 
+def test_enforcement_adds_zero_jobs(spark, tmp_root):
+    """Violation counts ride the staging write's Observation: a
+    constrained merge launches EXACTLY the same number of Spark jobs as an
+    unconstrained one — enforcement never re-reads the batch."""
+    sc = spark.sparkContext
+
+    def jobs(tag, fn):
+        sc.setJobGroup(tag, tag)
+        fn()
+        sc.setJobGroup("_idle", "_idle")
+        return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    plain = ManifestTable.create(
+        spark, os.path.join(tmp_root, "jc_plain"), TRANSCRIPT_SCHEMA, n_buckets=4
+    )
+    cons = ManifestTable.create(
+        spark,
+        os.path.join(tmp_root, "jc_cons"),
+        TRANSCRIPT_SCHEMA,
+        n_buckets=4,
+        constraints=CONS,
+    )
+    rows = _rows(40)
+    n_plain = jobs("jc-plain", lambda: plain.merge(_batch(spark, rows), 0, mode="delta"))
+    n_cons = jobs("jc-cons", lambda: cons.merge(_batch(spark, rows), 0, mode="delta"))
+    assert n_cons == n_plain
+    # same relationship on the CoW stage-first path
+    n_plain2 = jobs("jc-plain2", lambda: plain.merge(_batch(spark, _rows(40, start=50)), 1, mode="cow"))
+    n_cons2 = jobs("jc-cons2", lambda: cons.merge(_batch(spark, _rows(40, start=50)), 1, mode="cow"))
+    assert n_cons2 == n_plain2
+
+
 def test_engine_passthrough_and_branch_guard(spark, tmp_root):
     from event_driven_etl_msc_research_spark.streaming.engine import CDCEngine
     from event_driven_etl_msc_research_spark.schemas import CHANGE_EVENT_SCHEMA
