@@ -69,6 +69,7 @@ HEADLINE = [
     "cdc_rename_drop_column",
     "cdc_merge_into",
     "cdc_check_constraints",
+    "cdc_replica",
     "mv_incremental_rollup",
     "events_asof_last_error",
     "events_range_join",

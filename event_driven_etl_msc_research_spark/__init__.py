@@ -32,6 +32,7 @@ from .sinks.manifest import (
     ManifestTable,
     SchemaEvolutionError,
 )
+from .sinks.replica import ReplicaDiverged, ReplicaTable
 from .sinks.storage import FakeObjectStorage, LocalFSStorage, TableStorage
 from .streaming.engine import CDCEngine
 
@@ -43,6 +44,8 @@ __all__ = [
     "dedup_latest",
     "salted_repartition",
     "DerivedTable",
+    "ReplicaTable",
+    "ReplicaDiverged",
     "ManifestTable",
     "ManifestConflict",
     "SchemaEvolutionError",

@@ -864,6 +864,74 @@ FROM (
 """
 
 
+def cdc_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-shipped follower table on driver data (``sinks.replica`` —
+    the cross-region mirror / DR hop): the ``cdc_merge_events`` stream
+    split at the deterministic midpoint; first half merged, replica
+    snapshot-synced, then a compaction lands on the UPSTREAM and the
+    second half merges — the replica's next sync must take the LOG fast
+    path across the compaction (asserted in-line) and replay only the
+    appended delta rows into a RESHARDED (16-bucket vs 8) mirror.
+    Oracle: the replica equals the plain latest-per-user state — i.e.
+    exactly what a reader switching from the upstream to the mirror must
+    see."""
+    from ..sinks.replica import ReplicaTable
+
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("event_id").alias("lsn"),
+        F.col("ts").cast("timestamp"),
+        F.col("user_id").cast("string").alias("user_key"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_key", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    mid = (lo + hi) // 2
+    root = tempfile.mkdtemp(prefix="cdc_replica_")
+    table = ManifestTable.create(
+        spark, root + "/up", payload, key_cols=["user_key"], n_buckets=8
+    )
+    table.merge(
+        changes.filter(F.col("lsn") <= mid), 0, mode="delta", epoch_scope="d"
+    )
+    rep = ReplicaTable.create(spark, root + "/mirror", table, n_buckets=16)
+    st = rep.sync()
+    assert st["path"] == "snapshot", st  # first sync bootstraps
+    table.compact()  # state-preserving rewrite mid-range
+    table.merge(
+        changes.filter(F.col("lsn") > mid), 1, mode="delta", epoch_scope="d"
+    )
+    st = rep.sync()
+    assert st["path"] == "log", st  # O(appended rows), across the compaction
+    assert rep.sync()["status"] == "NoChange"  # exactly-once ledger
+    return rep.table.read().select(
+        "user_key",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        "event_type",
+        "value",
+    )
+
+
+CDC_REPLICA_SQL = f"""
+SELECT CAST(user_id AS VARCHAR) AS user_key,
+       strftime(ts, '{_TS_FMT_DUCK}') AS ts, event_type, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type != 'error'
+"""
+
+
 def cdc_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The write-audit-publish lifecycle on driver data: the same change
     stream as ``cdc_merge_events_delta`` split at the deterministic
@@ -2356,6 +2424,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_update_where": (cdc_update_where, CDC_UPDATE_SQL),
     "cdc_merge_into": (cdc_merge_into, CDC_MERGE_INTO_SQL),
     "cdc_check_constraints": (cdc_check_constraints, CDC_CHECK_CONSTRAINTS_SQL),
+    "cdc_replica": (cdc_replica, CDC_REPLICA_SQL),
     "cdc_events_time_window": (cdc_events_time_window, CDC_TIME_WINDOW_SQL),
     "cdc_events_zorder_window": (cdc_events_zorder_window, CDC_ZORDER_WINDOW_SQL),
     "cdc_table_changes": (cdc_table_changes, CDC_CHANGES_SQL),

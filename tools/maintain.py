@@ -10,6 +10,7 @@ MOR pattern — Iceberg/Paimon/Hudi compaction services)::
     ... maintain.py --table /lake/transcripts history
     ... maintain.py --table /lake/transcripts expire --older-than 2026-08-01
     ... maintain.py --table /lake/transcripts sync-mv --mv /lake/conv_rollup
+    ... maintain.py --table /lake/transcripts sync-replica --replica /dr/transcripts
     ... maintain.py --table /lake/transcripts quarantine [--clear]
     ... maintain.py --table /lake/transcripts rename-column --old tool --new tool_name
     ... maintain.py --table /lake/transcripts drop-column --name tool
@@ -114,6 +115,13 @@ def main() -> int:
     )
     sm.add_argument("--mv", required=True, help="derived table root dir")
     sm.add_argument("--mode", default="cow", choices=["cow", "delta"])
+    srp = sub.add_parser(
+        "sync-replica",
+        help="sync a log-shipped ReplicaTable (mirror/DR follower) whose "
+        "upstream is --table; O(appended rows) on the log fast path",
+    )
+    srp.add_argument("--replica", required=True, help="replica root dir")
+    srp.add_argument("--mode", default="delta", choices=["cow", "delta"])
     sq = sub.add_parser(
         "quarantine",
         help="inspect (default) or --clear the dead-letter tree of a table",
@@ -283,6 +291,18 @@ def main() -> int:
         out = {
             "status": st.get("status"),
             "synced_to_version": st.get("version"),
+        }
+    elif args.op == "sync-replica":
+        from event_driven_etl_msc_research_spark.sinks.replica import (
+            ReplicaTable,
+        )
+
+        rep = ReplicaTable.load(spark, args.replica, t)
+        st = rep.sync(mode=args.mode)
+        out = {
+            "status": st.get("status"),
+            "path": st.get("path"),
+            "synced_to_version": st.get("upstream_version", st.get("version")),
         }
     elif args.op == "tag":
         v = t.tag(args.name, version=args.version, replace=args.replace)
