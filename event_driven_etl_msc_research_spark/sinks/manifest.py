@@ -3045,6 +3045,139 @@ class ManifestTable:
             }
         return {"status": "Success", "version": version, "name": name}
 
+    def add_column(
+        self, name: str, dtype: T.DataType | str
+    ) -> dict[str, Any]:
+        """``ALTER TABLE ADD COLUMN`` — a METADATA-ONLY commit (the
+        explicit-DDL twin of the merge path's additive evolution, for
+        schemas that change ahead of the data rather than with it).  Zero
+        files are rewritten: readers null-fill the column for every
+        existing file (the same explicit-schema mechanism merge evolution
+        relies on), the next merge may populate it, and ``changes()``
+        across the commit reports nothing (identical files).  Same guards
+        as merge evolution: reserved, existing, and tombstoned (dropped /
+        rename-retired while live files still carry the bytes) names are
+        rejected."""
+        import re as _re
+
+        if isinstance(dtype, str):
+            dtype = T._parse_datatype_string(dtype)
+        m = self.manifest()
+        schema = T.StructType.fromJson(m["schema"])
+        names = [f.name for f in schema.fields]
+        if name in names:
+            raise ValueError(f"column {name!r} already exists")
+        if name in _RESERVED_COLS:
+            raise ValueError(
+                f"{name!r} is an engine-reserved name "
+                f"(op/lsn/_lsn/_deleted/_bucket/_pb/_z)"
+            )
+        if name in self._tombstoned_names(m):
+            raise SchemaEvolutionError(
+                f"{name!r} was previously dropped or renamed away and live "
+                f"files still carry it — re-adding would resurrect stale "
+                f"values under name-based parquet resolution; physicalize "
+                f"first (rebucket / compact(min_delta_files=0))"
+            )
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"invalid column name {name!r}")
+        version = m["version"] + 1
+        new_manifest = {
+            **m,
+            "version": version,
+            "parent": m["version"],
+            "epoch_id": f"add-column:{name}",
+            "schema": T.StructType(
+                list(schema.fields) + [T.StructField(name, dtype, True)]
+            ).jsonValue(),
+            "added_cols": [name],
+            "committed_at": time.time(),
+        }
+        try:
+            self._publish(new_manifest)
+        except ManifestConflict:
+            return {
+                "status": "Skipped",
+                "reason": "lost manifest race to a concurrent writer",
+                "version": self.current_version(),
+            }
+        return {
+            "status": "Success",
+            "version": version,
+            "name": name,
+            "dtype": dtype.simpleString(),
+        }
+
+    def widen_column(
+        self, name: str, dtype: T.DataType | str
+    ) -> dict[str, Any]:
+        """``ALTER TABLE ALTER COLUMN TYPE`` restricted to safe promotions
+        (Iceberg type promotion: tinyint→…→bigint, float→double — never
+        across families, never narrowing) — a METADATA-ONLY commit, the
+        explicit-DDL twin of the widening the merge path performs when a
+        batch arrives wider than the table.  Files written under the
+        narrow type read back up-cast through the widened schema (pinned
+        by the evolution suite); CHECK constraints keep resolving (a
+        widened numeric satisfies the same comparisons)."""
+        if isinstance(dtype, str):
+            dtype = T._parse_datatype_string(dtype)
+        m = self.manifest()
+        schema = T.StructType.fromJson(m["schema"])
+        field = next((f for f in schema.fields if f.name == name), None)
+        if field is None:
+            names = [f.name for f in schema.fields]
+            raise ValueError(f"no column {name!r} in schema (have {names})")
+        if name == "ts" or name in m["key_cols"]:
+            raise ValueError(
+                f"{name!r} is a key/version column — its type is the "
+                f"table's row identity and hash-bucket input; widening it "
+                f"changes table identity (create a new table)"
+            )
+        if field.dataType == dtype:
+            return {
+                "status": "Skipped",
+                "reason": "type unchanged",
+                "version": m["version"],
+            }
+        if not self._widens(field.dataType, dtype):
+            raise SchemaEvolutionError(
+                f"cannot alter {name!r} from "
+                f"{field.dataType.simpleString()} to {dtype.simpleString()}:"
+                f" only safe promotions within a numeric family are allowed"
+                f" (tinyint→smallint→int→bigint, float→double)"
+            )
+        version = m["version"] + 1
+        new_manifest = {
+            **m,
+            "version": version,
+            "parent": m["version"],
+            "epoch_id": f"widen-column:{name}",
+            "schema": T.StructType(
+                [
+                    T.StructField(name, dtype, f.nullable)
+                    if f.name == name
+                    else f
+                    for f in schema.fields
+                ]
+            ).jsonValue(),
+            "added_cols": [],
+            "committed_at": time.time(),
+        }
+        try:
+            self._publish(new_manifest)
+        except ManifestConflict:
+            return {
+                "status": "Skipped",
+                "reason": "lost manifest race to a concurrent writer",
+                "version": self.current_version(),
+            }
+        return {
+            "status": "Success",
+            "version": version,
+            "name": name,
+            "dtype": dtype.simpleString(),
+        }
+
     def _constraints_referencing(self, col: str) -> list[str]:
         """Names of constraints whose expression references ``col`` —
         detected by re-resolving each expression against the schema WITHOUT

@@ -14,6 +14,8 @@ MOR pattern — Iceberg/Paimon/Hudi compaction services)::
     ... maintain.py --table /lake/transcripts quarantine [--clear]
     ... maintain.py --table /lake/transcripts rename-column --old tool --new tool_name
     ... maintain.py --table /lake/transcripts drop-column --name tool
+    ... maintain.py --table /lake/transcripts add-column --name score --type double
+    ... maintain.py --table /lake/transcripts widen-column --name score --type double
     ... maintain.py --table /lake/transcripts add-constraint --name text_nn \\
         --expr 'text IS NOT NULL'
     ... maintain.py --table /lake/transcripts drop-constraint --name text_nn
@@ -167,6 +169,20 @@ def main() -> int:
         "is tombstoned against re-adding until a full rewrite)",
     )
     sdc.add_argument("--name", required=True)
+    sad = sub.add_parser(
+        "add-column",
+        help="ALTER TABLE ADD COLUMN (metadata-only; readers null-fill "
+        "existing files, the next merge may populate it)",
+    )
+    sad.add_argument("--name", required=True)
+    sad.add_argument("--type", required=True, help="Spark DDL type, e.g. string")
+    swd = sub.add_parser(
+        "widen-column",
+        help="ALTER COLUMN TYPE via safe numeric promotion only "
+        "(tinyint->...->bigint, float->double; metadata-only)",
+    )
+    swd.add_argument("--name", required=True)
+    swd.add_argument("--type", required=True)
     sac = sub.add_parser(
         "add-constraint",
         help="ALTER TABLE ADD CONSTRAINT name CHECK (expr) — validates "
@@ -320,6 +336,10 @@ def main() -> int:
         out = t.rename_column(args.old, args.new)
     elif args.op == "drop-column":
         out = t.drop_column(args.name)
+    elif args.op == "add-column":
+        out = t.add_column(args.name, args.type)
+    elif args.op == "widen-column":
+        out = t.widen_column(args.name, args.type)
     elif args.op == "add-constraint":
         out = t.add_constraint(args.name, args.expr)
     elif args.op == "drop-constraint":
