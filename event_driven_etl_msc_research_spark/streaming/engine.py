@@ -403,13 +403,41 @@ class CDCEngine:
         (overwrite per epoch — a replayed epoch rewrites the identical
         set, so re-delivery stays idempotent) and returns only the valid
         rows.  Opt-in for untrusted transports; the designed single-job
-        delta tail is the "keep" default."""
+        delta tail is the "keep" default.
+
+        Table CHECK constraints join the predicate in ``quarantine`` mode
+        (same semantics as the merge's enforcement: non-TRUE is a
+        violation, deletes exempt) so a violating event dead-letters and
+        the tail keeps flowing instead of aborting the epoch.  In
+        ``fail`` mode constraints stay with the table layer, whose
+        zero-extra-job observation check raises a
+        ``ConstraintViolationError`` naming each constraint and count."""
         from pyspark.sql import functions as F
 
         key_cols = self.table.manifest()["key_cols"]
         pred = F.col("op").isin("U", "D") & F.col("lsn").isNotNull()
         for k in key_cols:
             pred = pred & F.col(k).isNotNull()
+        cons = (
+            self.table.constraints()
+            if self.bad_records == "quarantine"
+            else {}
+        )
+        if cons:
+            # evaluate over the merge's row shape: table payload columns a
+            # batch doesn't carry arrive as nulls there, so align first —
+            # the added null columns are EXISTING table columns and cast to
+            # the same nulls inside the merge, leaving its plan equivalent
+            have = set(batch_df.columns)
+            for f in self.table.schema().fields:
+                if f.name not in have:
+                    batch_df = batch_df.withColumn(
+                        f.name, F.lit(None).cast(f.dataType)
+                    )
+            ok = F.lit(True)
+            for cexpr in sorted(cons.values()):
+                ok = ok & F.coalesce(F.expr(cexpr), F.lit(False))
+            pred = pred & ((F.col("op") == F.lit("D")) | ok)
         cached = batch_df.persist()
         bad = cached.filter(~pred)
         n_bad = bad.count()

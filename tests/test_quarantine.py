@@ -156,3 +156,96 @@ def test_fresh_instance_sees_quarantine_and_clear(spark, tmp_root):
     assert eng2.read_quarantine(all_scopes=False).count() == 0  # its scope
     assert eng2.clear_quarantine() > 0
     assert eng2.read_quarantine().count() == 0
+
+
+def test_quarantine_routes_constraint_violations(spark, tmp_root):
+    """Table CHECK constraints join the quarantine predicate: violators
+    dead-letter and the tail keeps flowing; deletes stay exempt; in
+    "fail" mode the table layer raises the richer per-constraint error."""
+    from event_driven_etl_msc_research_spark.sinks.manifest import (
+        ConstraintViolationError,
+    )
+
+    rows = [
+        ("U", 1, "2024-01-01 00:00:00", "c1", 0, "user", "ok"),
+        ("U", 2, "2024-01-01 00:00:01", "c1", 1, "wizard", "bad-role"),
+        ("U", 3, "2024-01-01 00:00:02", "c2", 0, None, "null-role"),
+        ("D", 4, "2024-01-01 00:00:03", "c3", 0, None, None),  # delete exempt
+    ]
+    eng = CDCEngine(
+        spark,
+        tmp_root + "/tq",
+        change_schema=SCHEMA,
+        key_cols=["conv_id", "turn_idx"],
+        n_buckets=2,
+        merge_mode="delta",
+        bad_records="quarantine",
+        constraints={"role_known": "role IN ('user', 'assistant', 'tool')"},
+    )
+    st = eng.apply_batch(_batch(spark, rows), epoch_id=0)
+    assert st["status"] == "Success"
+    assert sorted(
+        (r["conv_id"], r["turn_idx"]) for r in eng.read_table().collect()
+    ) == [("c1", 0)]
+    q = eng.read_quarantine()
+    assert sorted(r["text"] for r in q.collect()) == ["bad-role", "null-role"]
+
+    ef = CDCEngine(
+        spark,
+        tmp_root + "/tf",
+        change_schema=SCHEMA,
+        key_cols=["conv_id", "turn_idx"],
+        n_buckets=2,
+        merge_mode="delta",
+        bad_records="fail",
+        constraints={"role_known": "role IN ('user', 'assistant', 'tool')"},
+    )
+    with pytest.raises(ConstraintViolationError, match="role_known"):
+        ef.apply_batch(_batch(spark, rows), epoch_id=0)
+    assert ef.read_table().count() == 0
+
+
+def test_quarantine_constraint_on_column_absent_from_batch(spark, tmp_root):
+    """A constraint over a table column the batch doesn't carry must
+    evaluate against NULL (exactly what the merge writes for it) — the
+    quarantine predicate aligns the batch to the table schema first, so
+    the expression RESOLVES (no AnalysisException) and null-tolerant
+    rules pass while a strict NOT NULL rule quarantines everything."""
+    eng = CDCEngine(
+        spark,
+        tmp_root + "/ta",
+        change_schema=SCHEMA,
+        key_cols=["conv_id", "turn_idx"],
+        n_buckets=2,
+        merge_mode="delta",
+        bad_records="quarantine",
+    )
+    # evolve the TABLE beyond the tail's change schema, then constrain
+    # the evolved column — later tail batches never carry it
+    evolved = _batch(
+        spark,
+        [("U", 1, "2024-01-01 00:00:00", "c0", 0, "user", "seed")],
+    ).withColumn("score", F.lit(1.5))
+    eng.table.merge(evolved, epoch_id=0, epoch_scope="seed", mode="delta")
+    eng.table.add_constraint("score_ok", "score IS NULL OR score >= 0")
+    rows = [
+        ("U", 10, "2024-01-01 00:01:00", "c1", 0, "user", "ok"),
+        ("U", 11, "2024-01-01 00:01:01", "c1", 1, "user", "ok2"),
+    ]
+    st = eng.apply_batch(_batch(spark, rows), epoch_id=1)
+    assert st["status"] == "Success"
+    assert eng.read_table().count() == 3  # null-tolerant rule passes
+    assert eng.read_quarantine().count() == 0
+    # a strict rule over the absent column quarantines the whole batch
+    # (backfill first — add_constraint correctly refuses while existing
+    # rows still hold NULL score)
+    eng.table.drop_constraint("score_ok")
+    eng.table.update_where("score IS NULL", {"score": "0.0"}, epoch_id=900)
+    eng.table.add_constraint("score_nn", "score IS NOT NULL")
+    st = eng.apply_batch(
+        _batch(spark, [("U", 20, "2024-01-01 00:02:00", "c2", 0, "user", "x")]),
+        epoch_id=2,
+    )
+    assert st["status"] == "Success"
+    assert eng.read_table().count() == 3  # nothing merged
+    assert eng.read_quarantine().count() == 1
