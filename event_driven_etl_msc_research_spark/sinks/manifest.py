@@ -1254,7 +1254,18 @@ class ManifestTable:
                         "reason": "epoch committed by concurrent writer",
                         "duration_s": time.monotonic() - t0,
                     }
-                stale = mc["n_buckets"] != n_buckets or mc["key_cols"] != key_cols
+                stale = (
+                    mc["n_buckets"] != n_buckets
+                    or mc["key_cols"] != key_cols
+                    # a constraint-set change (the winner was
+                    # add_constraint/drop_constraint) invalidates the staged
+                    # ENFORCEMENT, not the bytes: this batch was validated
+                    # against the constraints as of m, and publishing it
+                    # under the winner's stricter set would commit unchecked
+                    # rows — redo the merge so the staging observation
+                    # re-validates against the fresh manifest
+                    or (mc.get("constraints") or {}) != (m.get("constraints") or {})
+                )
                 # a layout change (the winner was rebucket()) invalidates the
                 # staged files in EVERY mode: they are hashed under the OLD
                 # bucket count, and appending them (delta) or republishing

@@ -310,3 +310,46 @@ def test_engine_passthrough_and_branch_guard(spark, tmp_root):
             0,
             mode="delta",
         )
+
+
+def test_concurrent_add_constraint_revalidates_racing_merge(
+    spark, tmp_root, storage_factory
+):
+    """A merge racing a concurrent add_constraint must NOT publish rows the
+    new constraint never validated: the rebase detects the constraint-set
+    change, redoes the merge against the winner's manifest, and the
+    re-staging observation rejects the batch."""
+    root = os.path.join(tmp_root, "race")
+    a = ManifestTable.create(
+        spark, root, TRANSCRIPT_SCHEMA, n_buckets=2, storage=storage_factory(root)
+    )
+    b = ManifestTable(spark, root, storage=storage_factory(root))
+    a.merge(_batch(spark, _rows(4)), 0, mode="delta")
+
+    fired = {"done": False}
+
+    def hook(_m):
+        # fires between A's staging write and A's manifest publish —
+        # writer B lands the constraint first, so A loses the race
+        if not fired["done"]:
+            fired["done"] = True
+            st = b.add_constraint("turn_nonneg", "turn_idx >= 0")
+            assert st["status"] == "Success"
+
+    bad = [("U", 99, 9000, "z", -1, "user", "x", None)]
+    with pytest.raises(ConstraintViolationError, match="turn_nonneg"):
+        a.merge(_batch(spark, bad), 1, mode="delta", before_publish=hook)
+    assert a.constraints() == {"turn_nonneg": "turn_idx >= 0"}
+    assert not a.epoch_applied(1)  # nothing published under the epoch
+    # a VALID batch racing the same way still commits (redo, then clean)
+    fired["done"] = False
+    ok = [("U", 100, 9100, "z", 5, "user", "y", None)]
+
+    def hook2(_m):
+        if not fired["done"]:
+            fired["done"] = True
+            b.drop_constraint("turn_nonneg")
+
+    st = a.merge(_batch(spark, ok), 2, mode="delta", before_publish=hook2)
+    assert st["status"] == "Success"
+    assert a.constraints() == {}
