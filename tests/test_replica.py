@@ -276,3 +276,55 @@ def test_engine_register_replica_behind_tail(spark, tmp_root):
     eng.replay(wal, os.path.join(tmp_root, "cp"), max_files_per_trigger=4)
     assert rep.last_synced_version() == eng.table.current_version()
     assert _state(rep.table) == _state(eng.table)
+
+
+def test_chained_replication_and_mv_over_replica(spark, tmp_root, upstream):
+    """Replicas compose: A -> B -> C log-ships end-to-end (B's merges ARE
+    delta appends, so C's syncs ride the log fast path), and a DerivedTable
+    over a replica stays correct — the mirror is a full ManifestTable."""
+    from event_driven_etl_msc_research_spark.sinks.derived import DerivedTable
+
+    b = ReplicaTable.create(spark, os.path.join(tmp_root, "b"), upstream, n_buckets=4)
+    b.sync()
+    c = ReplicaTable.create(spark, os.path.join(tmp_root, "c"), b.table, n_buckets=2)
+    c.sync()
+    assert _state(c.table) == _state(upstream)
+
+    mv = DerivedTable.create(
+        spark,
+        os.path.join(tmp_root, "mv"),
+        b.table,
+        group_cols=["conv_id"],
+        aggs={"n_turns": "count(1)"},
+        n_buckets=2,
+    )
+    mv.sync()
+    exp = sorted(
+        (r["conv_id"], r["n_turns"])
+        for r in upstream.read().groupBy("conv_id").agg(
+            F.count(F.lit(1)).alias("n_turns")
+        ).collect()
+    )
+    got = sorted(
+        (r["conv_id"], r["n_turns"]) for r in mv.table.read().collect()
+    )
+    assert got == exp
+
+    # propagate another epoch down the whole chain
+    upstream.merge(_batch(spark, _rows(6, start_key=60, lsn0=600, ts0=6500)), 3, mode="delta")
+    st_b = b.sync()
+    assert st_b["path"] == "log"
+    st_c = c.sync()
+    assert st_c["path"] == "log"  # replica merges are delta appends
+    mv.sync()
+    assert _state(c.table) == _state(upstream)
+    exp2 = sorted(
+        (r["conv_id"], r["n_turns"])
+        for r in upstream.read().groupBy("conv_id").agg(
+            F.count(F.lit(1)).alias("n_turns")
+        ).collect()
+    )
+    got2 = sorted(
+        (r["conv_id"], r["n_turns"]) for r in mv.table.read().collect()
+    )
+    assert got2 == exp2
