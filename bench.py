@@ -70,6 +70,7 @@ HEADLINE = [
     "cdc_merge_into",
     "cdc_check_constraints",
     "cdc_replica",
+    "cdc_stream_source",
     "mv_incremental_rollup",
     "events_asof_last_error",
     "events_range_join",

@@ -33,6 +33,7 @@ from .sinks.manifest import (
     SchemaEvolutionError,
 )
 from .sinks.replica import ReplicaDiverged, ReplicaTable
+from .sources.table_source import CDCTableDataSource, register_cdc_source
 from .sinks.storage import FakeObjectStorage, LocalFSStorage, TableStorage
 from .streaming.engine import CDCEngine
 
@@ -54,4 +55,6 @@ __all__ = [
     "LocalFSStorage",
     "FakeObjectStorage",
     "CDCEngine",
+    "CDCTableDataSource",
+    "register_cdc_source",
 ]

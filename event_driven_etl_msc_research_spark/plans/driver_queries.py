@@ -932,6 +932,94 @@ FROM (
 """
 
 
+def cdc_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table as a Spark STREAMING SOURCE on driver data (format
+    ``edem_cdc`` — Delta streaming-source parity): the
+    ``cdc_merge_events`` table built in two delta epochs with a
+    compaction between them, then STREAMING table-to-table replication —
+    ``spark.readStream.format("edem_cdc")`` over table A feeds
+    ``CDCEngine.replay_stream`` into engine B with Spark-managed
+    version offsets; a second drain of the same checkpoint ships nothing
+    (exactly-once end to end, asserted in-line).  Oracle: B equals the
+    plain latest-per-user state."""
+    from ..sources.table_source import register_cdc_source
+    from ..streaming.engine import CDCEngine
+
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("event_id").alias("lsn"),
+        F.col("ts").cast("timestamp"),
+        F.col("user_id").cast("string").alias("user_key"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_key", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    change_schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+        ]
+        + payload.fields
+    )
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    mid = (lo + hi) // 2
+    root = tempfile.mkdtemp(prefix="cdc_stream_source_")
+    a = ManifestTable.create(
+        spark, root + "/a", payload, key_cols=["user_key"], n_buckets=8
+    )
+    a.merge(changes.filter(F.col("lsn") <= mid), 0, mode="delta", epoch_scope="d")
+    a.compact()
+    a.merge(changes.filter(F.col("lsn") > mid), 1, mode="delta", epoch_scope="d")
+
+    register_cdc_source(spark)
+    b = CDCEngine(
+        spark,
+        root + "/b",
+        change_schema=change_schema,
+        key_cols=["user_key"],
+        n_buckets=8,
+        merge_mode="delta",
+    )
+
+    def _stream():
+        return (
+            spark.readStream.format("edem_cdc")
+            .option("path", root + "/a")
+            .option("startingVersion", 0)
+            .load()
+        )
+
+    b.replay_stream(_stream(), root + "/cp")
+    v = b.table.current_version()
+    b.replay_stream(_stream(), root + "/cp")  # re-drain: nothing new
+    assert b.table.current_version() == v, "streaming source re-shipped"
+    return b.read_table().select(
+        "user_key",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        "event_type",
+        "value",
+    )
+
+
+CDC_STREAM_SOURCE_SQL = f"""
+SELECT CAST(user_id AS VARCHAR) AS user_key,
+       strftime(ts, '{_TS_FMT_DUCK}') AS ts, event_type, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type != 'error'
+"""
+
+
 def cdc_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The write-audit-publish lifecycle on driver data: the same change
     stream as ``cdc_merge_events_delta`` split at the deterministic
@@ -2425,6 +2513,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_merge_into": (cdc_merge_into, CDC_MERGE_INTO_SQL),
     "cdc_check_constraints": (cdc_check_constraints, CDC_CHECK_CONSTRAINTS_SQL),
     "cdc_replica": (cdc_replica, CDC_REPLICA_SQL),
+    "cdc_stream_source": (cdc_stream_source, CDC_STREAM_SOURCE_SQL),
     "cdc_events_time_window": (cdc_events_time_window, CDC_TIME_WINDOW_SQL),
     "cdc_events_zorder_window": (cdc_events_zorder_window, CDC_ZORDER_WINDOW_SQL),
     "cdc_table_changes": (cdc_table_changes, CDC_CHANGES_SQL),
