@@ -706,5 +706,24 @@ class CDCEngine:
     def read_table(self, version: int | None = None) -> DataFrame:
         return self.table.read(version=version)
 
+    def stream_changes(self, starting_version: int | None = None) -> DataFrame:
+        """This engine's table as a STREAMING change-event source
+        (``sources/table_source.py``): registers the ``edem_cdc`` format
+        on the session and returns the unstarted stream — snapshot
+        versions as checkpointed offsets, rows in the change-batch shape
+        ``(op, lsn, payload…)``.  ``starting_version`` replays history
+        from that commit; default tails from the head at first drain.
+        Feed it straight to another engine's ``replay_stream`` for
+        streaming table-to-table replication."""
+        from ..sources.table_source import register_cdc_source
+
+        register_cdc_source(self.spark)
+        r = self.spark.readStream.format("edem_cdc").option(
+            "path", self.table.root
+        )
+        if starting_version is not None:
+            r = r.option("startingVersion", int(starting_version))
+        return r.load()
+
     def metrics_report(self) -> DataFrame:
         return self.lineage.stage_report()

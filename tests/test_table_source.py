@@ -193,3 +193,27 @@ def test_missing_path_option(spark):
     register_cdc_source(spark)
     with pytest.raises(Exception, match="requires .option"):
         spark.read.format("edem_cdc").load().count()
+
+
+def test_engine_stream_changes_sugar(spark, table, tmp_root):
+    """`eng_a.stream_changes()` -> `eng_b.replay_stream` is the one-call
+    streaming replication API (registers the format itself)."""
+    eng_a = CDCEngine(
+        spark,
+        table.root,  # attach to the existing table
+        change_schema=CHANGE_EVENT_SCHEMA,
+        n_buckets=2,
+        merge_mode="delta",
+    )
+    eng_b = CDCEngine(
+        spark,
+        os.path.join(tmp_root, "b4"),
+        change_schema=CHANGE_EVENT_SCHEMA,
+        n_buckets=2,
+        merge_mode="delta",
+    )
+    eng_b.replay_stream(
+        eng_a.stream_changes(starting_version=0),
+        os.path.join(tmp_root, "cp4"),
+    )
+    assert _state(eng_b.table) == _state(table)
