@@ -217,3 +217,47 @@ def test_engine_stream_changes_sugar(spark, table, tmp_root):
         os.path.join(tmp_root, "cp4"),
     )
     assert _state(eng_b.table) == _state(table)
+
+
+def test_live_continuous_streaming_replication(spark, table, tmp_root):
+    """CONTINUOUS mirror: a processingTime-triggered query over the
+    edem_cdc source picks up upstream commits made WHILE it runs — the
+    live cross-region replication topology, all stock Structured
+    Streaming machinery."""
+    import time as _time
+
+    eng_b = CDCEngine(
+        spark,
+        os.path.join(tmp_root, "b5"),
+        change_schema=CHANGE_EVENT_SCHEMA,
+        n_buckets=2,
+        merge_mode="delta",
+    )
+    q = eng_b.replay_stream(
+        _stream(spark, table.root, starting=0),
+        os.path.join(tmp_root, "cp5"),
+        available_now=False,
+        processing_time="1 seconds",
+    )
+    try:
+        deadline = _time.monotonic() + 120
+        while _time.monotonic() < deadline and not eng_b.table.current_version():
+            _time.sleep(0.3)
+        assert _state(eng_b.table) == _state(table)  # history shipped
+
+        # commit upstream WHILE the mirror tail runs
+        table.merge(
+            _batch(spark, _rows(4, start_key=50, lsn0=900, ts0=9000, text="live")),
+            9,
+            mode="delta",
+        )
+        exp = _state(table)
+        while _time.monotonic() < deadline:
+            if _state(eng_b.table) == exp:
+                break
+            _time.sleep(0.5)
+        assert _state(eng_b.table) == exp
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+        eng_b.lineage.flush()
