@@ -87,10 +87,14 @@ class _ChangeFilePartition(InputPartition):
         self.renames = renames          # current name -> historical names
 
 
-def _read_change_file(part: _ChangeFilePartition) -> Iterator["pa.RecordBatch"]:
+def _read_change_file(part) -> Iterator["pa.RecordBatch"]:
     """Executor-side: parquet file → Arrow change-event batches, shadow
     names coalesced, missing evolved columns null-filled, cast to the
-    stream's fixed schema."""
+    stream's fixed schema.  ``part`` is None when the planner returned
+    ZERO partitions (an empty table / empty range) — Spark still runs one
+    task with a None partition; yield nothing."""
+    if part is None:
+        return
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -149,7 +153,9 @@ def _read_change_file(part: _ChangeFilePartition) -> Iterator["pa.RecordBatch"]:
 
 def _table_handle(options: dict):
     """Metadata-only ManifestTable handle (no SparkSession — every method
-    the source uses goes through storage verbs, never Spark)."""
+    the source uses goes through storage verbs, never Spark).  An optional
+    ``branch`` targets a write branch's manifest chain — the WAP audit
+    topology: stream the staged branch into checks before fast_forward."""
     from ..sinks.manifest import ManifestTable
 
     path = options.get("path")
@@ -157,7 +163,7 @@ def _table_handle(options: dict):
         raise ValueError(
             "edem_cdc requires .option('path', <table root dir>)"
         )
-    return ManifestTable(None, path)
+    return ManifestTable(None, path, branch=options.get("branch"))
 
 
 def _change_schema_of(table) -> T.StructType:

@@ -261,3 +261,36 @@ def test_live_continuous_streaming_replication(spark, table, tmp_root):
         q.stop()
         q.awaitTermination(30)
         eng_b.lineage.flush()
+
+
+def test_empty_table_and_empty_range_read_cleanly(spark, tmp_root):
+    register_cdc_source(spark)
+    t = ManifestTable.create(
+        spark, os.path.join(tmp_root, "empty"), TRANSCRIPT_SCHEMA, n_buckets=2
+    )
+    df = spark.read.format("edem_cdc").option("path", t.root).load()
+    assert df.count() == 0
+    assert df.columns[:2] == ["op", "lsn"]
+
+
+def test_branch_option_streams_the_staged_chain(spark, table, tmp_root):
+    """WAP audit topology: a write branch's staged commits are readable
+    through the source WITHOUT publishing — and main's stream is isolated
+    from them."""
+    b = table.create_branch("audit")
+    b.merge(
+        _batch(spark, [("U", 700, 8000, "staged", 0, "user", "branch-only", None)]),
+        10,
+        mode="delta",
+    )
+    main_df = spark.read.format("edem_cdc").option("path", table.root).load()
+    br_df = (
+        spark.read.format("edem_cdc")
+        .option("path", table.root)
+        .option("branch", "audit")
+        .load()
+    )
+    main_texts = {r["text"] for r in main_df.collect()}
+    br_texts = {r["text"] for r in br_df.collect()}
+    assert "branch-only" not in main_texts
+    assert "branch-only" in br_texts and main_texts <= br_texts
