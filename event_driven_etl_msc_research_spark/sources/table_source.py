@@ -67,9 +67,6 @@ from pyspark.sql.datasource import (
 if TYPE_CHECKING:  # pragma: no cover
     import pyarrow as pa
 
-_INTERNAL = ("_lsn", "_deleted", "_bucket", "_pb")
-
-
 class _ChangeFilePartition(InputPartition):
     """One parquet file to ship as change events.  Carries everything the
     executor-side read needs — no SparkSession, no table handle."""

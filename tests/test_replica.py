@@ -251,8 +251,6 @@ def test_object_store_backend(spark, tmp_root, upstream, storage_factory):
 
 
 def test_engine_register_replica_behind_tail(spark, tmp_root):
-    import pathlib
-
     from event_driven_etl_msc_research_spark.datagen import (
         ChangeStreamSpec,
         generate_change_stream,
