@@ -2960,7 +2960,10 @@ class ManifestTable:
         return dict(self.manifest().get("constraints") or {})
 
     def add_constraint(self, name: str, expr: str) -> dict[str, Any]:
-        """``ALTER TABLE ADD CONSTRAINT name CHECK (expr)`` (Delta parity).
+        """``ALTER TABLE ADD CONSTRAINT name CHECK (expr)`` (Delta parity;
+        the content-level contract the reference's count-only per-chunk
+        auditing lacked, ``DataSplit.py:133``,
+        ``Phase3-Data-Extraction.py:123-136``).
 
         Validates the expression against the schema (analysis-only), then
         verifies EVERY existing live row satisfies it — one column-pruned

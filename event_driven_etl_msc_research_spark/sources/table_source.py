@@ -40,6 +40,14 @@ current log (every live base+delta file) as change events — replaying
 it through a fresh engine reproduces the table (the bootstrap a new
 downstream consumer runs before tailing).
 
+Reference analogue: downstream consumers of the reference pipeline
+re-query the Athena external table after every whole-pipeline run
+(``Phase3-DataLoad.py:101-118`` re-declares it over the full prefix;
+the Grafana monitor polls, ``monitoring/etl_monitoring/monitor/
+middleware.py:26-37``) — per-run full-table polling.  This source
+replaces that with push-shaped incremental consumption: O(appended
+files) per micro-batch, offsets checkpointed by Spark itself.
+
 POSIX-path tables only: executors open the parquet bytes directly; an
 object-store `TableStorage` would need its client on the executors
 (the in-process fake is driver-only by construction).
