@@ -986,8 +986,13 @@ class ManifestTable:
                 self._scan_staging(stage_rel)
             )
             # CHECK constraints gate publish: the violation counts rode the
-            # staging write's observation — zero extra jobs
-            self._check_constraint_obs(m, obs.get, epoch_id)
+            # staging write's observation — zero extra jobs.  An EMPTY batch
+            # skips the read: a zero-row write can run zero tasks, leaving
+            # the Observation with a schemaless row that the py4j conversion
+            # asserts on — and zero staged rows (footer ground truth) can
+            # neither violate constraints nor fail the count audit.
+            if staged_rows:
+                self._check_constraint_obs(m, obs.get, epoch_id)
             touched = sorted(staged_files)
             n_change_keys = staged_rows
             merge_path = "delta"
@@ -1019,7 +1024,12 @@ class ManifestTable:
             ch_files, ch_rows_by_bucket, n_change_keys, ch_stats = (
                 self._scan_staging(ch_rel)
             )
-            if n_change_keys != int(ch_obs.get["rows"]):
+            # n_change_keys == 0 skips both observation reads: a zero-row
+            # write can run zero tasks (schemaless Observation row → py4j
+            # conversion assert), and zero staged rows — footer ground
+            # truth — can neither fail the count audit nor violate a
+            # constraint
+            if n_change_keys and n_change_keys != int(ch_obs.get["rows"]):
                 raise RuntimeError(
                     f"audit failed for epoch {epoch_id}: observed "
                     f"{int(ch_obs.get['rows'])} change rows in stage job but "
@@ -1028,7 +1038,8 @@ class ManifestTable:
             # CHECK constraints gate publish BEFORE the CoW rewrite job is
             # even planned — the counts rode the staging observation, so a
             # rejected batch costs only its own staging (zero extra jobs)
-            self._check_constraint_obs(m, ch_obs.get, epoch_id)
+            if n_change_keys:
+                self._check_constraint_obs(m, ch_obs.get, epoch_id)
             touched = sorted(ch_files)
             touched_files = [
                 self.storage.spark_path(p)
@@ -1100,7 +1111,7 @@ class ManifestTable:
         # write job must equal rows readable from the staged parquet footers.
         # (The CoW "initial" path publishes the change-stage files directly —
         # its observation/footer audit already ran against ch_obs above.)
-        if mode == "delta" or merge_path != "initial":
+        if (mode == "delta" or merge_path != "initial") and staged_rows:
             observed = int(obs.get["rows"])
             if staged_rows != observed:
                 raise RuntimeError(

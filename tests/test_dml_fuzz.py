@@ -1,0 +1,214 @@
+"""Metamorphic DML fuzz: a SEEDED random sequence of engine verbs —
+merge (upserts + tombstones, out-of-order versions), delete_where,
+update_where, compact (plain / clustered / OPTIMIZE), rebucket, and
+rollback_to — applied simultaneously to the ManifestTable and to a pure
+Python fold oracle, with state equality asserted after EVERY step and a
+time-travel spot-check at the end.  Catches interaction bugs no
+per-feature suite sees (e.g. a rollback between an update and a
+compaction, or a tombstone raced by an out-of-order older upsert).
+
+Determinism: seeded RNG, globally unique lsn per generated event (the
+engine's (ts, lsn) max-version fold is a total order per key, so the
+oracle is exact), monotonically fresh epoch ids (a rollback forgets
+later epochs; fresh ids keep ledger semantics out of the equation —
+exactly-once replay has its own suites).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+from event_driven_etl_msc_research_spark.schemas import TRANSCRIPT_SCHEMA
+from event_driven_etl_msc_research_spark.sinks.manifest import ManifestTable
+
+BATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+    ]
+)
+
+KEYS = [(f"c{i}", t) for i in range(6) for t in range(3)]  # 18 hot keys
+ROLES = ["user", "assistant", "tool"]
+
+
+class Oracle:
+    """Pure-Python fold of the engine's CDC semantics."""
+
+    def __init__(self):
+        # key -> (ts_int, lsn, deleted, row_dict)
+        self.state: dict = {}
+        self.history: list = [dict(self.state)]  # snapshot per commit
+
+    def _commit(self):
+        self.history.append(dict(self.state))
+
+    def merge(self, rows):
+        for op, lsn, ts, conv, turn, role, text, tool in rows:
+            k = (conv, turn)
+            cur = self.state.get(k)
+            if cur is not None and (ts, lsn) <= (cur[0], cur[1]):
+                continue  # older version loses; tombstones persist
+            self.state[k] = (
+                ts, lsn, op == "D",
+                {"role": role, "text": text, "tool": tool},
+            )
+        self._commit()
+
+    def delete_where(self, pred):
+        for k, (ts, lsn, deleted, row) in list(self.state.items()):
+            if not deleted and pred(k, ts, row):
+                self.state[k] = (ts, lsn + 1, True, {
+                    "role": None, "text": None, "tool": None})
+        self._commit()
+
+    def update_where(self, pred, update):
+        for k, (ts, lsn, deleted, row) in list(self.state.items()):
+            if not deleted and pred(k, ts, row):
+                self.state[k] = (ts, lsn + 1, False, update(dict(row)))
+        self._commit()
+
+    def noop_commit(self):  # compact / rebucket are state-preserving
+        self._commit()
+
+    def rollback_to(self, version):
+        self.state = dict(self.history[version])
+        self._commit()
+
+    def live(self):
+        return sorted(
+            (k[0], k[1], r["role"], r["text"], r["tool"], ts)
+            for k, (ts, lsn, deleted, r) in self.state.items()
+            if not deleted
+        )
+
+
+def _df(spark, rows):
+    pdf = pd.DataFrame(
+        rows, columns=["op", "lsn", "ts", "conv_id", "turn_idx", "role", "text", "tool"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s", utc=True)
+    return spark.createDataFrame(pdf, BATCH_SCHEMA)
+
+
+def _table_live(t):
+    return sorted(
+        (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"],
+         int(r["ts"].timestamp()))
+        for r in t.read().collect()
+    )
+
+
+@pytest.mark.parametrize("seed,mode", [(11, "delta"), (29, "cow")])
+def test_random_dml_sequence_matches_oracle(spark, tmp_root, seed, mode):
+    rng = random.Random(seed)
+    t = ManifestTable.create(
+        spark,
+        os.path.join(tmp_root, f"fuzz_{mode}"),
+        TRANSCRIPT_SCHEMA,
+        n_buckets=4,
+    )
+    oracle = Oracle()
+    lsn = [0]
+    epoch = [0]
+
+    def next_lsn():
+        lsn[0] += 1
+        return lsn[0]
+
+    def next_epoch():
+        epoch[0] += 1
+        return epoch[0]
+
+    def random_batch():
+        rows = []
+        for _ in range(rng.randint(1, 8)):
+            conv, turn = rng.choice(KEYS)
+            op = "D" if rng.random() < 0.15 else "U"
+            ts = rng.randint(1_000, 9_999)  # deliberately out of order
+            if op == "D":
+                rows.append((op, next_lsn(), ts, conv, turn, None, None, None))
+            else:
+                rows.append(
+                    (op, next_lsn(), ts, conv, turn, rng.choice(ROLES),
+                     f"t{lsn[0]}", None)
+                )
+        return rows
+
+    # seed the table so delete/update have something to chew on
+    rows = random_batch()
+    t.merge(_df(spark, rows), next_epoch(), mode=mode)
+    oracle.merge(rows)
+
+    for step in range(22):
+        verb = rng.choices(
+            ["merge", "delete", "update", "compact", "rebucket", "rollback"],
+            weights=[10, 3, 3, 2, 1, 1],
+        )[0]
+        if verb == "merge":
+            rows = random_batch()
+            t.merge(_df(spark, rows), next_epoch(), mode=mode)
+            oracle.merge(rows)
+        elif verb == "delete":
+            conv = rng.choice(KEYS)[0]
+            t.delete_where(f"conv_id = '{conv}'", epoch_id=next_epoch())
+            oracle.delete_where(lambda k, ts, r, c=conv: k[0] == c)
+        elif verb == "update":
+            role = rng.choice(ROLES)
+            t.update_where(
+                f"role = '{role}'", {"text": "'redacted'"},
+                epoch_id=next_epoch(),
+            )
+            oracle.update_where(
+                lambda k, ts, r, ro=role: r["role"] == ro,
+                lambda r: {**r, "text": "redacted"},
+            )
+        elif verb == "compact":
+            kind = rng.random()
+            if kind < 0.33:
+                st = t.compact()
+            elif kind < 0.66:
+                st = t.compact(sort_by=["ts"], max_rows_per_file=7)
+            else:
+                st = t.compact(min_delta_files=0)  # OPTIMIZE
+            if st["status"] == "Success":
+                oracle.noop_commit()
+        elif verb == "rebucket":
+            st = t.rebucket(rng.choice([2, 8]))
+            if st["status"] == "Success":
+                oracle.noop_commit()
+        else:  # rollback one or two commits
+            cur = t.current_version()
+            back = rng.randint(1, min(2, cur - 1)) if cur > 1 else 0
+            if back:
+                st = t.rollback_to(version=cur - back)
+                assert st["status"] == "Success"
+                oracle.rollback_to(cur - back)
+        assert _table_live(t) == oracle.live(), (
+            f"divergence after step {step} verb {verb} (seed {seed}, {mode})"
+        )
+        assert t.current_version() == len(oracle.history) - 1
+
+    # time-travel spot-check: three random historical versions
+    for v in rng.sample(range(1, t.current_version() + 1), 3):
+        got = sorted(
+            (r["conv_id"], r["turn_idx"], r["text"])
+            for r in t.read(version=v).collect()
+        )
+        exp = sorted(
+            (k[0], k[1], r["text"])
+            for k, (ts, l, deleted, r) in oracle.history[v].items()
+            if not deleted
+        )
+        assert got == exp, f"time travel to v{v} diverged (seed {seed}, {mode})"

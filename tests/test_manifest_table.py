@@ -434,3 +434,35 @@ def test_create_rejects_reserved_and_missing_key_columns(spark, tmp_root):
         spark, os.path.join(tmp_root, "ok"), TRANSCRIPT_SCHEMA
     )
     assert t.exists()
+
+
+@pytest.mark.parametrize("mode", ["delta", "cow"])
+def test_empty_change_batch_is_a_clean_noop_epoch(spark, table, mode):
+    """An EMPTY change batch (e.g. a delete_where predicate matching
+    nothing) commits a clean no-op epoch in BOTH modes.  Regression for a
+    fuzz-found crash: a zero-row staging write can run zero tasks, leaving
+    the audit Observation with a schemaless row the py4j conversion
+    asserts on — zero staged rows (footer ground truth) now skip the
+    observation reads entirely."""
+    table.merge(
+        _changes_df(
+            spark,
+            [("I", 1, 100, "c1", 0, "user", "seed", None)],
+        ),
+        1,
+        mode=mode,
+    )
+    before = table.read().count()
+    v = table.current_version()
+    empty = _changes_df(spark, []).limit(0)
+    st = table.merge(empty, 2, mode=mode)
+    assert st["status"] == "Success"
+    assert st["touched_buckets"] == []
+    assert table.current_version() == v + 1
+    assert table.read().count() == before
+    # the no-op epoch is still exactly-once
+    assert table.merge(empty, 2, mode=mode)["status"] == "Skipped"
+    # delete_where matching nothing takes the same path
+    st = table.delete_where("conv_id = 'no-such-conv'", epoch_id=3)
+    assert st["status"] == "Success"
+    assert table.read().count() == before
