@@ -219,7 +219,19 @@ class CDCTableStreamReader(DataSourceStreamReader):
         sv, t = int(start["version"]), int(end["version"])
         if t <= sv:
             return []
-        ma, mb = self._table.manifest(sv), self._table.manifest(t)
+        try:
+            ma, mb = self._table.manifest(sv), self._table.manifest(t)
+        except FileNotFoundError:
+            # the checkpointed resume snapshot was expire_snapshots'd away:
+            # the consumer lagged past retention — same loud contract as a
+            # vacuumed mid-range (below), phrased for the operator
+            raise ValueError(
+                f"cannot stream ({sv}, {t}]: snapshot v{sv} has expired — "
+                f"the consumer lagged past the table's retention (a CoW "
+                f"rewrite, rollback, or expired snapshot breaks the append "
+                f"log).  Re-bootstrap: batch-read the current log and start "
+                f"a fresh checkpoint"
+            ) from None
         cand = self._table._append_candidates(sv, t, ma, mb)
         if cand is None:
             raise ValueError(

@@ -294,3 +294,31 @@ def test_branch_option_streams_the_staged_chain(spark, table, tmp_root):
     br_texts = {r["text"] for r in br_df.collect()}
     assert "branch-only" not in main_texts
     assert "branch-only" in br_texts and main_texts <= br_texts
+
+
+def test_lagging_stream_past_retention_fails_loudly(spark, table, tmp_root):
+    """A consumer that lags until its unsynced delta files are folded by
+    compaction AND collected by vacuum must error clearly (the candidates
+    walk verifies file presence) — never silently skip shipped-from-birth
+    rows.  Same contract as Delta's source when history is VACUUMed."""
+    eng_b = CDCEngine(
+        spark,
+        os.path.join(tmp_root, "b6"),
+        change_schema=CHANGE_EVENT_SCHEMA,
+        n_buckets=2,
+        merge_mode="delta",
+    )
+    cp = os.path.join(tmp_root, "cp6")
+    eng_b.replay_stream(_stream(spark, table.root, starting=0), cp)
+    assert _state(eng_b.table) == _state(table)
+
+    # the consumer now lags: more epochs land, get folded, and the folded
+    # delta files are vacuumed away
+    table.merge(_batch(spark, _rows(4, start_key=20, lsn0=100, ts0=2000)), 2, mode="delta")
+    table.compact()
+    table.expire_snapshots(keep_last=1)
+    table.vacuum(keep_versions=1, grace_s=0)
+    with pytest.raises(Exception, match="lagged past the table's retention"):
+        eng_b.replay_stream(_stream(spark, table.root, starting=0), cp)
+    # the mirror is untouched at its last good state
+    assert eng_b.table.current_version() is not None
