@@ -943,7 +943,10 @@ class ManifestTable:
                 # than a widened table column (no-op when types match)
                 F.col(c).cast(new_types[c])
                 if c in deduped.columns
-                else F.lit(None).cast(new_types[c])
+                # alias is load-bearing: two absent same-typed columns would
+                # otherwise both be named `cast(null as T)` and the staging
+                # write dies on COLUMN_ALREADY_EXISTS (DML-fuzz find)
+                else F.lit(None).cast(new_types[c]).alias(c)
                 for c in payload_names
             ],
             F.col("lsn").alias("_lsn"),

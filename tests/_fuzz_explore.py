@@ -1,0 +1,16 @@
+"""Offline fuzz exploration (not collected by default — run explicitly:
+``pytest tests/_fuzz_explore.py``).  Wider seed sweep of the DDL×DML
+metamorphic fuzzer; the committed suite pins two representative seeds."""
+import pytest
+
+from tests.test_dml_fuzz import (  # noqa: F401 (fixtures via conftest)
+    test_random_ddl_dml_sequence_matches_oracle as _ddl,
+)
+
+
+@pytest.mark.parametrize(
+    "seed,mode",
+    [(s, m) for s in (2, 5, 7, 13, 19, 23) for m in ("delta", "cow")],
+)
+def test_ddl_fuzz_sweep(spark, tmp_root, seed, mode):
+    _ddl(spark, tmp_root, seed, mode)

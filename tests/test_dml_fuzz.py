@@ -110,6 +110,65 @@ def _table_live(t):
     )
 
 
+class DDLOracle(Oracle):
+    """Oracle extended with the metadata-only DDL verbs.  Rows store a
+    dict keyed by the CURRENT payload column names (missing key = NULL —
+    exactly parquet name-resolution's null-fill); ``history`` snapshots
+    ``(state, cols)`` pairs because ``rollback_to`` republishes the whole
+    target manifest, schema included."""
+
+    def __init__(self, cols):
+        super().__init__()
+        self.cols = list(cols)
+        self.history = [(dict(self.state), list(self.cols))]
+
+    def _commit(self):
+        self.history.append((dict(self.state), list(self.cols)))
+
+    def add_column(self, name):
+        self.cols.append(name)
+        self._commit()
+
+    def widen_column(self, name):  # values are Python ints either way
+        self._commit()
+
+    def rename_column(self, old, new):
+        self.cols[self.cols.index(old)] = new
+        self.state = {
+            k: (ts, lsn, d, {(new if c == old else c): v for c, v in r.items()})
+            for k, (ts, lsn, d, r) in self.state.items()
+        }
+        self._commit()
+
+    def drop_column(self, name):
+        self.cols.remove(name)
+        self.state = {
+            k: (ts, lsn, d, {c: v for c, v in r.items() if c != name})
+            for k, (ts, lsn, d, r) in self.state.items()
+        }
+        self._commit()
+
+    def rollback_to(self, version):
+        st, cols = self.history[version]
+        self.state, self.cols = dict(st), list(cols)
+        self._commit()
+
+    def live(self):
+        return sorted(
+            (k[0], k[1], ts, tuple(r.get(c) for c in self.cols))
+            for k, (ts, lsn, deleted, r) in self.state.items()
+            if not deleted
+        )
+
+    def live_at(self, version):
+        st, cols = self.history[version]
+        return sorted(
+            (k[0], k[1], ts, tuple(r.get(c) for c in cols))
+            for k, (ts, lsn, deleted, r) in st.items()
+            if not deleted
+        )
+
+
 @pytest.mark.parametrize("seed,mode", [(11, "delta"), (29, "cow")])
 def test_random_dml_sequence_matches_oracle(spark, tmp_root, seed, mode):
     rng = random.Random(seed)
@@ -212,3 +271,217 @@ def test_random_dml_sequence_matches_oracle(spark, tmp_root, seed, mode):
             if not deleted
         )
         assert got == exp, f"time travel to v{v} diverged (seed {seed}, {mode})"
+
+
+@pytest.mark.parametrize("seed,mode", [(17, "delta"), (43, "cow")])
+def test_random_ddl_dml_sequence_matches_oracle(spark, tmp_root, seed, mode):
+    """DDL×DML interleave: metadata-only ADD / WIDEN / RENAME / DROP
+    COLUMN mixed into the random merge / delete / update / compact /
+    rebucket / rollback stream.  The interactions no per-feature suite
+    covers: a rollback ACROSS a rename (schema must revert with content,
+    and the retired-name tombstone must be forgotten so the old name
+    merges cleanly again), a merge whose batch omits an added column
+    (whole-row replacement null-fills it), an update_where setting a
+    column added three commits earlier, a widened column fed by
+    still-narrow batches, and reads folding files from every schema
+    generation after a drop."""
+    import datetime as _dt
+
+    rng = random.Random(seed)
+    t = ManifestTable.create(
+        spark,
+        os.path.join(tmp_root, f"ddlfuzz_{mode}"),
+        TRANSCRIPT_SCHEMA,
+        n_buckets=4,
+    )
+    oracle = DDLOracle(["role", "text", "tool"])
+    lsn, epoch, ncol = [0], [0], [0]
+    widened: set = set()
+
+    def next_lsn():
+        lsn[0] += 1
+        return lsn[0]
+
+    def next_epoch():
+        epoch[0] += 1
+        return epoch[0]
+
+    def fresh_col():
+        ncol[0] += 1
+        return f"m{ncol[0]}"
+
+    def added_cols():
+        return [c for c in oracle.cols if c not in ("role", "text", "tool")]
+
+    def random_batch_df():
+        """Rows against the oracle's CURRENT schema; each added column is
+        independently present in (value or NULL) or absent from (merge
+        null-fills) the batch — both fold to the same oracle row."""
+        extras = [c for c in added_cols() if rng.random() < 0.6]
+        rows, orows = [], []
+        for _ in range(rng.randint(1, 8)):
+            conv, turn = rng.choice(KEYS)
+            op = "D" if rng.random() < 0.15 else "U"
+            ts = rng.randint(1_000, 9_999)
+            when = _dt.datetime.fromtimestamp(ts, tz=_dt.timezone.utc)
+            if op == "D":
+                payload = {c: None for c in ("role", "text", "tool")}
+                payload.update({c: None for c in extras})
+            else:
+                payload = {
+                    "role": rng.choice(ROLES),
+                    "text": f"t{lsn[0] + 1}",
+                    "tool": None,
+                }
+                payload.update(
+                    {
+                        c: (None if rng.random() < 0.2 else rng.randint(0, 99))
+                        for c in extras
+                    }
+                )
+            n = next_lsn()
+            rows.append(
+                (op, n, when, conv, turn)
+                + tuple(payload[c] for c in ["role", "text", "tool"] + extras)
+            )
+            orows.append((op, n, ts, conv, turn, payload))
+        schema = T.StructType(
+            list(BATCH_SCHEMA.fields)
+            + [
+                # batches stay INT even after a widen — the narrower-batch
+                # up-cast is part of the widen contract under test
+                T.StructField(c, T.IntegerType(), True)
+                for c in extras
+            ]
+        )
+        return spark.createDataFrame(rows, schema), orows
+
+    def oracle_merge(orows):
+        for op, n, ts, conv, turn, payload in orows:
+            k = (conv, turn)
+            cur = oracle.state.get(k)
+            if cur is not None and (ts, n) <= (cur[0], cur[1]):
+                continue
+            oracle.state[k] = (ts, n, op == "D", dict(payload))
+        oracle._commit()
+
+    def table_live():
+        out = []
+        for r in t.read().collect():
+            d = r.asDict()
+            out.append(
+                (
+                    d["conv_id"],
+                    d["turn_idx"],
+                    int(d["ts"].timestamp()),
+                    tuple(d.get(c) for c in oracle.cols),
+                )
+            )
+        return sorted(out)
+
+    df, orows = random_batch_df()
+    t.merge(df, next_epoch(), mode=mode)
+    oracle_merge(orows)
+
+    for step in range(24):
+        verb = rng.choices(
+            [
+                "merge", "delete", "update", "compact", "rebucket",
+                "rollback", "add", "rename", "drop", "widen",
+            ],
+            weights=[10, 3, 2, 2, 1, 2, 3, 2, 1, 1],
+        )[0]
+        if verb in ("rename", "drop", "widen") and not added_cols():
+            verb = "add"  # nothing to operate on yet
+        if verb == "merge":
+            df, orows = random_batch_df()
+            t.merge(df, next_epoch(), mode=mode)
+            oracle_merge(orows)
+        elif verb == "delete":
+            conv = rng.choice(KEYS)[0]
+            t.delete_where(f"conv_id = '{conv}'", epoch_id=next_epoch())
+            oracle.delete_where(lambda k, ts, r, c=conv: k[0] == c)
+        elif verb == "update":
+            extras = added_cols()
+            if extras and rng.random() < 0.5:
+                col = rng.choice(extras)
+                t.update_where(
+                    "role = 'user'", {col: "7"}, epoch_id=next_epoch()
+                )
+                oracle.update_where(
+                    lambda k, ts, r: r.get("role") == "user",
+                    lambda r, c=col: {**r, c: 7},
+                )
+            else:
+                role = rng.choice(ROLES)
+                t.update_where(
+                    f"role = '{role}'", {"text": "'redacted'"},
+                    epoch_id=next_epoch(),
+                )
+                oracle.update_where(
+                    lambda k, ts, r, ro=role: r.get("role") == ro,
+                    lambda r: {**r, "text": "redacted"},
+                )
+        elif verb == "compact":
+            st = t.compact() if rng.random() < 0.5 else t.compact(
+                min_delta_files=0
+            )
+            if st["status"] == "Success":
+                oracle.noop_commit()
+        elif verb == "rebucket":
+            st = t.rebucket(rng.choice([2, 8]))
+            if st["status"] == "Success":
+                oracle.noop_commit()
+        elif verb == "rollback":
+            cur = t.current_version()
+            back = rng.randint(1, min(2, cur - 1)) if cur > 1 else 0
+            if back:
+                st = t.rollback_to(version=cur - back)
+                assert st["status"] == "Success"
+                oracle.rollback_to(cur - back)
+        elif verb == "add":
+            name = fresh_col()
+            assert t.add_column(name, "int")["status"] == "Success"
+            oracle.add_column(name)
+        elif verb == "rename":
+            old = rng.choice(added_cols())
+            new = fresh_col()
+            assert t.rename_column(old, new)["status"] == "Success"
+            if old in widened:
+                widened.add(new)
+            oracle.rename_column(old, new)
+        elif verb == "drop":
+            name = rng.choice(added_cols())
+            assert t.drop_column(name)["status"] == "Success"
+            oracle.drop_column(name)
+        else:  # widen
+            cands = [c for c in added_cols() if c not in widened]
+            if not cands:
+                name = fresh_col()
+                assert t.add_column(name, "int")["status"] == "Success"
+                oracle.add_column(name)
+            else:
+                name = rng.choice(cands)
+                assert t.widen_column(name, "bigint")["status"] == "Success"
+                widened.add(name)
+                oracle.widen_column(name)
+        assert table_live() == oracle.live(), (
+            f"divergence after step {step} verb {verb} (seed {seed}, {mode})"
+        )
+        assert t.current_version() == len(oracle.history) - 1
+
+    # time-travel spot-check under the schema OF THAT VERSION
+    for v in rng.sample(range(1, t.current_version() + 1), 3):
+        _, cols_v = oracle.history[v]
+        got = sorted(
+            (
+                d["conv_id"],
+                d["turn_idx"],
+                int(d["ts"].timestamp()),
+                tuple(d.get(c) for c in cols_v),
+            )
+            for d in (r.asDict() for r in t.read(version=v).collect())
+        )
+        assert got == oracle.live_at(v), (
+            f"time travel to v{v} diverged (seed {seed}, {mode})"
+        )
