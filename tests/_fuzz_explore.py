@@ -4,6 +4,7 @@ metamorphic fuzzer; the committed suite pins two representative seeds."""
 import pytest
 
 from tests.test_dml_fuzz import (  # noqa: F401 (fixtures via conftest)
+    test_random_constraint_dml_sequence_matches_oracle as _con,
     test_random_ddl_dml_sequence_matches_oracle as _ddl,
 )
 
@@ -14,3 +15,11 @@ from tests.test_dml_fuzz import (  # noqa: F401 (fixtures via conftest)
 )
 def test_ddl_fuzz_sweep(spark, tmp_root, seed, mode):
     _ddl(spark, tmp_root, seed, mode)
+
+
+@pytest.mark.parametrize(
+    "seed,mode",
+    [(s, m) for s in (3, 11, 37, 41) for m in ("delta", "cow")],
+)
+def test_constraint_fuzz_sweep(spark, tmp_root, seed, mode):
+    _con(spark, tmp_root, seed, mode)

@@ -273,6 +273,174 @@ def test_random_dml_sequence_matches_oracle(spark, tmp_root, seed, mode):
         assert got == exp, f"time travel to v{v} diverged (seed {seed}, {mode})"
 
 
+class ConstraintOracle(Oracle):
+    """Oracle tracking the CHECK-constraint set alongside row state —
+    constraints ride the manifest, so ``rollback_to`` reverts them WITH
+    the content (a rolled-back table may re-accept a batch the newer
+    constraint set rejected, and vice versa)."""
+
+    def __init__(self):
+        super().__init__()
+        self.cons: dict = {}
+        self.history = [(dict(self.state), dict(self.cons))]
+
+    def _commit(self):
+        self.history.append((dict(self.state), dict(self.cons)))
+
+    def add_constraint(self, name, expr):
+        self.cons[name] = expr
+        self._commit()
+
+    def drop_constraint(self, name):
+        del self.cons[name]
+        self._commit()
+
+    def rollback_to(self, version):
+        st, cons = self.history[version]
+        self.state, self.cons = dict(st), dict(cons)
+        self._commit()
+
+    def has_live_violation(self):
+        # the one constraint shape this fuzz uses: CHECK (turn_idx < 50)
+        return any(
+            not d and k[1] >= 50
+            for k, (ts, lsn, d, r) in self.state.items()
+        )
+
+
+@pytest.mark.parametrize("seed,mode", [(7, "delta"), (31, "cow")])
+def test_random_constraint_dml_sequence_matches_oracle(
+    spark, tmp_root, seed, mode
+):
+    """CHECK-constraint × DML × rollback interplay: the constraint set is
+    manifest state, so a rollback across ADD CONSTRAINT forgets it (a
+    previously-rejected batch now lands) and a rollback across DROP
+    revives it (the same batch aborts again); ADD CONSTRAINT must reject
+    when live rows violate — including rows that only exist because a
+    rollback restored a pre-constraint snapshot."""
+    from event_driven_etl_msc_research_spark import ConstraintViolationError
+
+    rng = random.Random(seed)
+    t = ManifestTable.create(
+        spark,
+        os.path.join(tmp_root, f"confuzz_{mode}"),
+        TRANSCRIPT_SCHEMA,
+        n_buckets=4,
+    )
+    oracle = ConstraintOracle()
+    lsn, epoch, ncon = [0], [0], [0]
+
+    def next_lsn():
+        lsn[0] += 1
+        return lsn[0]
+
+    def next_epoch():
+        epoch[0] += 1
+        return epoch[0]
+
+    def random_rows(turn_pool):
+        rows = []
+        for _ in range(rng.randint(1, 6)):
+            conv = f"c{rng.randint(0, 5)}"
+            turn = rng.choice(turn_pool)
+            op = "D" if rng.random() < 0.15 else "U"
+            ts = rng.randint(1_000, 9_999)
+            if op == "D":
+                rows.append((op, next_lsn(), ts, conv, turn, None, None, None))
+            else:
+                rows.append(
+                    (op, next_lsn(), ts, conv, turn, rng.choice(ROLES),
+                     f"t{lsn[0]}", None)
+                )
+        return rows
+
+    rows = random_rows([0, 1, 2])
+    t.merge(_df(spark, rows), next_epoch(), mode=mode)
+    oracle.merge(rows)
+
+    for step in range(26):
+        verb = rng.choices(
+            [
+                "merge", "badmerge", "delete", "update", "compact",
+                "rollback", "addcon", "dropcon",
+            ],
+            weights=[8, 4, 3, 2, 2, 3, 3, 2],
+        )[0]
+        if verb == "dropcon" and not oracle.cons:
+            verb = "addcon"
+        if verb == "merge":
+            rows = random_rows([0, 1, 2])  # always satisfies turn_idx < 50
+            t.merge(_df(spark, rows), next_epoch(), mode=mode)
+            oracle.merge(rows)
+        elif verb == "badmerge":
+            # at least one U row at turn 99 — violates iff a constraint
+            # is live IN THE CURRENT (possibly rolled-back) manifest
+            rows = random_rows([0, 99]) + [
+                ("U", next_lsn(), rng.randint(1_000, 9_999),
+                 f"c{rng.randint(0, 5)}", 99, "user", f"t{lsn[0]}", None)
+            ]
+            if oracle.cons:
+                v_before = t.current_version()
+                with pytest.raises(ConstraintViolationError):
+                    t.merge(_df(spark, rows), next_epoch(), mode=mode)
+                assert t.current_version() == v_before, (
+                    "rejected batch must not commit"
+                )
+            else:
+                t.merge(_df(spark, rows), next_epoch(), mode=mode)
+                oracle.merge(rows)
+        elif verb == "delete":
+            conv = f"c{rng.randint(0, 5)}"
+            t.delete_where(f"conv_id = '{conv}'", epoch_id=next_epoch())
+            oracle.delete_where(lambda k, ts, r, c=conv: k[0] == c)
+        elif verb == "update":
+            role = rng.choice(ROLES)
+            t.update_where(
+                f"role = '{role}'", {"text": "'redacted'"},
+                epoch_id=next_epoch(),
+            )
+            oracle.update_where(
+                lambda k, ts, r, ro=role: r["role"] == ro,
+                lambda r: {**r, "text": "redacted"},
+            )
+        elif verb == "compact":
+            st = t.compact() if rng.random() < 0.5 else t.compact(
+                min_delta_files=0
+            )
+            if st["status"] == "Success":
+                oracle.noop_commit()
+        elif verb == "rollback":
+            cur = t.current_version()
+            back = rng.randint(1, min(3, cur - 1)) if cur > 1 else 0
+            if back:
+                st = t.rollback_to(version=cur - back)
+                assert st["status"] == "Success"
+                oracle.rollback_to(cur - back)
+        elif verb == "addcon":
+            ncon[0] += 1
+            name = f"k{ncon[0]}"
+            if oracle.has_live_violation():
+                v_before = t.current_version()
+                with pytest.raises(ConstraintViolationError):
+                    t.add_constraint(name, "turn_idx < 50")
+                assert t.current_version() == v_before
+            else:
+                assert (
+                    t.add_constraint(name, "turn_idx < 50")["status"]
+                    == "Success"
+                )
+                oracle.add_constraint(name, "turn_idx < 50")
+        else:  # dropcon
+            name = rng.choice(sorted(oracle.cons))
+            assert t.drop_constraint(name)["status"] == "Success"
+            oracle.drop_constraint(name)
+        assert _table_live(t) == oracle.live(), (
+            f"divergence after step {step} verb {verb} (seed {seed}, {mode})"
+        )
+        assert t.constraints() == oracle.cons
+        assert t.current_version() == len(oracle.history) - 1
+
+
 @pytest.mark.parametrize("seed,mode", [(17, "delta"), (43, "cow")])
 def test_random_ddl_dml_sequence_matches_oracle(spark, tmp_root, seed, mode):
     """DDL×DML interleave: metadata-only ADD / WIDEN / RENAME / DROP
