@@ -4,6 +4,7 @@ metamorphic fuzzer; the committed suite pins two representative seeds."""
 import pytest
 
 from tests.test_dml_fuzz import (  # noqa: F401 (fixtures via conftest)
+    test_random_branch_wap_sequence_matches_oracle as _wap,
     test_random_constraint_dml_sequence_matches_oracle as _con,
     test_random_ddl_dml_sequence_matches_oracle as _ddl,
 )
@@ -23,3 +24,11 @@ def test_ddl_fuzz_sweep(spark, tmp_root, seed, mode):
 )
 def test_constraint_fuzz_sweep(spark, tmp_root, seed, mode):
     _con(spark, tmp_root, seed, mode)
+
+
+@pytest.mark.parametrize(
+    "seed,mode",
+    [(s, m) for s in (1, 19, 47, 61) for m in ("delta", "cow")],
+)
+def test_wap_fuzz_sweep(spark, tmp_root, seed, mode):
+    _wap(spark, tmp_root, seed, mode)

@@ -273,6 +273,132 @@ def test_random_dml_sequence_matches_oracle(spark, tmp_root, seed, mode):
         assert got == exp, f"time travel to v{v} diverged (seed {seed}, {mode})"
 
 
+@pytest.mark.parametrize("seed,mode", [(13, "delta"), (59, "cow")])
+def test_random_branch_wap_sequence_matches_oracle(spark, tmp_root, seed, mode):
+    """Branch/WAP × main-writer interplay: a branch forks main's state,
+    accumulates its own merges/deletes in isolation, and publishes back
+    as ONE squash commit — but ONLY when main's head is still the fork
+    base (any main merge/rollback/DML in between must turn the publish
+    into ManifestConflict, leaving main untouched).  The branch is
+    modeled by a SECOND oracle seeded with a copy of main's state at
+    fork time; per-step equality is asserted on BOTH handles."""
+    from event_driven_etl_msc_research_spark.sinks.manifest import (
+        ManifestConflict,
+    )
+
+    rng = random.Random(seed)
+    t = ManifestTable.create(
+        spark,
+        os.path.join(tmp_root, f"wapfuzz_{mode}"),
+        TRANSCRIPT_SCHEMA,
+        n_buckets=4,
+    )
+    oracle = Oracle()
+    lsn, epoch, nbr = [0], [0], [0]
+    branch = None  # (handle, name, branch_oracle, fork_base, n_commits)
+
+    def next_lsn():
+        lsn[0] += 1
+        return lsn[0]
+
+    def next_epoch():
+        epoch[0] += 1
+        return epoch[0]
+
+    def random_rows():
+        rows = []
+        for _ in range(rng.randint(1, 6)):
+            conv, turn = rng.choice(KEYS)
+            op = "D" if rng.random() < 0.15 else "U"
+            ts = rng.randint(1_000, 9_999)
+            if op == "D":
+                rows.append((op, next_lsn(), ts, conv, turn, None, None, None))
+            else:
+                rows.append(
+                    (op, next_lsn(), ts, conv, turn, rng.choice(ROLES),
+                     f"t{lsn[0]}", None)
+                )
+        return rows
+
+    rows = random_rows()
+    t.merge(_df(spark, rows), next_epoch(), mode=mode)
+    oracle.merge(rows)
+
+    for step in range(26):
+        verb = rng.choices(
+            [
+                "mmerge", "mdelete", "mrollback", "fork", "bmerge",
+                "bdelete", "publish", "drop",
+            ],
+            weights=[6, 2, 1, 4, 6, 2, 4, 1],
+        )[0]
+        if branch is None and verb in ("bmerge", "bdelete", "publish", "drop"):
+            verb = "fork"
+        elif branch is not None and verb == "fork":
+            verb = "bmerge"
+        if verb == "mmerge":
+            rows = random_rows()
+            t.merge(_df(spark, rows), next_epoch(), mode=mode)
+            oracle.merge(rows)
+        elif verb == "mdelete":
+            conv = rng.choice(KEYS)[0]
+            t.delete_where(f"conv_id = '{conv}'", epoch_id=next_epoch())
+            oracle.delete_where(lambda k, ts, r, c=conv: k[0] == c)
+        elif verb == "mrollback":
+            cur = t.current_version()
+            back = rng.randint(1, min(2, cur - 1)) if cur > 1 else 0
+            if back:
+                assert t.rollback_to(version=cur - back)["status"] == "Success"
+                oracle.rollback_to(cur - back)
+        elif verb == "fork":
+            nbr[0] += 1
+            name = f"wap{nbr[0]}"
+            handle = t.create_branch(name)
+            bora = Oracle()
+            bora.state = dict(oracle.state)
+            branch = [handle, name, bora, t.current_version(), 0]
+        elif verb == "bmerge":
+            rows = random_rows()
+            branch[0].merge(_df(spark, rows), next_epoch(), mode=mode)
+            branch[2].merge(rows)
+            branch[4] += 1
+        elif verb == "bdelete":
+            conv = rng.choice(KEYS)[0]
+            branch[0].delete_where(f"conv_id = '{conv}'", epoch_id=next_epoch())
+            branch[2].delete_where(lambda k, ts, r, c=conv: k[0] == c)
+            branch[4] += 1
+        elif verb == "publish":
+            handle, name, bora, fork_base, n_commits = branch
+            if t.current_version() != fork_base:
+                v_before = t.current_version()
+                with pytest.raises(ManifestConflict):
+                    t.fast_forward(name)
+                assert t.current_version() == v_before, (
+                    "conflicted publish must not commit"
+                )
+            elif n_commits == 0:
+                assert t.fast_forward(name)["status"] == "NoChange"
+            else:
+                assert t.fast_forward(name)["status"] == "Success"
+                oracle.state = dict(bora.state)
+                oracle._commit()  # the squash commit
+            assert t.drop_branch(name)
+            branch = None
+        else:  # drop (abandon unpublished work)
+            assert t.drop_branch(branch[1])
+            branch = None
+        assert _table_live(t) == oracle.live(), (
+            f"main divergence after step {step} verb {verb} "
+            f"(seed {seed}, {mode})"
+        )
+        if branch is not None:
+            assert _table_live(branch[0]) == branch[2].live(), (
+                f"branch divergence after step {step} verb {verb} "
+                f"(seed {seed}, {mode})"
+            )
+        assert t.current_version() == len(oracle.history) - 1
+
+
 class ConstraintOracle(Oracle):
     """Oracle tracking the CHECK-constraint set alongside row state —
     constraints ride the manifest, so ``rollback_to`` reverts them WITH
