@@ -273,6 +273,148 @@ def test_random_dml_sequence_matches_oracle(spark, tmp_root, seed, mode):
         assert got == exp, f"time travel to v{v} diverged (seed {seed}, {mode})"
 
 
+@pytest.mark.parametrize("seed,up_mode", [(23, "delta"), (53, "cow")])
+def test_random_replication_sequence_mirrors_upstream(
+    spark, tmp_root, seed, up_mode
+):
+    """Replication fuzz — the UPSTREAM TABLE IS THE ORACLE, so every
+    engine verb can join the stream without Python modeling: random
+    merge / delete_where / update_where / merge_into / compact /
+    rebucket / add_column(+populate) on the upstream, with periodic
+    ``ReplicaTable.sync()`` into a RESHARDED mirror asserting full-row
+    state equality after every sync.  Pins that raw log-shipping
+    (original ts/_lsn/_deleted stamps through the replica's own MERGE)
+    reproduces every verb interplay — including merge_into's outranking
+    stamps and additive schema evolution — and that an upstream rollback
+    fences with ``ReplicaDiverged``, mirror untouched."""
+    import datetime as _dt
+
+    from event_driven_etl_msc_research_spark.sinks.replica import (
+        ReplicaDiverged,
+        ReplicaTable,
+    )
+
+    rng = random.Random(seed)
+    up = ManifestTable.create(
+        spark,
+        os.path.join(tmp_root, f"repfuzz_up_{up_mode}"),
+        TRANSCRIPT_SCHEMA,
+        n_buckets=4,
+    )
+    lsn, epoch, ncol, nsrc = [0], [0], [0], [0]
+
+    def next_lsn():
+        lsn[0] += 1
+        return lsn[0]
+
+    def next_epoch():
+        epoch[0] += 1
+        return epoch[0]
+
+    def random_rows():
+        rows = []
+        for _ in range(rng.randint(1, 6)):
+            conv, turn = rng.choice(KEYS)
+            op = "D" if rng.random() < 0.15 else "U"
+            ts = rng.randint(1_000, 9_999)
+            if op == "D":
+                rows.append((op, next_lsn(), ts, conv, turn, None, None, None))
+            else:
+                rows.append(
+                    (op, next_lsn(), ts, conv, turn, rng.choice(ROLES),
+                     f"t{lsn[0]}", None)
+                )
+        return rows
+
+    def state(tbl):
+        rows = [r.asDict() for r in tbl.read().collect()]
+        return sorted(rows, key=lambda d: (d["conv_id"], d["turn_idx"]))
+
+    up.merge(_df(spark, random_rows()), next_epoch(), mode=up_mode)
+    rep = ReplicaTable.create(
+        spark,
+        os.path.join(tmp_root, f"repfuzz_mirror_{up_mode}"),
+        up,
+        n_buckets=8,  # resharded mirror
+    )
+    assert rep.sync()["path"] == "snapshot"  # bootstrap
+    assert state(up) == state(rep.table)
+
+    for step in range(20):
+        verb = rng.choices(
+            [
+                "merge", "delete", "update", "merge_into", "compact",
+                "rebucket", "add_populate",
+            ],
+            weights=[8, 3, 2, 3, 2, 1, 2],
+        )[0]
+        if verb == "merge":
+            up.merge(_df(spark, random_rows()), next_epoch(), mode=up_mode)
+        elif verb == "delete":
+            conv = rng.choice(KEYS)[0]
+            up.delete_where(f"conv_id = '{conv}'", epoch_id=next_epoch())
+        elif verb == "update":
+            role = rng.choice(ROLES)
+            up.update_where(
+                f"role = '{role}'", {"text": "'redacted'"},
+                epoch_id=next_epoch(),
+            )
+        elif verb == "merge_into":
+            nsrc[0] += 1
+            src_rows = [
+                (conv, turn, f"mi{nsrc[0]}_{i}",
+                 _dt.datetime.fromtimestamp(
+                     rng.randint(1_000, 9_999), tz=_dt.timezone.utc))
+                for i, (conv, turn) in enumerate(
+                    rng.sample(KEYS, rng.randint(1, 3))
+                )
+            ] + [
+                (f"fresh{nsrc[0]}", 0, f"mi{nsrc[0]}_new",
+                 _dt.datetime.fromtimestamp(
+                     rng.randint(1_000, 9_999), tz=_dt.timezone.utc))
+            ]
+            src = spark.createDataFrame(
+                src_rows, "conv_id string, turn_idx int, text string, ts timestamp"
+            )
+            up.merge_into(
+                src,
+                epoch_id=next_epoch(),
+                when_matched_update={"text": "s.text"},
+                when_not_matched_insert={"text": "s.text", "ts": "s.ts"},
+                mode=up_mode,
+            )
+        elif verb == "compact":
+            up.compact() if rng.random() < 0.5 else up.compact(
+                min_delta_files=0
+            )
+        elif verb == "rebucket":
+            up.rebucket(rng.choice([2, 8]))
+        else:  # add a column, then populate it through ordinary DML
+            ncol[0] += 1
+            name = f"r{ncol[0]}"
+            assert up.add_column(name, "int")["status"] == "Success"
+            up.update_where(
+                "role = 'user'", {name: "5"}, epoch_id=next_epoch()
+            )
+        if rng.random() < 0.6 or step == 19:
+            res = rep.sync()
+            assert res["status"] in ("Success", "NoChange", "Skipped"), res
+            assert state(up) == state(rep.table), (
+                f"mirror divergence after step {step} verb {verb} "
+                f"(seed {seed}, {up_mode})"
+            )
+
+    # upstream rollback fences the mirror: sync raises, replica untouched
+    rep.sync()
+    pre = state(rep.table)
+    assert up.rollback_to(version=up.current_version() - 1)["status"] == (
+        "Success"
+    )
+    with pytest.raises(ReplicaDiverged):
+        rep.sync()
+    assert state(rep.table) == pre
+
+
 @pytest.mark.parametrize("seed,mode", [(13, "delta"), (59, "cow")])
 def test_random_branch_wap_sequence_matches_oracle(spark, tmp_root, seed, mode):
     """Branch/WAP × main-writer interplay: a branch forks main's state,
