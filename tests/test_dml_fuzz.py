@@ -273,6 +273,147 @@ def test_random_dml_sequence_matches_oracle(spark, tmp_root, seed, mode):
         assert got == exp, f"time travel to v{v} diverged (seed {seed}, {mode})"
 
 
+@pytest.mark.parametrize("seed,up_mode", [(37, "delta"), (71, "cow")])
+def test_random_mv_sequence_matches_full_group_by(
+    spark, tmp_root, seed, up_mode
+):
+    """Materialized-view fuzz — again upstream-as-oracle: after every
+    ``DerivedTable.sync()`` the MV must equal a from-scratch GROUP BY of
+    the current upstream snapshot.  The stream deliberately includes
+    NULL group values (upserts with role=NULL and merge_into inserts
+    that never set role — the round-4 ADVICE-high surface), rollbacks
+    (which force the change feed onto the snapshot-diff path), compact/
+    rebucket (state-preserving fast-path traversal), and up to two
+    definition evolutions (one-time backfill, then incremental again)."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from event_driven_etl_msc_research_spark.sinks.derived import (
+        DerivedTable,
+    )
+
+    rng = random.Random(seed)
+    up = ManifestTable.create(
+        spark,
+        os.path.join(tmp_root, f"mvfuzz_up_{up_mode}"),
+        TRANSCRIPT_SCHEMA,
+        n_buckets=4,
+    )
+    lsn, epoch, nsrc, nev = [0], [0], [0], [0]
+    aggs = {"n": "count(1)", "chars": "sum(length(text))"}
+
+    def next_lsn():
+        lsn[0] += 1
+        return lsn[0]
+
+    def next_epoch():
+        epoch[0] += 1
+        return epoch[0]
+
+    def random_rows():
+        rows = []
+        for _ in range(rng.randint(1, 6)):
+            conv, turn = rng.choice(KEYS)
+            op = "D" if rng.random() < 0.15 else "U"
+            ts = rng.randint(1_000, 9_999)
+            if op == "D":
+                rows.append((op, next_lsn(), ts, conv, turn, None, None, None))
+            else:
+                # 15% NULL group value — must survive incremental syncs
+                role = None if rng.random() < 0.15 else rng.choice(ROLES)
+                rows.append(
+                    (op, next_lsn(), ts, conv, turn, role, f"t{lsn[0]}", None)
+                )
+        return rows
+
+    def mv_state():
+        rows = [r.asDict() for r in mv.read().collect()]
+        return sorted(
+            rows, key=lambda d: (d["role"] is None, d["role"] or "")
+        )
+
+    def expected_state():
+        exp = up.read().groupBy("role").agg(
+            *[F.expr(sql).alias(n) for n, sql in aggs.items()]
+        )
+        rows = [r.asDict() for r in exp.collect()]
+        return sorted(
+            rows, key=lambda d: (d["role"] is None, d["role"] or "")
+        )
+
+    up.merge(_df(spark, random_rows()), next_epoch(), mode=up_mode)
+    mv = DerivedTable.create(
+        spark,
+        os.path.join(tmp_root, f"mvfuzz_mv_{up_mode}"),
+        up,
+        group_cols=["role"],
+        aggs=aggs,
+        n_buckets=4,
+    )
+    assert mv.sync()["status"] in ("Success", "NoChange")
+    assert mv_state() == expected_state()
+
+    for step in range(16):
+        verb = rng.choices(
+            [
+                "merge", "delete", "update", "merge_into", "compact",
+                "rollback", "evolve",
+            ],
+            weights=[8, 3, 2, 2, 2, 1, 1],
+        )[0]
+        if verb == "evolve" and nev[0] >= 2:
+            verb = "merge"
+        if verb == "merge":
+            up.merge(_df(spark, random_rows()), next_epoch(), mode=up_mode)
+        elif verb == "delete":
+            conv = rng.choice(KEYS)[0]
+            up.delete_where(f"conv_id = '{conv}'", epoch_id=next_epoch())
+        elif verb == "update":
+            role = rng.choice(ROLES)
+            up.update_where(
+                f"role = '{role}'", {"text": "'redacted'"},
+                epoch_id=next_epoch(),
+            )
+        elif verb == "merge_into":
+            nsrc[0] += 1
+            # insert never sets role -> a NULL-group row enters the MV
+            src = spark.createDataFrame(
+                [(f"mvfresh{nsrc[0]}", 0, f"mi{nsrc[0]}",
+                  _dt.datetime.fromtimestamp(
+                      rng.randint(1_000, 9_999), tz=_dt.timezone.utc))],
+                "conv_id string, turn_idx int, text string, ts timestamp",
+            )
+            up.merge_into(
+                src,
+                epoch_id=next_epoch(),
+                when_matched_update={"text": "s.text"},
+                when_not_matched_insert={"text": "s.text", "ts": "s.ts"},
+                mode=up_mode,
+            )
+        elif verb == "compact":
+            if rng.random() < 0.5:
+                up.compact()
+            else:
+                up.rebucket(rng.choice([2, 8]))
+        elif verb == "rollback":
+            cur = up.current_version()
+            back = rng.randint(1, min(2, cur - 1)) if cur > 1 else 0
+            if back:
+                up.rollback_to(version=cur - back)
+        else:  # evolve the view definition
+            nev[0] += 1
+            name = f"e{nev[0]}"
+            mv.evolve({name: "max(length(text))"})
+            aggs[name] = "max(length(text))"
+        if rng.random() < 0.6 or step == 15:
+            assert mv.sync()["status"] in ("Success", "NoChange", "Skipped")
+            assert mv_state() == expected_state(), (
+                f"MV divergence after step {step} verb {verb} "
+                f"(seed {seed}, {up_mode})"
+            )
+
+
 @pytest.mark.parametrize("seed,up_mode", [(23, "delta"), (53, "cow")])
 def test_random_replication_sequence_mirrors_upstream(
     spark, tmp_root, seed, up_mode
