@@ -7,6 +7,7 @@ from tests.test_dml_fuzz import (  # noqa: F401 (fixtures via conftest)
     test_random_branch_wap_sequence_matches_oracle as _wap,
     test_random_constraint_dml_sequence_matches_oracle as _con,
     test_random_ddl_dml_sequence_matches_oracle as _ddl,
+    test_physical_config_invariance as _cfg,
     test_random_mv_sequence_matches_full_group_by as _mv,
     test_random_replication_sequence_mirrors_upstream as _rep,
 )
@@ -50,3 +51,8 @@ def test_replication_fuzz_sweep(spark, tmp_root, seed, mode):
 )
 def test_mv_fuzz_sweep(spark, tmp_root, seed, mode):
     _mv(spark, tmp_root, seed, mode)
+
+
+@pytest.mark.parametrize("seed", [7, 29, 41])
+def test_config_invariance_sweep(spark, tmp_root, seed):
+    _cfg(spark, tmp_root, seed)

@@ -273,6 +273,81 @@ def test_random_dml_sequence_matches_oracle(spark, tmp_root, seed, mode):
         assert got == exp, f"time travel to v{v} diverged (seed {seed}, {mode})"
 
 
+@pytest.mark.parametrize("seed", [3, 19])
+def test_physical_config_invariance(spark, tmp_root, seed):
+    """Physical knobs must NEVER change logical state: the same WAL
+    (out-of-order delivery, duplicate segments, mid-stream schema
+    evolution) replayed under randomly drawn engine configs — bucket
+    count, merge mode, compaction cadence + clustering style, file
+    sizing, salting, parquet blooms, stateful event dedup, micro-batch
+    size — must converge to the byte-identical final table the
+    reference config produces.  The metamorphic relation every lakehouse
+    tuning guide assumes but few engines pin."""
+    from conftest import assert_pdf_equal
+
+    from event_driven_etl_msc_research_spark import CDCEngine
+    from event_driven_etl_msc_research_spark.datagen import (
+        ChangeStreamSpec,
+        generate_change_stream,
+    )
+    from event_driven_etl_msc_research_spark.schemas import (
+        CHANGE_EVENT_SCHEMA_EVOLVED,
+    )
+
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "tool_meta", "ts"]
+    rng = random.Random(seed)
+    spec = ChangeStreamSpec(
+        n_events=4_000, n_convs=80, segment_size=500, seed=seed,
+        dup_segments=(1, 3),
+    )
+    wal = os.path.join(tmp_root, "wal")
+    generate_change_stream(wal, spec)
+
+    def run(name, **cfg):
+        mfpt = cfg.pop("_mfpt", 3)
+        eng = CDCEngine(
+            spark,
+            os.path.join(tmp_root, f"t_{name}"),
+            change_schema=CHANGE_EVENT_SCHEMA_EVOLVED,
+            **cfg,
+        )
+        eng.replay(
+            wal,
+            os.path.join(tmp_root, f"cp_{name}"),
+            max_files_per_trigger=mfpt,
+        )
+        return (
+            eng.read_table()
+            .orderBy("conv_id", "turn_idx")
+            .toPandas()
+        )
+
+    ref = run("ref", n_buckets=4, merge_mode="cow")
+
+    for i in range(3):
+        mode = rng.choice(["delta", "cow"])
+        cfg = {
+            "n_buckets": rng.choice([2, 8, 16]),
+            "merge_mode": mode,
+            "salt_buckets": rng.choice([4, 16]),
+            "files_per_bucket": rng.choice([1, 2]),
+            "bloom_filter_cols": rng.choice([None, ["conv_id"]]),
+            "event_dedup": rng.choice([None, "1 hour"]),
+            "_mfpt": rng.choice([2, 5]),
+        }
+        if mode == "delta":
+            cfg["compact_every"] = rng.choice([0, 2, 3])
+            style = rng.random()
+            if style < 0.33:
+                cfg["compact_sort_by"] = ["ts"]
+                cfg["compact_max_rows_per_file"] = 500
+            elif style < 0.66:
+                cfg["compact_zorder_by"] = ["ts", "turn_idx"]
+                cfg["compact_max_rows_per_file"] = 500
+        got = run(f"v{i}", **cfg)
+        assert_pdf_equal(got, ref, cols), (seed, i, cfg)
+
+
 @pytest.mark.parametrize("seed,up_mode", [(37, "delta"), (71, "cow")])
 def test_random_mv_sequence_matches_full_group_by(
     spark, tmp_root, seed, up_mode
