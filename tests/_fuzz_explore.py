@@ -8,6 +8,7 @@ from tests.test_dml_fuzz import (  # noqa: F401 (fixtures via conftest)
     test_random_constraint_dml_sequence_matches_oracle as _con,
     test_random_ddl_dml_sequence_matches_oracle as _ddl,
     test_physical_config_invariance as _cfg,
+    test_random_crash_recovery_sequence_matches_oracle as _crash,
     test_random_mv_sequence_matches_full_group_by as _mv,
     test_random_replication_sequence_mirrors_upstream as _rep,
 )
@@ -56,3 +57,11 @@ def test_mv_fuzz_sweep(spark, tmp_root, seed, mode):
 @pytest.mark.parametrize("seed", [7, 29, 41])
 def test_config_invariance_sweep(spark, tmp_root, seed):
     _cfg(spark, tmp_root, seed)
+
+
+@pytest.mark.parametrize(
+    "seed,mode",
+    [(s, m) for s in (9, 53) for m in ("delta", "cow")],
+)
+def test_crash_recovery_fuzz_sweep(spark, tmp_root, seed, mode):
+    _crash(spark, tmp_root, seed, mode)

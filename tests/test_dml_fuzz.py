@@ -273,6 +273,108 @@ def test_random_dml_sequence_matches_oracle(spark, tmp_root, seed, mode):
         assert got == exp, f"time travel to v{v} diverged (seed {seed}, {mode})"
 
 
+class _Boom(Exception):
+    pass
+
+
+def _boom(_manifest):
+    raise _Boom()
+
+
+@pytest.mark.parametrize("seed,mode", [(41, "delta"), (83, "cow")])
+def test_random_crash_recovery_sequence_matches_oracle(
+    spark, tmp_root, seed, mode
+):
+    """Crash-recovery fuzz: random merges CRASH between the staging
+    write and the manifest publish (the widest failure window — data
+    durable, commit absent), at random points in an ordinary DML
+    stream.  Every crash must leave the table byte-identical and the
+    epoch free; the SAME epoch id then retries to exactly the oracle
+    state (staged orphans are vacuum garbage, never visible)."""
+    rng = random.Random(seed)
+    t = ManifestTable.create(
+        spark,
+        os.path.join(tmp_root, f"crashfuzz_{mode}"),
+        TRANSCRIPT_SCHEMA,
+        n_buckets=4,
+    )
+    oracle = Oracle()
+    lsn, epoch = [0], [0]
+
+    def next_lsn():
+        lsn[0] += 1
+        return lsn[0]
+
+    def next_epoch():
+        epoch[0] += 1
+        return epoch[0]
+
+    def random_batch():
+        rows = []
+        for _ in range(rng.randint(1, 8)):
+            conv, turn = rng.choice(KEYS)
+            op = "D" if rng.random() < 0.15 else "U"
+            ts = rng.randint(1_000, 9_999)
+            if op == "D":
+                rows.append((op, next_lsn(), ts, conv, turn, None, None, None))
+            else:
+                rows.append(
+                    (op, next_lsn(), ts, conv, turn, rng.choice(ROLES),
+                     f"t{lsn[0]}", None)
+                )
+        return rows
+
+    rows = random_batch()
+    t.merge(_df(spark, rows), next_epoch(), mode=mode)
+    oracle.merge(rows)
+
+    for step in range(18):
+        verb = rng.choices(
+            ["merge", "crash", "delete", "compact", "rollback"],
+            weights=[8, 6, 3, 2, 1],
+        )[0]
+        if verb == "merge":
+            rows = random_batch()
+            t.merge(_df(spark, rows), next_epoch(), mode=mode)
+            oracle.merge(rows)
+        elif verb == "crash":
+            rows = random_batch()
+            eid = next_epoch()
+            v_before = t.current_version()
+            with pytest.raises(_Boom):
+                t.merge(_df(spark, rows), eid, mode=mode,
+                        before_publish=_boom)
+            assert t.current_version() == v_before
+            assert _table_live(t) == oracle.live(), (
+                f"crash mutated state at step {step} (seed {seed}, {mode})"
+            )
+            # the SAME epoch retries cleanly — exactly-once across crashes
+            assert t.merge(_df(spark, rows), eid, mode=mode)["status"] == (
+                "Success"
+            )
+            oracle.merge(rows)
+        elif verb == "delete":
+            conv = rng.choice(KEYS)[0]
+            t.delete_where(f"conv_id = '{conv}'", epoch_id=next_epoch())
+            oracle.delete_where(lambda k, ts, r, c=conv: k[0] == c)
+        elif verb == "compact":
+            st = t.compact() if rng.random() < 0.5 else t.compact(
+                min_delta_files=0
+            )
+            if st["status"] == "Success":
+                oracle.noop_commit()
+        else:
+            cur = t.current_version()
+            back = rng.randint(1, min(2, cur - 1)) if cur > 1 else 0
+            if back:
+                assert t.rollback_to(version=cur - back)["status"] == "Success"
+                oracle.rollback_to(cur - back)
+        assert _table_live(t) == oracle.live(), (
+            f"divergence after step {step} verb {verb} (seed {seed}, {mode})"
+        )
+        assert t.current_version() == len(oracle.history) - 1
+
+
 @pytest.mark.parametrize("seed", [3, 19])
 def test_physical_config_invariance(spark, tmp_root, seed):
     """Physical knobs must NEVER change logical state: the same WAL
