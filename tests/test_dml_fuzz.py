@@ -39,6 +39,12 @@ BATCH_SCHEMA = T.StructType(
     ]
 )
 
+
+def _steps(default: int) -> int:
+    """Step count per fuzz run; override for long offline soaks:
+    ``EDEM_FUZZ_STEPS=120 pytest tests/test_dml_fuzz.py``."""
+    return int(os.environ.get("EDEM_FUZZ_STEPS", "0")) or default
+
 KEYS = [(f"c{i}", t) for i in range(6) for t in range(3)]  # 18 hot keys
 ROLES = ["user", "assistant", "tool"]
 
@@ -210,7 +216,7 @@ def test_random_dml_sequence_matches_oracle(spark, tmp_root, seed, mode):
     t.merge(_df(spark, rows), next_epoch(), mode=mode)
     oracle.merge(rows)
 
-    for step in range(22):
+    for step in range(_steps(22)):
         verb = rng.choices(
             ["merge", "delete", "update", "compact", "rebucket", "rollback"],
             weights=[10, 3, 3, 2, 1, 1],
@@ -328,7 +334,7 @@ def test_random_crash_recovery_sequence_matches_oracle(
     t.merge(_df(spark, rows), next_epoch(), mode=mode)
     oracle.merge(rows)
 
-    for step in range(18):
+    for step in range(_steps(18)):
         verb = rng.choices(
             ["merge", "crash", "delete", "compact", "rollback"],
             weights=[8, 6, 3, 2, 1],
@@ -531,7 +537,7 @@ def test_random_mv_sequence_matches_full_group_by(
     assert mv.sync()["status"] in ("Success", "NoChange")
     assert mv_state() == expected_state()
 
-    for step in range(16):
+    for step in range(_steps(16)):
         verb = rng.choices(
             [
                 "merge", "delete", "update", "merge_into", "compact",
@@ -658,7 +664,7 @@ def test_random_replication_sequence_mirrors_upstream(
     assert rep.sync()["path"] == "snapshot"  # bootstrap
     assert state(up) == state(rep.table)
 
-    for step in range(20):
+    for step in range(_steps(20)):
         verb = rng.choices(
             [
                 "merge", "delete", "update", "merge_into", "compact",
@@ -784,7 +790,7 @@ def test_random_branch_wap_sequence_matches_oracle(spark, tmp_root, seed, mode):
     t.merge(_df(spark, rows), next_epoch(), mode=mode)
     oracle.merge(rows)
 
-    for step in range(26):
+    for step in range(_steps(26)):
         verb = rng.choices(
             [
                 "mmerge", "mdelete", "mrollback", "fork", "bmerge",
@@ -944,7 +950,7 @@ def test_random_constraint_dml_sequence_matches_oracle(
     t.merge(_df(spark, rows), next_epoch(), mode=mode)
     oracle.merge(rows)
 
-    for step in range(26):
+    for step in range(_steps(26)):
         verb = rng.choices(
             [
                 "merge", "badmerge", "delete", "update", "compact",
@@ -1137,7 +1143,7 @@ def test_random_ddl_dml_sequence_matches_oracle(spark, tmp_root, seed, mode):
     t.merge(df, next_epoch(), mode=mode)
     oracle_merge(orows)
 
-    for step in range(24):
+    for step in range(_steps(24)):
         verb = rng.choices(
             [
                 "merge", "delete", "update", "compact", "rebucket",
