@@ -126,3 +126,89 @@ def spark_bucket(value, dtype: T.DataType, n_buckets: int) -> int | None:
     hash already matches Java's pmod for positive moduli."""
     h = spark_xxhash64(value, dtype)
     return None if h is None else h % n_buckets
+
+
+def _xxh64_fixed_np(v, nbytes: int):
+    """Vectorized xxHash64 of a fixed-width little-endian input per row:
+    ``v`` is a numpy uint64 array holding each row's input word (an 8-byte
+    long/timestamp-micros value, or a 4-byte int/date zero-extended to
+    uint64).  Follows the scalar ``xxhash64`` short path exactly — inputs
+    < 32 bytes skip the accumulator lanes, so the whole hash is three
+    multiply/rotate steps + the avalanche, all of which wrap modulo 2^64
+    for free in numpy uint64 arithmetic."""
+    import numpy as np
+
+    u = np.uint64
+    with np.errstate(over="ignore"):
+        h = np.full(v.shape, (SPARK_HASH_SEED + _P5 + nbytes) & _M, dtype=np.uint64)
+        if nbytes == 8:
+            acc = v * u(_P2)
+            acc = ((acc << u(31)) | (acc >> u(33))) * u(_P1)
+            h ^= acc
+            h = ((h << u(27)) | (h >> u(37))) * u(_P1) + u(_P4)
+        elif nbytes == 4:
+            h ^= v * u(_P1)
+            h = ((h << u(23)) | (h >> u(41))) * u(_P2) + u(_P3)
+        else:  # pragma: no cover - callers pass 4 or 8 only
+            raise ValueError(f"unsupported fixed width {nbytes}")
+        h ^= h >> u(33)
+        h *= u(_P2)
+        h ^= h >> u(29)
+        h *= u(_P3)
+        h ^= h >> u(32)
+    return h
+
+
+def spark_bucket_array(arr, dtype: T.DataType, n_buckets: int):
+    """``pmod(xxhash64(col), n_buckets)`` for a whole pyarrow array — the
+    vectorized executor-side twin of ``spark_bucket``, used by the
+    ``edem_cdc`` streaming SINK to assign each incoming change row to the
+    table's hash bucket without a Spark job.  Fixed-width types (long,
+    int/short/byte, date, timestamp) go through a numpy-vectorized xxHash64
+    short path; strings fall back to the scalar per-value hash (xxHash64 is
+    data-length-dependent, so variable-width input does not vectorize —
+    at ~1 µs/row the Python loop still clears the surrounding Arrow IO).
+
+    Returns a numpy int32 array of bucket ids.  NULL inputs hash to the
+    seed (Spark's hash expressions skip null inputs), i.e. bucket
+    ``42 % n_buckets`` — byte-identical to ``_bucket_expr``'s assignment,
+    property-tested against ``F.xxhash64`` in ``tests/test_hashing.py``."""
+    import numpy as np
+    import pyarrow as pa
+
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    null_mask = arr.is_null().to_numpy(zero_copy_only=False)
+    if isinstance(dtype, T.StringType):
+        out = np.empty(len(arr), dtype=np.int64)
+        for i, v in enumerate(arr.to_pylist()):
+            h = SPARK_HASH_SEED if v is None else spark_xxhash64(v, dtype)
+            out[i] = h % n_buckets
+        return out.astype(np.int32)
+    if isinstance(dtype, T.LongType):
+        vals = arr.fill_null(0).to_numpy(zero_copy_only=False)
+        words = vals.astype(np.int64).view(np.uint64)
+        nbytes = 8
+    elif isinstance(dtype, (T.IntegerType, T.ShortType, T.ByteType)):
+        vals = arr.fill_null(0).to_numpy(zero_copy_only=False)
+        words = (vals.astype(np.int64) & 0xFFFFFFFF).astype(np.uint64)
+        nbytes = 4
+    elif isinstance(dtype, T.DateType):
+        days = arr.cast(pa.int32()).fill_null(0).to_numpy(zero_copy_only=False)
+        words = (days.astype(np.int64) & 0xFFFFFFFF).astype(np.uint64)
+        nbytes = 4
+    elif isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        micros = arr.cast(pa.timestamp("us")).cast(pa.int64())
+        vals = micros.fill_null(0).to_numpy(zero_copy_only=False)
+        words = vals.astype(np.int64).view(np.uint64)
+        nbytes = 8
+    else:
+        raise ValueError(
+            f"unsupported bucket column type {dtype.simpleString()!r} for "
+            f"executor-side bucket assignment (string/int/long/date/"
+            f"timestamp only)"
+        )
+    h = _xxh64_fixed_np(words, nbytes)
+    buckets = (h.view(np.int64) % n_buckets).astype(np.int32)
+    if null_mask.any():
+        buckets[null_mask] = SPARK_HASH_SEED % n_buckets
+    return buckets

@@ -1350,6 +1350,218 @@ class ManifestTable:
             "duration_s": time.monotonic() - t0,
         }
 
+    def commit_delta_files(
+        self,
+        staged_files: dict[int, list[str]],
+        rows_by_bucket: dict[str, int],
+        staged_stats: dict[str, dict],
+        epoch_id,
+        payload_schema: T.StructType,
+        epoch_scope: str = "batch",
+        expected_n_buckets: int | None = None,
+        retries: int = 5,
+    ) -> dict[str, Any]:
+        """Metadata-only delta-append commit of EXTERNALLY WRITTEN files —
+        the Iceberg ``add_files`` / external-writer commit analogue, and
+        deliberately SPARK-FREE: every step is storage verbs + JSON, so it
+        runs in processes without a SparkSession (the ``edem_cdc`` sink's
+        driver-side ``commit`` lives in a Python data source worker that
+        has no JVM).
+
+        Caller contract (violations corrupt reads — this is the sharp
+        verb under the safe ``format("edem_cdc")`` sink):
+
+        * each file is parquet in the internal row shape — the payload
+          columns of ``payload_schema`` plus ``_lsn`` (long), ``_deleted``
+          (bool), ``_bucket`` (int);
+        * files are BUCKET-PURE: every row's ``_bucket`` equals the
+          ``staged_files`` key it is listed under, computed as
+          ``pmod(xxhash64(key_cols[0]), n_buckets)`` over the CURRENT
+          bucket count (``hashing.spark_bucket_array`` is the tested
+          executor-side twin of ``_bucket_expr``);
+        * files are durable before this call (publish is the commit
+          point; a crash before it leaves unreferenced orphans for
+          ``vacuum``);
+        * ``rows_by_bucket`` / ``staged_stats`` come from the files' own
+          parquet footers (the sink audits task-reported counts against
+          footers before calling — write-audit-publish).
+
+        Within-epoch duplicate keys are legal (the read-time fold keeps
+        the per-key max version, exactly as for redelivered delta rows);
+        ``delta_rows`` planning counts include them.
+
+        Exactly-once by ``(epoch_scope, epoch_id)`` through the same
+        applied-epoch ledger as ``merge``.  Publish is the same optimistic
+        put-if-absent retry loop; schema evolution is re-derived against
+        each attempt's base manifest (additive + numeric widening, retired
+        names rejected).  A concurrent ``rebucket``/key change/constraint
+        change makes the staged files uncommittable (mis-bucketed or
+        unvalidated) — unlike ``merge`` this verb cannot restage, so it
+        raises instead of silently reverting the winner; the orphaned
+        files are vacuum garbage and the caller restages against the
+        fresh table.
+
+        CHECK constraints are refused outright: this verb admits rows
+        without evaluating anything, and publishing unvalidated rows into
+        a constrained table would break the write-time enforcement
+        contract — use ``merge``/``replay_stream`` there.
+        """
+        t0 = time.monotonic()
+        m = self.manifest()
+        epoch_key = f"{epoch_scope}:{epoch_id}"
+        if _epoch_applied(m, epoch_key):
+            return {
+                "status": "Skipped",
+                "epoch_id": epoch_id,
+                "version": m["version"],
+                "reason": "epoch already applied",
+                "duration_s": time.monotonic() - t0,
+            }
+        if m.get("constraints"):
+            raise ValueError(
+                f"table has CHECK constraints "
+                f"{sorted((m.get('constraints') or {}))} — "
+                f"commit_delta_files admits externally written rows without "
+                f"evaluating them, which would bypass write-time "
+                f"enforcement; ingest through merge()/replay_stream (the "
+                f"Spark-validated paths) instead"
+            )
+        n_buckets = m["n_buckets"]
+        key_cols = list(m["key_cols"])
+        if expected_n_buckets is not None and expected_n_buckets != n_buckets:
+            raise RuntimeError(
+                f"epoch {epoch_id}: files were bucketed for "
+                f"n_buckets={expected_n_buckets} but the table now has "
+                f"n_buckets={n_buckets} (a rebucket landed since staging) — "
+                f"staged files are mis-bucketed and cannot be committed; "
+                f"restage against the current layout (orphans are vacuumed)"
+            )
+        staged_sorted = {
+            int(b): sorted(ps) for b, ps in staged_files.items() if ps
+        }
+        bad = [b for b in staged_sorted if not 0 <= b < n_buckets]
+        if bad:
+            raise ValueError(
+                f"staged bucket ids {bad} outside [0, {n_buckets})"
+            )
+        have = {f.name for f in payload_schema.fields}
+        missing = [c for c in key_cols + ["ts"] if c not in have]
+        if missing:
+            raise ValueError(
+                f"payload schema is missing required columns {missing} "
+                f"(key columns + the 'ts' version column)"
+            )
+        payload_fields = list(payload_schema.fields)
+        staged_rows_total = sum(int(v) for v in rows_by_bucket.values())
+
+        def _assemble(mc: dict[str, Any]) -> dict[str, Any]:
+            schema_c, added_c = self._evolve_schema(
+                T.StructType.fromJson(mc["schema"]),
+                T.StructType(payload_fields),
+                tombstoned=self._tombstoned_names(mc),
+            )
+            oldf = {int(b): ps for b, ps in mc["files"].items()}
+            oldd = {
+                int(b): ps for b, ps in (mc.get("delta_files") or {}).items()
+            }
+            delta_files = {
+                b: oldd.get(b, []) + staged_sorted.get(b, [])
+                for b in set(oldd) | set(staged_sorted)
+            }
+            old_dr = {
+                k: int(v) for k, v in (mc.get("delta_rows") or {}).items()
+            }
+            delta_rows = {
+                str(b): old_dr.get(str(b), 0)
+                + int(rows_by_bucket.get(str(b), 0))
+                for b in set(int(k) for k in old_dr) | set(staged_sorted)
+            }
+            applied_c, ranges_c = _fold_applied(
+                mc["applied_epochs"] + [epoch_key],
+                mc.get("applied_ranges") or {},
+                self.max_epoch_entries,
+            )
+            return {
+                "version": mc["version"] + 1,
+                "parent": mc["version"],
+                "epoch_id": epoch_key,
+                "schema": schema_c.jsonValue(),
+                "key_cols": mc["key_cols"],
+                "n_buckets": mc["n_buckets"],
+                "tenant_id": mc.get("tenant_id"),
+                "files": {str(b): p for b, p in oldf.items()},
+                "delta_files": {
+                    str(b): p for b, p in delta_files.items() if p
+                },
+                "file_stats": self._fold_stats(
+                    mc, oldf, delta_files, staged_stats
+                ),
+                "stats_cols": mc.get("stats_cols") or [],
+                "bloom_filter_cols": mc.get("bloom_filter_cols") or [],
+                "constraints": mc.get("constraints") or {},
+                # a delta append leaves every base file untouched, so the
+                # base clustering claim carries forward (same rule as
+                # merge's delta branch)
+                "sorted_by": list(mc.get("sorted_by") or []),
+                "zordered_by": list(mc.get("zordered_by") or []),
+                "renamed_cols": mc.get("renamed_cols") or {},
+                "dropped_cols": mc.get("dropped_cols") or [],
+                "bucket_rows": mc.get("bucket_rows") or {},
+                "applied_epochs": applied_c,
+                "applied_ranges": ranges_c,
+                "added_cols": added_c,
+                "total_rows": mc["total_rows"],
+                "delta_rows": delta_rows,
+                "delta_rows_total": sum(delta_rows.values()),
+                "committed_at": time.time(),
+            }
+
+        mc = m
+        for attempt in range(max(1, retries)):
+            if attempt:
+                mc = self.manifest()
+                if _epoch_applied(mc, epoch_key):
+                    return {
+                        "status": "Skipped",
+                        "epoch_id": epoch_id,
+                        "version": mc["version"],
+                        "reason": "epoch committed by concurrent writer",
+                        "duration_s": time.monotonic() - t0,
+                    }
+                if (
+                    mc["n_buckets"] != n_buckets
+                    or list(mc["key_cols"]) != key_cols
+                    or (mc.get("constraints") or {})
+                ):
+                    raise RuntimeError(
+                        f"epoch {epoch_id}: lost the manifest race to a "
+                        f"bucket-layout / key / constraint change — the "
+                        f"staged files are not committable under the new "
+                        f"table shape and this Spark-free verb cannot "
+                        f"restage them; restage against the current table "
+                        f"(orphans are vacuumed)"
+                    )
+            new_manifest = _assemble(mc)
+            try:
+                self._publish(new_manifest)
+                break
+            except ManifestConflict:
+                continue
+        else:
+            raise ManifestConflict(
+                f"epoch {epoch_id}: lost the manifest race {retries} times — "
+                f"giving up (staged files remain unreferenced; safe to retry)"
+            )
+        return {
+            "status": "Success",
+            "epoch_id": epoch_id,
+            "version": new_manifest["version"],
+            "staged_rows": staged_rows_total,
+            "touched_buckets": sorted(staged_sorted),
+            "added_cols": new_manifest["added_cols"],
+            "duration_s": time.monotonic() - t0,
+        }
+
     def _scan_staging(
         self, stage_rel: str, buckets: list[int] | None = None
     ) -> tuple[dict[int, list[str]], dict[str, int], int, dict[str, dict]]:

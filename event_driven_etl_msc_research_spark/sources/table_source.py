@@ -287,7 +287,11 @@ class CDCTableDataSource(DataSource):
 
     Options: ``path`` (table root, required); ``startingVersion``
     (stream: ship commits >= N; default = tail from the head at stream
-    start); ``version`` (batch: time-travel the log read)."""
+    start); ``version`` (batch: time-travel the log read).
+
+    The same format name is also a WRITE target (``df.write`` /
+    ``df.writeStream.format("edem_cdc")``) — see
+    ``sources/table_sink.py`` for the change-event sink contract."""
 
     @classmethod
     def name(cls) -> str:
@@ -301,6 +305,16 @@ class CDCTableDataSource(DataSource):
 
     def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:
         return CDCTableStreamReader(schema, self.options)
+
+    def writer(self, schema: T.StructType, overwrite: bool):
+        from .table_sink import CDCTableBatchSinkWriter
+
+        return CDCTableBatchSinkWriter(schema, self.options, overwrite)
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool):
+        from .table_sink import CDCTableStreamSinkWriter
+
+        return CDCTableStreamSinkWriter(schema, self.options, overwrite)
 
 
 def register_cdc_source(spark) -> None:

@@ -143,3 +143,69 @@ def test_point_lookup_is_job_free_until_the_scan(spark, tmp_root):
         spark.conf.set("spark.sql.adaptive.enabled", old)
     assert len(sc.statusTracker().getJobIdsForGroup("pl-scan")) == 1
     assert sorted(r["text"] for r in rows) == ["d1-c3-0", "d1-c3-1", "d1-c3-2"]
+
+
+def test_bucket_array_matches_spark_per_type(spark):
+    """`spark_bucket_array` (the sink's vectorized executor-side twin) is
+    byte-identical to `pmod(xxhash64(col), n)` for every supported arrow
+    type, including nulls (which Spark's hash skips — the seed rides
+    through, bucket 42 % n)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from event_driven_etl_msc_research_spark.hashing import (
+        spark_bucket_array,
+    )
+
+    rng = random.Random(23)
+    n = 16
+    cases = [
+        (
+            [None, "", "conv000123", "y" * 32, "日本語", "emoji 🙂"]
+            + ["".join(rng.choices(strmod.printable, k=rng.randint(0, 60)))
+               for _ in range(40)],
+            pa.string(),
+            T.StringType(),
+        ),
+        (
+            [None, 0, 1, -1, 2**63 - 1, -(2**63)]
+            + [rng.randint(-(2**63), 2**63 - 1) for _ in range(40)],
+            pa.int64(),
+            T.LongType(),
+        ),
+        (
+            [None, 0, 1, -1, 2**31 - 1, -(2**31)]
+            + [rng.randint(-(2**31), 2**31 - 1) for _ in range(40)],
+            pa.int32(),
+            T.IntegerType(),
+        ),
+        (
+            [None, dt.date(1970, 1, 1), dt.date(1969, 12, 31),
+             dt.date(2026, 8, 19)]
+            + [dt.date(1970, 1, 1) + dt.timedelta(days=rng.randint(-20000, 20000))
+               for _ in range(20)],
+            pa.date32(),
+            T.DateType(),
+        ),
+        (
+            [None, dt.datetime(1970, 1, 1), dt.datetime(2026, 8, 19, 12, 30, 1, 999999)]
+            + [dt.datetime(1970, 1, 1) + dt.timedelta(seconds=rng.randint(-10**9, 10**9),
+                                                      microseconds=rng.randint(0, 999999))
+               for _ in range(20)],
+            pa.timestamp("us"),
+            T.TimestampNTZType(),
+        ),
+    ]
+    for vals, at, st in cases:
+        got = spark_bucket_array(pa.array(vals, type=at), st, n)
+        exp = np.array(
+            [42 % n if v is None else spark_bucket(v, st, n) for v in vals],
+            dtype=np.int32,
+        )
+        assert (got == exp).all(), (st.simpleString(), list(got), list(exp))
+    # chunked arrays (multi-batch arrow input) take the same path
+    ch = pa.chunked_array([pa.array([5, None], pa.int64()),
+                           pa.array([7], pa.int64())])
+    got = spark_bucket_array(ch, T.LongType(), n)
+    assert list(got) == [spark_bucket(5, T.LongType(), n), 42 % n,
+                         spark_bucket(7, T.LongType(), n)]
