@@ -71,6 +71,7 @@ HEADLINE = [
     "cdc_check_constraints",
     "cdc_replica",
     "cdc_stream_source",
+    "cdc_table_sink",
     "mv_incremental_rollup",
     "events_asof_last_error",
     "events_range_join",

@@ -1020,6 +1020,63 @@ FROM (
 """
 
 
+def cdc_table_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table as a Spark WRITE TARGET on driver data (format
+    ``edem_cdc``, ``sources/table_sink.py``): the ``cdc_merge_events``
+    change stream written with plain ``df.write.format("edem_cdc")`` —
+    executor tasks stream bucket-pure delta files directly (vectorized
+    driver-replica xxhash64 bucket assignment, zero shuffle) and the
+    Spark-free driver commit audits footers then publishes through
+    ``commit_delta_files``.  A replay of the same ``epochId`` must be a
+    version no-op (exactly-once ledger, asserted in-line).  Oracle: the
+    table equals the plain latest-per-user state — identical semantics to
+    ``merge(mode="delta")`` of the same events."""
+    from ..sources.table_source import register_cdc_source
+
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("event_id").alias("lsn"),
+        F.col("ts").cast("timestamp"),
+        F.col("user_id").cast("string").alias("user_key"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_key", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_table_sink_")
+    table = ManifestTable.create(
+        spark, root, payload, key_cols=["user_key"], n_buckets=8
+    )
+    register_cdc_source(spark)
+
+    def _write():
+        (
+            changes.write.format("edem_cdc")
+            .option("path", root)
+            .option("epochId", 0)
+            .mode("append")
+            .save()
+        )
+
+    _write()
+    v = table.current_version()
+    _write()  # same idempotence token: exactly-once, staged bytes dropped
+    assert table.current_version() == v, "sink re-applied a committed epoch"
+    return table.read().select(
+        "user_key",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        "event_type",
+        "value",
+    )
+
+
 def cdc_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The write-audit-publish lifecycle on driver data: the same change
     stream as ``cdc_merge_events_delta`` split at the deterministic
@@ -2514,6 +2571,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_check_constraints": (cdc_check_constraints, CDC_CHECK_CONSTRAINTS_SQL),
     "cdc_replica": (cdc_replica, CDC_REPLICA_SQL),
     "cdc_stream_source": (cdc_stream_source, CDC_STREAM_SOURCE_SQL),
+    "cdc_table_sink": (cdc_table_sink, CDC_MERGE_SQL),
     "cdc_events_time_window": (cdc_events_time_window, CDC_TIME_WINDOW_SQL),
     "cdc_events_zorder_window": (cdc_events_zorder_window, CDC_ZORDER_WINDOW_SQL),
     "cdc_table_changes": (cdc_table_changes, CDC_CHANGES_SQL),
