@@ -238,3 +238,128 @@ def test_aborted_staging_is_vacuum_garbage(spark, table):
     removed = table.vacuum(grace_s=0)
     assert any("s-deadbeef" in r for r in removed)
     assert _state(table) == state
+
+
+def _stage_copies(root, rel_files, tag):
+    """Copy committed delta files into fresh task-style staging dirs —
+    simulating a second external writer's durable-but-uncommitted output
+    (bucket-pure by construction: the donor has the same key/buckets)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    staged, rows = {}, {}
+    for i, rel in enumerate(sorted(rel_files)):
+        b = int(rel.split("_pb=")[1].split("/")[0])
+        new_rel = f"data/s{tag}-{i:x}/_pb={b}/part-0.parquet"
+        dst = os.path.join(root, new_rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copy(os.path.join(root, rel), dst)
+        staged.setdefault(b, []).append(new_rel)
+        n = pq.ParquetFile(dst).metadata.num_rows
+        rows[str(b)] = rows.get(str(b), 0) + n
+    return staged, rows
+
+
+def _delta_rels(t):
+    return {p for ps in (t.manifest().get("delta_files") or {}).values()
+            for p in ps}
+
+
+def test_external_commit_race_both_writers_survive(spark, table):
+    """Two external writers committing different epochs race on the same
+    version: the loser's first publish hits ManifestConflict, its retry
+    re-assembles against the winner's manifest, and BOTH batches land
+    (the round-4 merge-race guarantee extended to the Spark-free verb)."""
+    _write(_batch(spark, _rows(10)), table.root, epoch=0)
+    before = _delta_rels(table)
+    _write(_batch(spark, _rows(6, start_key=40, lsn0=100, ts0=5000)),
+           table.root, epoch=1)
+    batch2 = _delta_rels(table) - before
+
+    sA, rA = _stage_copies(table.root, sorted(before), "racea")
+    sB, rB = _stage_copies(table.root, batch2, "raceb")
+    payload = table.schema()
+
+    a = ManifestTable(None, table.root)
+    b = ManifestTable(None, table.root)
+    real_publish = a._publish
+    fired = {"done": False}
+
+    def hooked(manifest):
+        if not fired["done"]:
+            fired["done"] = True
+            # B commits the contested version while A is mid-publish
+            b.commit_delta_files(sB, rB, {}, 11, payload, epoch_scope="x")
+        real_publish(manifest)
+
+    a._publish = hooked
+    res = a.commit_delta_files(sA, rA, {}, 10, payload, epoch_scope="x")
+    assert res["status"] == "Success"
+    assert fired["done"]
+    m = table.manifest()
+    for key in ("x:10", "x:11"):
+        assert key in m["applied_epochs"], m["applied_epochs"]
+    live = _delta_rels(table)
+    for bb, ps in {**sA, **sB}.items():
+        for p in ps:
+            assert p in live
+    # the duplicated rows fold away at read time (same keys, max version)
+    assert len(_state(table)) == 16
+
+
+def test_external_commit_same_epoch_race_skips(spark, table):
+    """Both writers carry the SAME idempotence token: the loser's retry
+    sees the epoch applied and returns Skipped — never a double apply."""
+    _write(_batch(spark, _rows(8)), table.root, epoch=0)
+    staged_a, rows_a = _stage_copies(table.root, _delta_rels(table), "dupa")
+    staged_b, rows_b = _stage_copies(table.root, _delta_rels(table), "dupb")
+    payload = table.schema()
+
+    a = ManifestTable(None, table.root)
+    b = ManifestTable(None, table.root)
+    real_publish = a._publish
+    fired = {"done": False}
+
+    def hooked(manifest):
+        if not fired["done"]:
+            fired["done"] = True
+            b.commit_delta_files(staged_b, rows_b, {}, 5, payload,
+                                 epoch_scope="y")
+        real_publish(manifest)
+
+    a._publish = hooked
+    res = a.commit_delta_files(staged_a, rows_a, {}, 5, payload,
+                               epoch_scope="y")
+    assert res["status"] == "Skipped"
+    assert "concurrent writer" in res["reason"]
+    # only B's files are referenced; A's stay orphans for vacuum
+    live = _delta_rels(table)
+    assert all(p in live for ps in staged_b.values() for p in ps)
+    assert all(p not in live for ps in staged_a.values() for p in ps)
+
+
+def test_external_commit_lost_to_rebucket_raises(spark, table):
+    """A bucket-layout change mid-commit makes the staged files
+    mis-bucketed; the Spark-free verb cannot restage, so it must raise
+    instead of publishing wrong buckets (unlike merge, which restages)."""
+    _write(_batch(spark, _rows(8)), table.root, epoch=0)
+    staged, rows = _stage_copies(table.root, _delta_rels(table), "rb")
+    payload = table.schema()
+
+    a = ManifestTable(None, table.root)
+    real_publish = a._publish
+    fired = {"done": False}
+
+    def hooked(manifest):
+        if not fired["done"]:
+            fired["done"] = True
+            ManifestTable(spark, table.root).rebucket(8)
+        real_publish(manifest)
+
+    a._publish = hooked
+    with pytest.raises(RuntimeError, match="bucket-layout"):
+        a.commit_delta_files(staged, rows, {}, 9, payload, epoch_scope="z")
+    # table stays healthy on the new layout; the staged copies are orphans
+    assert table.manifest()["n_buckets"] == 8
+    assert len(_state(table)) == 8
