@@ -58,6 +58,9 @@ from .storage import LocalFSStorage, TableStorage
 
 _MANIFEST_DIR = "_manifest"
 _DATA_DIR = "data"
+# shallow-clone external file reference: everything after the prefix is an
+# ABSOLUTE Spark-readable path into the clone source's data tree
+_EXT_PREFIX = "ext://"
 _TAGS_DIR = "_tags"
 _BRANCH_REFS_DIR = "_branches"           # branch ref objects ({name}.json)
 _BRANCH_META_DIR = "_manifest_branches"  # per-branch manifest chains
@@ -389,6 +392,130 @@ class ManifestTable:
     def exists(self) -> bool:
         return self.current_version() is not None
 
+    def clone(
+        self,
+        new_root: str,
+        version: int | None = None,
+        tag: str | None = None,
+        storage: TableStorage | None = None,
+    ) -> "ManifestTable":
+        """ZERO-COPY SHALLOW CLONE (Delta ``CREATE TABLE ... SHALLOW
+        CLONE`` / Iceberg snapshot-ref-table analogue): a new, fully
+        independent table whose v0 manifest references this table's data
+        files IN PLACE (absolute ``ext://`` entries) — no bytes move, so
+        cloning a 100 TB table is one metadata commit.  The dev/test/
+        experiment workflow at scale: fork production, run destructive
+        DML against the fork, throw it away.
+
+        Independence: every write on the clone lands under ITS OWN root
+        (merges append local delta files; a compaction rewrites buckets
+        locally, dropping their external references — ``compact(
+        min_delta_files=0)`` fully localizes, i.e. materializes, the
+        clone); the clone's ``vacuum`` never deletes source bytes
+        (external refs are skipped when computing the GC set) and the
+        source is never aware of the clone.  The applied-epoch ledger is
+        CARRIED so replaying the source's WAL against the clone skips
+        already-applied epochs instead of double-applying.  Tags and
+        branches are NOT carried (fresh chains); constraints, schema
+        history (renames/drops), clustering markers, stats and bloom
+        config are.
+
+        The standard shallow-clone hazard applies (same as Delta): the
+        SOURCE's ``vacuum``/``expire_snapshots`` can delete files the
+        clone still references — it has no way to know.  ``clone.check()``
+        detects exactly this (external refs are existence-checked per
+        file); pin the cloned snapshot with ``source.tag(...)`` to hold
+        its files for the clone's lifetime.
+
+        ``version``/``tag`` clone a historical snapshot (mutually
+        exclusive; default = current).  Metadata-only and SPARK-FREE —
+        works on a handle constructed with ``spark=None``."""
+        self._require_main("clone")
+        if version is not None and tag is not None:
+            raise ValueError("pass version= or tag=, not both")
+        if tag is not None:
+            known = self.tags()
+            if tag not in known:
+                raise ValueError(
+                    f"unknown tag {tag!r} (have {sorted(known)})"
+                )
+            version = known[tag]
+        m = self.manifest(version)
+
+        def ext(p: str) -> str:
+            # cloning a clone re-points at the ORIGINAL absolute path
+            return (
+                p
+                if p.startswith(_EXT_PREFIX)
+                else _EXT_PREFIX + self.storage.spark_path(p)
+            )
+
+        files = {b: [ext(p) for p in ps] for b, ps in m["files"].items()}
+        delta = {
+            b: [ext(p) for p in ps]
+            for b, ps in (m.get("delta_files") or {}).items()
+        }
+        stats = {ext(p): st for p, st in (m.get("file_stats") or {}).items()}
+        # capture sizes now (one LIST per referenced dir, metadata-only):
+        # the clone can never LIST the source tree later, and files()/
+        # byte-targeted sizing want them
+        src_ext = self.manifest().get("external_sizes") or {}
+        sizes: dict[str, int] = {}
+        rels = [
+            p
+            for d in (m["files"], m.get("delta_files") or {})
+            for ps in d.values()
+            for p in ps
+        ]
+        local_dirs = {
+            p.split("/")[1] for p in rels if not p.startswith(_EXT_PREFIX)
+        }
+        by_key = {}
+        for d in sorted(local_dirs):
+            for o in self.storage.list(f"{_DATA_DIR}/{d}"):
+                by_key[o.key] = o.size
+        for p in rels:
+            if p.startswith(_EXT_PREFIX):
+                if p in src_ext:
+                    sizes[p] = int(src_ext[p])
+            elif p in by_key:
+                sizes[ext(p)] = int(by_key[p])
+
+        t = ManifestTable(self.spark, new_root, storage=storage)
+        if t.exists():
+            raise ValueError(f"a table already exists at {new_root!r}")
+        t.storage.ensure_root()
+        manifest = {
+            "version": 0,
+            "parent": None,
+            "epoch_id": f"clone:{self.root}@v{m['version']}",
+            "schema": m["schema"],
+            "key_cols": list(m["key_cols"]),
+            "n_buckets": m["n_buckets"],
+            "tenant_id": m.get("tenant_id"),
+            "files": files,
+            "delta_files": {b: ps for b, ps in delta.items() if ps},
+            "file_stats": stats,
+            "stats_cols": list(m.get("stats_cols") or []),
+            "bloom_filter_cols": list(m.get("bloom_filter_cols") or []),
+            "constraints": dict(m.get("constraints") or {}),
+            "sorted_by": list(m.get("sorted_by") or []),
+            "zordered_by": list(m.get("zordered_by") or []),
+            "renamed_cols": m.get("renamed_cols") or {},
+            "dropped_cols": m.get("dropped_cols") or [],
+            "bucket_rows": m.get("bucket_rows") or {},
+            "applied_epochs": list(m["applied_epochs"]),
+            "applied_ranges": m.get("applied_ranges") or {},
+            "total_rows": m["total_rows"],
+            "delta_rows": m.get("delta_rows") or {},
+            "delta_rows_total": int(m.get("delta_rows_total") or 0),
+            "external_sizes": sizes,
+            "cloned_from": {"root": self.root, "version": m["version"]},
+            "committed_at": time.time(),
+        }
+        t._publish(manifest)
+        return t
+
     # ---------- manifest plumbing ----------
 
     def _manifest_key(self, version: int) -> str:
@@ -432,6 +559,7 @@ class ManifestTable:
         Readers can never observe a partial manifest; the PUT IS the commit
         point (SURVEY.md §7 hard parts).  Raises ``ManifestConflict`` on a
         lost race — ``merge`` rebases and retries."""
+        self._carry_clone_meta(manifest)
         key = self._manifest_key(manifest["version"])
         if not self.storage.put_if_absent(key, json.dumps(manifest).encode()):
             raise ManifestConflict(
@@ -439,6 +567,42 @@ class ManifestTable:
                 f"concurrent writer"
             )
         self._manifest = manifest
+
+    def _carry_clone_meta(self, manifest: dict[str, Any]) -> None:
+        """Carry shallow-clone bookkeeping (``cloned_from`` provenance +
+        ``external_sizes`` of still-referenced source files) through every
+        commit, so the 13 manifest-assembly sites need no awareness of
+        clones.  Markers exist iff the chain started as a clone (set at
+        v0, carried here), so the cached-manifest check makes this a
+        no-op for ordinary tables — zero extra metadata reads."""
+        if manifest.get("parent") is None or "cloned_from" in manifest:
+            return
+        cached = self._manifest
+        if cached is not None and "cloned_from" not in cached:
+            return  # this chain was never a clone
+        try:
+            parent = (
+                cached
+                if cached is not None
+                and cached.get("version") == manifest["parent"]
+                else self.manifest(manifest["parent"])
+            )
+        except FileNotFoundError:
+            return
+        if not parent.get("cloned_from"):
+            return
+        manifest["cloned_from"] = parent["cloned_from"]
+        ext = parent.get("external_sizes") or {}
+        if ext:
+            live = {
+                p
+                for d in (manifest["files"], manifest.get("delta_files") or {})
+                for ps in d.values()
+                for p in ps
+            }
+            kept = {p: sz for p, sz in ext.items() if p in live}
+            if kept:
+                manifest["external_sizes"] = kept
 
     # ---------- schema ----------
 
@@ -557,16 +721,26 @@ class ManifestTable:
 
     # ---------- read ----------
 
+    def _spath(self, p: str) -> str:
+        """Spark-readable path of a manifest-referenced data file.
+        Shallow clones (:meth:`clone`) record the SOURCE's files as
+        absolute ``ext://`` references; everything else is
+        table-root-relative.  Write paths never go through here — every
+        write lands under this table's own root."""
+        if p.startswith(_EXT_PREFIX):
+            return p[len(_EXT_PREFIX):]
+        return self.storage.spark_path(p)
+
     def _all_files(self, manifest: dict[str, Any]) -> list[str]:
         return [
-            self.storage.spark_path(p)
+            self._spath(p)
             for paths in manifest["files"].values()
             for p in paths
         ] + self._all_delta_files(manifest)
 
     def _all_delta_files(self, manifest: dict[str, Any]) -> list[str]:
         return [
-            self.storage.spark_path(p)
+            self._spath(p)
             for paths in (manifest.get("delta_files") or {}).values()
             for p in paths
         ]
@@ -678,7 +852,7 @@ class ManifestTable:
             base_files, delta_files = self._pruned_files(m, where)
         else:
             base_files = [
-                self.storage.spark_path(p)
+                self._spath(p)
                 for paths in m["files"].values()
                 for p in paths
             ]
@@ -820,14 +994,14 @@ class ManifestTable:
                     if all(disjoint(p, c) for p in delta_by_bucket[str(b)])
                 ]
             base += [
-                self.storage.spark_path(p) for p in ps if keep(p, usable)
+                self._spath(p) for p in ps if keep(p, usable)
             ]
         deltas: list[str] = []
         for b, ps in delta_by_bucket.items():
             if only_bucket is not None and int(b) != only_bucket:
                 continue
             deltas += [
-                self.storage.spark_path(p) for p in ps if keep(p, key_bounds)
+                self._spath(p) for p in ps if keep(p, key_bounds)
             ]
         return base, deltas
 
@@ -1045,7 +1219,7 @@ class ManifestTable:
                 self._check_constraint_obs(m, ch_obs.get, epoch_id)
             touched = sorted(ch_files)
             touched_files = [
-                self.storage.spark_path(p)
+                self._spath(p)
                 for b in touched
                 for p in old_files.get(b, []) + old_delta.get(b, [])
             ]
@@ -1641,13 +1815,20 @@ class ManifestTable:
         distinct parent dir — driver-side metadata, no file reads) divided
         into ``max_file_bytes``.  ``None`` (no per-file cap) when the
         metadata can't support an estimate (no rows/bytes recorded)."""
-        want = set(relpaths)
+        want = {p for p in relpaths if not p.startswith(_EXT_PREFIX)}
         dirs = {p.rsplit("/", 1)[0] for p in want if "/" in p}
         total_bytes = 0
         for d in sorted(dirs):
             for o in self.storage.list(d):
                 if o.key in want:
                     total_bytes += o.size
+        # shallow-clone external references: sizes captured at clone time
+        ext_sizes = self.manifest().get("external_sizes") or {}
+        total_bytes += sum(
+            int(ext_sizes.get(p, 0))
+            for p in relpaths
+            if p.startswith(_EXT_PREFIX)
+        )
         if total_rows <= 0 or total_bytes <= 0:
             return None
         avg = max(1.0, total_bytes / total_rows)
@@ -1772,7 +1953,7 @@ class ManifestTable:
             max_rows_per_file = self._rows_for_bytes(
                 max_file_bytes, cand_rel, cand_rows
             )
-        inputs = [self.storage.spark_path(p) for p in cand_rel]
+        inputs = [self._spath(p) for p in cand_rel]
         merged = dedup_latest(
             self._read_files(inputs, ischema, renames=m.get("renamed_cols")),
             key_cols,
@@ -2249,6 +2430,8 @@ class ManifestTable:
             for d in (m["files"], m.get("delta_files") or {}):
                 for ps in d.values():
                     for p in ps:
+                        if p.startswith(_EXT_PREFIX):
+                            continue  # clone source's file — not ours to GC
                         referenced.add(p.split("/")[1])  # data/<dir>/...
         # live branches pin every dir their surviving chain references —
         # branch writers share data/ and their staged dirs must survive the
@@ -2266,6 +2449,8 @@ class ManifestTable:
                 for d in (m["files"], m.get("delta_files") or {}):
                     for ps in d.values():
                         for p in ps:
+                            if p.startswith(_EXT_PREFIX):
+                                continue
                             referenced.add(p.split("/")[1])
         removed = []
         now = time.time()
@@ -2392,10 +2577,17 @@ class ManifestTable:
             entries += [(p, int(b), "delta") for p in ps]
         sizes: dict[str, int] = {}
         mtimes: dict[str, float] = {}
-        for d in sorted({p.split("/")[1] for p, _, _ in entries}):
+        local_dirs = {
+            p.split("/")[1]
+            for p, _, _ in entries
+            if not p.startswith(_EXT_PREFIX)
+        }
+        for d in sorted(local_dirs):
             for o in self.storage.list(f"{_DATA_DIR}/{d}"):
                 sizes[o.key] = o.size
                 mtimes[o.key] = o.last_modified
+        for p, sz in (m.get("external_sizes") or {}).items():
+            sizes[p] = int(sz)
         rows = [
             (
                 p,
@@ -2564,7 +2756,7 @@ class ManifestTable:
         m = self.manifest()
         ischema = self._internal_schema()
         base = [
-            self.storage.spark_path(p)
+            self._spath(p)
             for paths in m["files"].values()
             for p in paths
         ]
@@ -2924,8 +3116,20 @@ class ManifestTable:
         for b, ps in (m.get("delta_files") or {}).items():
             refs += [(p, f"delta:{int(b)}") for p in ps]
         present: set[str] = set()
-        for d in sorted({p.split("/")[1] for p, _ in refs}):
+        local_dirs = {
+            p.split("/")[1] for p, _ in refs if not p.startswith(_EXT_PREFIX)
+        }
+        for d in sorted(local_dirs):
             present.update(o.key for o in self.storage.list(f"{_DATA_DIR}/{d}"))
+        # shallow-clone external refs: the clone does not own (or LIST) the
+        # source tree, so existence is checked per file — this is exactly
+        # the probe that tells an operator the SOURCE's vacuum/retention
+        # broke the clone (the documented shallow-clone hazard)
+        present.update(
+            p
+            for p, _ in refs
+            if p.startswith(_EXT_PREFIX) and os.path.exists(self._spath(p))
+        )
         missing = sorted(p for p, _ in refs if p not in present)
 
         mismatches: list[dict[str, Any]] = []
@@ -2935,6 +3139,8 @@ class ManifestTable:
 
             def _rows(item):
                 p, key = item
+                if p.startswith(_EXT_PREFIX):
+                    return key, pq.ParquetFile(self._spath(p)).metadata.num_rows
                 with self.storage.open_input(p) as fh:
                     return key, pq.ParquetFile(fh).metadata.num_rows
 
@@ -3951,7 +4157,7 @@ class ManifestTable:
             )
         added = sorted(fb - fa)
         return self._read_files(
-            [self.storage.spark_path(p) for p in added],
+            [self._spath(p) for p in added],
             self._internal_schema(tv),
             renames=mb.get("renamed_cols"),
         )
@@ -4026,7 +4232,11 @@ class ManifestTable:
         if added_files:
             # delta files folded by a LATER compaction may have been
             # vacuumed; verify at staging-dir granularity
-            dirs = {p.split("/")[1] for p in added_files}
+            dirs = {
+                p.split("/")[1]
+                for p in added_files
+                if not p.startswith(_EXT_PREFIX)
+            }
             present: set[str] = set()
             for d in sorted(dirs):
                 present.update(
@@ -4140,7 +4350,7 @@ class ManifestTable:
                 return self.spark.createDataFrame([], out_schema)
             cand = (
                 self._read_files(
-                    [self.storage.spark_path(p) for p in added],
+                    [self._spath(p) for p in added],
                     self._internal_schema(tv),
                     renames=mb.get("renamed_cols"),
                 )

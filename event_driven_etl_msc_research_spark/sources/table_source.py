@@ -188,7 +188,9 @@ def _partitions_for(
     sjson = json.dumps(schema.jsonValue())
     return [
         _ChangeFilePartition(
-            table.storage.spark_path(p), names, sjson, dict(renames or {})
+            # _spath resolves shallow-clone ext:// refs to their absolute
+            # source paths; ordinary files stay table-root-relative
+            table._spath(p), names, sjson, dict(renames or {})
         )
         for p in files_rel
     ]

@@ -252,6 +252,15 @@ def main() -> int:
     g = srb.add_mutually_exclusive_group(required=True)
     g.add_argument("--version", type=int, default=None)
     g.add_argument("--tag", default=None)
+    scl = sub.add_parser(
+        "clone",
+        help="zero-copy SHALLOW CLONE into a new root (metadata-only; "
+        "the clone references this table's data files in place)",
+    )
+    scl.add_argument("--into", required=True, help="new table root")
+    gcl = scl.add_mutually_exclusive_group()
+    gcl.add_argument("--version", type=int, default=None)
+    gcl.add_argument("--tag", default=None)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -319,6 +328,13 @@ def main() -> int:
             "status": st.get("status"),
             "path": st.get("path"),
             "synced_to_version": st.get("upstream_version", st.get("version")),
+        }
+    elif args.op == "clone":
+        c = t.clone(args.into, version=args.version, tag=args.tag)
+        out = {
+            "status": "Success",
+            "clone_root": c.root,
+            "cloned_from": c.manifest()["cloned_from"],
         }
     elif args.op == "tag":
         v = t.tag(args.name, version=args.version, replace=args.replace)
