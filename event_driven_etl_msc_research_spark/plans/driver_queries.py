@@ -1077,6 +1077,56 @@ def cdc_table_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy SHALLOW CLONE on driver data: the ``cdc_merge_events``
+    table, forked with one metadata commit (``clone`` — no bytes move),
+    then the SOURCE is mutated (a delete + an upsert) — the clone must
+    still read the frozen fork-time state, through purely external
+    ``ext://`` file references (asserted in-line: the clone owns zero
+    data files).  Oracle: the plain latest-per-user state, i.e. exactly
+    the snapshot that was cloned."""
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("event_id").alias("lsn"),
+        F.col("ts").cast("timestamp"),
+        F.col("user_id").cast("string").alias("user_key"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_key", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_shallow_clone_")
+    table = ManifestTable.create(
+        spark, root + "/src", payload, key_cols=["user_key"], n_buckets=8
+    )
+    table.merge(changes, epoch_id=0, mode="delta", epoch_scope="d")
+    fork = table.clone(root + "/fork")
+    assert not os.path.exists(os.path.join(fork.root, "data")), (
+        "shallow clone copied bytes"
+    )
+    # source moves on; the fork's snapshot must not
+    table.delete_where("event_type = 'view'", epoch_id=1)
+    table.merge(
+        changes.limit(1).withColumn("event_type", F.lit("mutated")),
+        2,
+        mode="delta",
+        epoch_scope="d2",
+    )
+    return fork.read().select(
+        "user_key",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        "event_type",
+        "value",
+    )
+
+
 def cdc_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The write-audit-publish lifecycle on driver data: the same change
     stream as ``cdc_merge_events_delta`` split at the deterministic
@@ -2572,6 +2622,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_replica": (cdc_replica, CDC_REPLICA_SQL),
     "cdc_stream_source": (cdc_stream_source, CDC_STREAM_SOURCE_SQL),
     "cdc_table_sink": (cdc_table_sink, CDC_MERGE_SQL),
+    "cdc_shallow_clone": (cdc_shallow_clone, CDC_MERGE_SQL),
     "cdc_events_time_window": (cdc_events_time_window, CDC_TIME_WINDOW_SQL),
     "cdc_events_zorder_window": (cdc_events_zorder_window, CDC_ZORDER_WINDOW_SQL),
     "cdc_table_changes": (cdc_table_changes, CDC_CHANGES_SQL),

@@ -216,10 +216,13 @@ def test_random_dml_sequence_matches_oracle(spark, tmp_root, seed, mode):
     t.merge(_df(spark, rows), next_epoch(), mode=mode)
     oracle.merge(rows)
 
+    clone_n = [0]
+
     for step in range(_steps(22)):
         verb = rng.choices(
-            ["merge", "delete", "update", "compact", "rebucket", "rollback"],
-            weights=[10, 3, 3, 2, 1, 1],
+            ["merge", "delete", "update", "compact", "rebucket", "rollback",
+             "clone"],
+            weights=[10, 3, 3, 2, 1, 1, 1],
         )[0]
         if verb == "merge":
             rows = random_batch()
@@ -253,6 +256,20 @@ def test_random_dml_sequence_matches_oracle(spark, tmp_root, seed, mode):
             st = t.rebucket(rng.choice([2, 8]))
             if st["status"] == "Success":
                 oracle.noop_commit()
+        elif verb == "clone":
+            # shallow fork mid-stream: the fork equals the oracle's live
+            # state, a destructive verb on the fork never leaks back, and
+            # neither table nor oracle sequence advances (zero commits)
+            clone_n[0] += 1
+            fork = t.clone(
+                os.path.join(tmp_root, f"fork_{mode}_{clone_n[0]}")
+            )
+            assert _table_live(fork) == oracle.live(), (
+                f"clone diverged at step {step} (seed {seed}, {mode})"
+            )
+            fork.delete_where("turn_idx >= 0", epoch_id=1_000_000)
+            assert _table_live(fork) == {}
+            # fall through: the shared assert re-checks the SOURCE
         else:  # rollback one or two commits
             cur = t.current_version()
             back = rng.randint(1, min(2, cur - 1)) if cur > 1 else 0
