@@ -72,6 +72,7 @@ HEADLINE = [
     "cdc_replica",
     "cdc_stream_source",
     "cdc_table_sink",
+    "cdc_shallow_clone",
     "mv_incremental_rollup",
     "events_asof_last_error",
     "events_range_join",

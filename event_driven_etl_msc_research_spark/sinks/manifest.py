@@ -293,6 +293,7 @@ class ManifestTable:
         # equivalent by the parameterized concurrency/chaos/vacuum suites
         self.storage = storage or LocalFSStorage(root)
         self._manifest: dict[str, Any] | None = None
+        self._last_read: dict[str, Any] | None = None  # newest manifest GET
         # a branch handle commits to its own manifest namespace while
         # sharing the table's data/ tree — see create_branch()
         self.branch = branch
@@ -513,6 +514,11 @@ class ManifestTable:
             "cloned_from": {"root": self.root, "version": m["version"]},
             "committed_at": time.time(),
         }
+        # table properties travel with the fork (Delta clone parity) — the
+        # HEAD's, not the cloned snapshot's (config, not snapshot state)
+        props = self.manifest().get("properties")
+        if props:
+            manifest["properties"] = dict(props)
         t._publish(manifest)
         return t
 
@@ -537,11 +543,12 @@ class ManifestTable:
         return versions[-1] if versions else None
 
     def manifest(self, version: int | None = None) -> dict[str, Any]:
-        v = self.current_version() if version is None else version
+        head = version is None
+        v = self.current_version() if head else version
         if v is None:
             raise FileNotFoundError(f"no manifest at {self.root}")
         try:
-            return json.loads(self.storage.get(self._manifest_key(v)))
+            m = json.loads(self.storage.get(self._manifest_key(v)))
         except FileNotFoundError:
             if self.branch is None:
                 raise
@@ -551,6 +558,11 @@ class ManifestTable:
             return json.loads(
                 self.storage.get(f"{_MANIFEST_DIR}/v{v:012d}.json")
             )
+        if head:
+            # remember the newest head read: _carry_sticky_meta's zero-GET
+            # fast path (every verb reads the head right before assembling)
+            self._last_read = m
+        return m
 
     def _publish(self, manifest: dict[str, Any]) -> None:
         """Atomic publish: a conditional PUT of the version key — the
@@ -559,7 +571,7 @@ class ManifestTable:
         Readers can never observe a partial manifest; the PUT IS the commit
         point (SURVEY.md §7 hard parts).  Raises ``ManifestConflict`` on a
         lost race — ``merge`` rebases and retries."""
-        self._carry_clone_meta(manifest)
+        self._carry_sticky_meta(manifest)
         key = self._manifest_key(manifest["version"])
         if not self.storage.put_if_absent(key, json.dumps(manifest).encode()):
             raise ManifestConflict(
@@ -568,41 +580,52 @@ class ManifestTable:
             )
         self._manifest = manifest
 
-    def _carry_clone_meta(self, manifest: dict[str, Any]) -> None:
-        """Carry shallow-clone bookkeeping (``cloned_from`` provenance +
-        ``external_sizes`` of still-referenced source files) through every
-        commit, so the 13 manifest-assembly sites need no awareness of
-        clones.  Markers exist iff the chain started as a clone (set at
-        v0, carried here), so the cached-manifest check makes this a
-        no-op for ordinary tables — zero extra metadata reads."""
-        if manifest.get("parent") is None or "cloned_from" in manifest:
+    def _carry_sticky_meta(self, manifest: dict[str, Any]) -> None:
+        """Carry commit-invariant bookkeeping through every publish, so
+        the manifest-assembly sites need no awareness of it: shallow-clone
+        provenance (``cloned_from`` + ``external_sizes`` of
+        still-referenced source files, set at a clone's v0) and TABLE
+        PROPERTIES (``properties``, settable mid-chain, survive rollback
+        like Iceberg's — properties are table config, not snapshot
+        state).  Zero extra metadata reads in the non-race path: every
+        verb reads the head manifest right before assembling, and that
+        read is remembered in ``_last_read``; only a publish whose parent
+        is neither the last head read nor this handle's own last publish
+        (i.e. a lost-and-rebased race) pays one GET."""
+        if manifest.get("parent") is None:
             return
-        cached = self._manifest
-        if cached is not None and "cloned_from" not in cached:
-            return  # this chain was never a clone
-        try:
-            parent = (
-                cached
-                if cached is not None
-                and cached.get("version") == manifest["parent"]
-                else self.manifest(manifest["parent"])
-            )
-        except FileNotFoundError:
+        need_clone = "cloned_from" not in manifest
+        need_props = "properties" not in manifest
+        if not (need_clone or need_props):
             return
-        if not parent.get("cloned_from"):
-            return
-        manifest["cloned_from"] = parent["cloned_from"]
-        ext = parent.get("external_sizes") or {}
-        if ext:
-            live = {
-                p
-                for d in (manifest["files"], manifest.get("delta_files") or {})
-                for ps in d.values()
-                for p in ps
-            }
-            kept = {p: sz for p, sz in ext.items() if p in live}
-            if kept:
-                manifest["external_sizes"] = kept
+        parent = None
+        for c in (self._last_read, self._manifest):
+            if c is not None and c.get("version") == manifest["parent"]:
+                parent = c
+                break
+        if parent is None:
+            try:
+                parent = self.manifest(manifest["parent"])
+            except FileNotFoundError:
+                return
+        if need_props and parent.get("properties"):
+            manifest["properties"] = parent["properties"]
+        if need_clone and parent.get("cloned_from"):
+            manifest["cloned_from"] = parent["cloned_from"]
+            ext = parent.get("external_sizes") or {}
+            if ext:
+                live = {
+                    p
+                    for d in (
+                        manifest["files"],
+                        manifest.get("delta_files") or {},
+                    )
+                    for ps in d.values()
+                    for p in ps
+                }
+                kept = {p: sz for p, sz in ext.items() if p in live}
+                if kept:
+                    manifest["external_sizes"] = kept
 
     # ---------- schema ----------
 
@@ -3256,6 +3279,142 @@ class ManifestTable:
             "stats_cols": list(stats_cols),
         }
 
+    # known maintenance-policy property keys (the `maintain.py auto`
+    # autopilot reads exactly these; see set_properties)
+    _MAINTENANCE_PROPS = {
+        "maintenance.compact.min_delta_files": int,
+        "maintenance.compact.sort_by": str,        # csv column list
+        "maintenance.compact.zorder_by": str,      # csv column list
+        "maintenance.compact.max_rows_per_file": int,
+        "maintenance.compact.max_file_bytes": int,
+        "maintenance.expire.keep_last": int,
+        "maintenance.vacuum.keep_versions": int,
+        "maintenance.vacuum.grace_s": float,
+    }
+
+    def properties(self) -> dict[str, str]:
+        """Current table properties (Iceberg/Delta TBLPROPERTIES
+        analogue) — free-form string config carried through every commit
+        and surviving rollback (config, not snapshot state)."""
+        return dict(self.manifest().get("properties") or {})
+
+    def set_properties(self, props: dict[str, str | None]) -> dict[str, Any]:
+        """Merge-update table properties — a METADATA-ONLY commit (Iceberg
+        ``ALTER TABLE ... SET TBLPROPERTIES`` / ``UNSET`` analogue).
+        ``None`` deletes a key; values are stored as strings.  Properties
+        are CONFIG, carried forward through every subsequent commit at the
+        ``_publish`` chokepoint and deliberately NOT reverted by
+        ``rollback_to`` (rolling back data must not silently roll back
+        retention policy).
+
+        ``maintenance.*`` keys are validated against the known autopilot
+        schema (wrong type / unknown maintenance key fails now, not at 3am
+        when the cron job runs); other namespaces are free-form.  The
+        commit has identical files to its parent, so the change-feed fast
+        path walks through it."""
+        m = self.manifest()
+        cur = dict(m.get("properties") or {})
+        for k, v in props.items():
+            if k.startswith("maintenance."):
+                want = self._MAINTENANCE_PROPS.get(k)
+                if want is None:
+                    raise ValueError(
+                        f"unknown maintenance property {k!r} (known: "
+                        f"{sorted(self._MAINTENANCE_PROPS)})"
+                    )
+                if v is not None:
+                    try:
+                        want(v)
+                    except (TypeError, ValueError):
+                        raise ValueError(
+                            f"property {k!r} must parse as "
+                            f"{want.__name__}, got {v!r}"
+                        )
+            if v is None:
+                cur.pop(k, None)
+            else:
+                cur[k] = str(v)
+        if cur == dict(m.get("properties") or {}):
+            return {
+                "status": "Skipped",
+                "reason": "properties unchanged",
+                "version": m["version"],
+            }
+        version = m["version"] + 1
+        new_manifest = {
+            **m,
+            "version": version,
+            "parent": m["version"],
+            "epoch_id": f"set-properties:{version}",
+            "properties": cur,
+            "added_cols": [],
+            "committed_at": time.time(),
+        }
+        try:
+            self._publish(new_manifest)
+        except ManifestConflict:
+            return {
+                "status": "Skipped",
+                "reason": "lost manifest race to a concurrent writer",
+                "version": self.current_version(),
+            }
+        return {"status": "Success", "version": version, "properties": cur}
+
+    def auto_maintain(self, dry_run: bool = False) -> dict[str, Any]:
+        """One-call maintenance autopilot driven by the table's OWN
+        ``maintenance.*`` properties (the policy travels with the table,
+        not with whoever runs the cron job): compact if configured
+        (with the configured clustering/sizing), then expire old
+        snapshots, then vacuum.  Steps whose keys are absent are skipped;
+        ``dry_run`` reports what would run (vacuum uses its own dry run,
+        compact/expire are described only).  Ordering matters and is
+        fixed: compact first (creates superseded files), expire second
+        (releases old manifests), vacuum last (collects what both freed).
+        """
+        self._require_main("auto_maintain")
+        p = self.properties()
+
+        def _get(key, cast):
+            v = p.get(key)
+            return None if v is None else cast(v)
+
+        out: dict[str, Any] = {"dry_run": dry_run}
+        mdf = _get("maintenance.compact.min_delta_files", int)
+        if mdf is not None:
+            kw: dict[str, Any] = {"min_delta_files": mdf}
+            sb = _get("maintenance.compact.sort_by", str)
+            zb = _get("maintenance.compact.zorder_by", str)
+            if sb:
+                kw["sort_by"] = sb.split(",")
+            if zb:
+                kw["zorder_by"] = zb.split(",")
+            mr = _get("maintenance.compact.max_rows_per_file", int)
+            mb = _get("maintenance.compact.max_file_bytes", int)
+            if mr is not None:
+                kw["max_rows_per_file"] = mr
+            if mb is not None:
+                kw["max_file_bytes"] = mb
+            out["compact"] = kw if dry_run else self.compact(**kw)
+        keep_last = _get("maintenance.expire.keep_last", int)
+        if keep_last is not None:
+            out["expire"] = (
+                {"keep_last": keep_last}
+                if dry_run
+                else {"expired_versions": self.expire_snapshots(
+                    keep_last=keep_last
+                )}
+            )
+        keep_versions = _get("maintenance.vacuum.keep_versions", int)
+        if keep_versions is not None:
+            grace = _get("maintenance.vacuum.grace_s", float)
+            removed = self.vacuum(
+                keep_versions=keep_versions,
+                grace_s=600.0 if grace is None else grace,
+                dry_run=dry_run,
+            )
+            out["vacuum"] = {"removed_dirs": removed}
+        return out
+
     def set_bloom_filter_cols(self, cols: list[str]) -> dict[str, Any]:
         """Change which columns future data writes attach parquet bloom
         filters for — a METADATA-ONLY commit, the twin of
@@ -3950,6 +4109,13 @@ class ManifestTable:
             epoch_id=f"rollback:{version}",
             committed_at=time.time(),
         )
+        # table PROPERTIES are config, not snapshot state (Iceberg
+        # semantics): a rollback keeps the current set, it does not revive
+        # the target's
+        pub.pop("properties", None)
+        head_props = self.manifest().get("properties")
+        if head_props:
+            pub["properties"] = head_props
         self._publish(pub)
         return {
             "status": "Success",

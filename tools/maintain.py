@@ -252,6 +252,26 @@ def main() -> int:
     g = srb.add_mutually_exclusive_group(required=True)
     g.add_argument("--version", type=int, default=None)
     g.add_argument("--tag", default=None)
+    spr = sub.add_parser(
+        "set-properties",
+        help="merge-update table properties (maintenance.* keys drive "
+        "the `auto` autopilot)",
+    )
+    spr.add_argument(
+        "--set", action="append", default=[], metavar="KEY=VALUE",
+        help="repeatable; sets KEY to VALUE",
+    )
+    spr.add_argument(
+        "--unset", action="append", default=[], metavar="KEY",
+        help="repeatable; deletes KEY",
+    )
+    sub.add_parser("properties", help="print the current table properties")
+    sau = sub.add_parser(
+        "auto",
+        help="maintenance autopilot: compact/expire/vacuum per the "
+        "table's own maintenance.* properties",
+    )
+    sau.add_argument("--dry-run", action="store_true")
     scl = sub.add_parser(
         "clone",
         help="zero-copy SHALLOW CLONE into a new root (metadata-only; "
@@ -329,6 +349,20 @@ def main() -> int:
             "path": st.get("path"),
             "synced_to_version": st.get("upstream_version", st.get("version")),
         }
+    elif args.op == "set-properties":
+        props: dict = {}
+        for kv in args.set:
+            k, _, v = kv.partition("=")
+            if not _:
+                raise SystemExit(f"--set expects KEY=VALUE, got {kv!r}")
+            props[k] = v
+        for k in args.unset:
+            props[k] = None
+        out = t.set_properties(props)
+    elif args.op == "properties":
+        out = {"status": "Success", "properties": t.properties()}
+    elif args.op == "auto":
+        out = {"status": "Success", **t.auto_maintain(dry_run=args.dry_run)}
     elif args.op == "clone":
         c = t.clone(args.into, version=args.version, tag=args.tag)
         out = {
