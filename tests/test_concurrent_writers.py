@@ -274,3 +274,72 @@ def test_rebucket_wins_race_against_cow_merge(spark, tmp_root, storage_factory):
     m = a.manifest()
     assert m["n_buckets"] == 7
     assert _state(a) == {("k", 0): "A"}
+
+
+def test_compact_loses_race_to_merge_and_skips(spark, tmp_root,
+                                               storage_factory):
+    """Compaction is pure maintenance: losing the publish race to an
+    ingest commit returns Skipped — the ingest wins, nothing blocks or
+    retries, the fold simply re-runs at the next cadence; the aborted
+    compaction's staged files are vacuum garbage."""
+    a, b = _two_tables(
+        spark, tmp_root, storage_factory=storage_factory, name="t_cmpr"
+    )
+    rows = [("I", i, 100 + i, f"conv{i % 3}", i // 3, "user", f"t{i}", None)
+            for i in range(9)]
+    a.merge(_changes_df(spark, rows), epoch_id=1, mode="delta")
+    late = [("I", 50, 900, "convL", 0, "user", "late", None)]
+
+    st = a.compact(
+        before_publish=_one_shot(
+            lambda: b.merge(_changes_df(spark, late), epoch_id=2,
+                            mode="delta")
+        )
+    )
+    assert st["status"] == "Skipped"
+    assert "concurrent writer" in st["reason"]
+    # the ingest won; state includes the late row, nothing lost
+    exp = {(f"conv{i % 3}", i // 3): f"t{i}" for i in range(9)}
+    exp[("convL", 0)] = "late"
+    assert _state(a) == exp
+    # the compaction's staged dir is unreferenced → vacuum garbage
+    removed = a.vacuum(grace_s=0)
+    assert any("compact" in d for d in removed), removed
+    assert _state(a) == exp
+    # the next cadence folds cleanly
+    st = a.compact()
+    assert st["status"] == "Success"
+    assert _state(a) == exp
+    assert not a.manifest().get("delta_files")
+
+
+def test_merge_loses_race_to_compact_and_rebases(spark, tmp_root,
+                                                 storage_factory):
+    """The other direction: an ingest commit losing the publish race to a
+    compaction rebases onto the compacted manifest and still lands —
+    ingest never fails because maintenance ran."""
+    a, b = _two_tables(
+        spark, tmp_root, storage_factory=storage_factory, name="t_mcr"
+    )
+    rows = [("I", i, 100 + i, f"conv{i % 3}", i // 3, "user", f"t{i}", None)
+            for i in range(9)]
+    a.merge(_changes_df(spark, rows), epoch_id=1, mode="delta")
+    late = [("I", 50, 900, "convL", 0, "user", "late", None)]
+
+    st = a.merge(
+        _changes_df(spark, late),
+        epoch_id=2,
+        mode="delta",
+        before_publish=_one_shot(lambda: b.compact()),
+    )
+    assert st["status"] == "Success"
+    exp = {(f"conv{i % 3}", i // 3): f"t{i}" for i in range(9)}
+    exp[("convL", 0)] = "late"
+    assert _state(a) == exp
+    m = a.manifest()
+    # the rebased merge's delta rides on top of the compacted base, and
+    # the compaction holds the version just below it
+    assert m.get("delta_files")
+    assert "compact:" in str(a.manifest(m["version"] - 1)["epoch_id"]), (
+        "compaction should hold the prior version"
+    )
