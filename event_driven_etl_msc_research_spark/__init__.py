@@ -33,6 +33,11 @@ from .sinks.manifest import (
     SchemaEvolutionError,
 )
 from .sinks.replica import ReplicaDiverged, ReplicaTable
+from .sources.changelog import (
+    parse_change_payload,
+    parse_debezium,
+    parse_maxwell,
+)
 from .sources.table_source import CDCTableDataSource, register_cdc_source
 from .sinks.storage import FakeObjectStorage, LocalFSStorage, TableStorage
 from .streaming.engine import CDCEngine
@@ -57,4 +62,7 @@ __all__ = [
     "CDCEngine",
     "CDCTableDataSource",
     "register_cdc_source",
+    "parse_change_payload",
+    "parse_debezium",
+    "parse_maxwell",
 ]

@@ -363,6 +363,82 @@ FROM (
 """
 
 
+def cdc_debezium_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL engine path fed through the Debezium wire format: events →
+    Debezium JSON envelopes built IN SPARK (``to_json`` over structs — the
+    encode is distributed, exactly what a connector emits to Kafka) →
+    ``parse_debezium`` back to change columns → MERGE → final snapshot.
+    Half the rows ship Postgres-shaped (``source.lsn``), half MySQL-shaped
+    (``source.pos``); deletes carry only the ``before`` image, exactly the
+    Debezium delete contract.  Oracle: identical to ``cdc_merge_events`` —
+    the wire format must be semantically invisible."""
+    from ..sources.changelog import parse_debezium
+
+    ev = _t(spark, sf_dir, "events")
+    image = F.struct(
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("user_id").cast("string").alias("user_key"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    is_del = F.col("event_type") == "error"
+    # microsecond timestamps survive the JSON round trip (to_json's
+    # default is millisecond precision, which would truncate event ts)
+    _us = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+    # to_json omits null fields, so upserts carry only `after`, deletes
+    # only `before` — the true Debezium envelope shapes
+    envelope = F.to_json(
+        F.struct(
+            F.when(is_del, image).alias("before"),
+            F.when(~is_del, image).alias("after"),
+            F.when(is_del, F.lit("d")).otherwise(F.lit("u")).alias("op"),
+            F.struct(
+                F.when(F.col("event_id") % 2 == 0, F.col("event_id")).alias(
+                    "lsn"
+                ),
+                F.when(F.col("event_id") % 2 != 0, F.col("event_id")).alias(
+                    "pos"
+                ),
+            ).alias("source"),
+        ),
+        _us,
+    )
+    chg_schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_key", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    changes = parse_debezium(
+        ev.select(envelope.alias("value")),
+        change_schema=chg_schema,
+        json_options=_us,
+    )
+    payload = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_key", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_debezium_ingest_")
+    table = ManifestTable.create(
+        spark, root, payload, key_cols=["user_key"], n_buckets=8
+    )
+    table.merge(changes, epoch_id=0, epoch_scope="driver")
+    return table.read().select(
+        "user_key",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        "event_type",
+        "value",
+    )
+
+
 def cdc_events_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stats-pruned snapshot read (``ManifestTable.read(where=)``) on driver
     data: latest event per (week, user) — the table is KEYED and BUCKETED by
@@ -2613,6 +2689,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_latest_event_per_user": (cdc_latest_event_per_user, CDC_LATEST_SQL),
     "cdc_merge_events": (cdc_merge_events, CDC_MERGE_SQL),
     "cdc_merge_events_delta": (cdc_merge_events_delta, CDC_MERGE_SQL),
+    "cdc_debezium_ingest": (cdc_debezium_ingest, CDC_MERGE_SQL),
     "cdc_branch_wap": (cdc_branch_wap, CDC_MERGE_SQL),
     "cdc_rename_drop_column": (cdc_rename_drop_column, CDC_RENAME_DROP_SQL),
     "cdc_delete_where": (cdc_delete_where, CDC_DELETE_SQL),

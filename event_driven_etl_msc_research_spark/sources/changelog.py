@@ -80,3 +80,191 @@ def parse_change_payload(
     return raw.select(
         F.from_json(F.col(value_col).cast("string"), schema).alias("_ev")
     ).select("_ev.*")
+
+
+def parse_debezium(
+    raw: DataFrame,
+    row_schema: T.StructType | None = None,
+    change_schema: T.StructType = CHANGE_EVENT_SCHEMA,
+    value_col: str = "value",
+    drop_tombstones: bool = True,
+    json_options: dict | None = None,
+) -> DataFrame:
+    """Map a Debezium-enveloped transport frame to change-event columns —
+    the adapter for the single most common real-world CDC wire format
+    (Debezium → Kafka → lake), so a Postgres/MySQL binlog topic plugs into
+    ``replay_stream`` with one call::
+
+        raw = spark.readStream.format("kafka")...load()
+        engine.replay_stream(parse_debezium(raw), checkpoint_dir)
+
+    Accepts BOTH Debezium value shapes with one parse: the
+    schemas-enabled wrapper (``{"schema": …, "payload": {envelope}}``)
+    and the bare envelope (``value.converter.schemas.enable=false``).
+    Envelope mapping:
+
+    * ``op``  — Debezium ``c``/``u``/``r`` (create/update/snapshot-read)
+      all become upserts (``U``); ``d`` becomes ``D``.  An unknown or
+      missing op maps to NULL and fails loudly at the merge's NOT NULL
+      gate rather than being dropped silently.
+    * row image — ``after`` for upserts, ``before`` for deletes (the only
+      image a Debezium delete carries), typed by ``row_schema`` (default:
+      ``change_schema`` minus op/lsn — i.e. the table row including its
+      ``ts`` column).
+    * ``lsn`` — ``coalesce(source.lsn, source.pos, ts_ms)``: Postgres
+      publishes ``source.lsn``, MySQL ``source.pos``; the envelope
+      timestamp is the documented last resort for connectors exposing
+      neither.  All three are monotone per key for a single connector,
+      which is all the (ts, lsn) max-version MERGE requires.
+    * ``ts``  — the row's own ``ts`` column when the image carries one,
+      else ``source.ts_ms`` (DB commit time), else envelope ``ts_ms``.
+
+    Kafka log-compaction tombstones (NULL value after a delete event) are
+    dropped by default — they carry no image and the real delete already
+    arrived as ``op='d'``; pass ``drop_tombstones=False`` to surface them
+    as all-NULL rows instead.  Works identically on batch or streaming
+    frames; no broker exists in the sandbox, so tests drive this through
+    file-sourced Debezium JSON (the parsing plan is the same).
+    """
+    from pyspark.sql import functions as F
+
+    if row_schema is None:
+        row_schema = T.StructType(
+            [f for f in change_schema.fields if f.name not in ("op", "lsn")]
+        )
+    source_schema = T.StructType(
+        [
+            T.StructField("lsn", T.LongType(), True),
+            T.StructField("pos", T.LongType(), True),
+            T.StructField("ts_ms", T.LongType(), True),
+        ]
+    )
+    env_fields = [
+        T.StructField("before", row_schema, True),
+        T.StructField("after", row_schema, True),
+        T.StructField("op", T.StringType(), True),
+        T.StructField("ts_ms", T.LongType(), True),
+        T.StructField("source", source_schema, True),
+    ]
+    # one parse handles both shapes: "payload" is only present in the
+    # wrapped form, the envelope fields only at top level in the bare form
+    outer = T.StructType(
+        [T.StructField("payload", T.StructType(env_fields), True)] + env_fields
+    )
+
+    df = raw
+    if drop_tombstones:
+        df = df.filter(F.col(value_col).isNotNull())
+    p = F.from_json(
+        F.col(value_col).cast("string"), outer, json_options or {}
+    )
+    env = F.when(p["payload"].isNotNull(), p["payload"]).otherwise(
+        F.struct(*[p[f.name].alias(f.name) for f in env_fields])
+    )
+    flat = df.select(env.alias("_dz")).select("_dz.*")
+
+    img = F.when(F.col("op") == "d", F.col("before")).otherwise(F.col("after"))
+    op = (
+        F.when(F.col("op") == "d", F.lit("D"))
+        .when(F.col("op").isin("c", "u", "r"), F.lit("U"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    lsn = F.coalesce(F.col("source.lsn"), F.col("source.pos"), F.col("ts_ms"))
+    out = [op.alias("op"), lsn.cast("long").alias("lsn")]
+    row_fields = set(row_schema.fieldNames())
+    for f in change_schema.fields:
+        if f.name in ("op", "lsn"):
+            continue
+        col = (
+            img.getField(f.name).cast(f.dataType)
+            if f.name in row_fields
+            else F.lit(None).cast(f.dataType)
+        )
+        if f.name == "ts":
+            col = F.coalesce(
+                col,
+                F.timestamp_millis(F.col("source.ts_ms")),
+                F.timestamp_millis(F.col("ts_ms")),
+            )
+        out.append(col.alias(f.name))
+    return flat.select(*out)
+
+
+def parse_maxwell(
+    raw: DataFrame,
+    row_schema: T.StructType | None = None,
+    change_schema: T.StructType = CHANGE_EVENT_SCHEMA,
+    value_col: str = "value",
+    drop_tombstones: bool = True,
+    json_options: dict | None = None,
+) -> DataFrame:
+    """Map a Maxwell's-daemon-enveloped transport frame to change-event
+    columns (the MySQL binlog → Kafka JSON format:
+    ``{"type": "insert|update|delete", "ts": epoch_s, "xid": …,
+    "xoffset": …, "data": {row}, "old": {changed cols}}``).
+
+    * ``op`` — ``insert``/``update``/``bootstrap-insert`` → ``U``,
+      ``delete`` → ``D`` (a Maxwell delete carries the full row in
+      ``data``, unlike Debezium's ``before``); unknown/missing → NULL
+      (fails loudly at the merge's NOT NULL gate).
+    * ``lsn`` — Maxwell has no LSN; the documented contract packs the
+      transaction id and intra-transaction offset as
+      ``xid * 2^20 + xoffset`` (monotone in binlog order; 2^20 bounds a
+      transaction at ~1M row events), falling back to ``ts`` seconds
+      scaled to the same magnitude when ``xid`` is absent.
+    * ``ts`` — the row's own ``ts`` column when present, else the
+      envelope's ``ts`` (commit time, epoch seconds).
+
+    Same transport notes as :func:`parse_debezium` (batch or streaming,
+    NULL-value tombstones dropped by default).
+    """
+    from pyspark.sql import functions as F
+
+    if row_schema is None:
+        row_schema = T.StructType(
+            [f for f in change_schema.fields if f.name not in ("op", "lsn")]
+        )
+    env = T.StructType(
+        [
+            T.StructField("type", T.StringType(), True),
+            T.StructField("ts", T.LongType(), True),
+            T.StructField("xid", T.LongType(), True),
+            T.StructField("xoffset", T.LongType(), True),
+            T.StructField("data", row_schema, True),
+        ]
+    )
+    df = raw
+    if drop_tombstones:
+        df = df.filter(F.col(value_col).isNotNull())
+    flat = df.select(
+        F.from_json(
+            F.col(value_col).cast("string"), env, json_options or {}
+        ).alias("_mx")
+    ).select("_mx.*")
+
+    op = (
+        F.when(F.col("type") == "delete", F.lit("D"))
+        .when(
+            F.col("type").isin("insert", "update", "bootstrap-insert"),
+            F.lit("U"),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    lsn = F.coalesce(
+        F.col("xid") * F.lit(1 << 20) + F.coalesce(F.col("xoffset"), F.lit(0)),
+        F.col("ts") * F.lit(1 << 20),
+    )
+    out = [op.alias("op"), lsn.cast("long").alias("lsn")]
+    row_fields = set(row_schema.fieldNames())
+    for f in change_schema.fields:
+        if f.name in ("op", "lsn"):
+            continue
+        col = (
+            F.col("data").getField(f.name).cast(f.dataType)
+            if f.name in row_fields
+            else F.lit(None).cast(f.dataType)
+        )
+        if f.name == "ts":
+            col = F.coalesce(col, F.timestamp_seconds(F.col("ts")))
+        out.append(col.alias(f.name))
+    return flat.select(*out)
