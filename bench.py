@@ -73,6 +73,7 @@ HEADLINE = [
     "cdc_stream_source",
     "cdc_table_sink",
     "cdc_shallow_clone",
+    "cdc_scd2_history",
     "mv_incremental_rollup",
     "events_asof_last_error",
     "events_range_join",

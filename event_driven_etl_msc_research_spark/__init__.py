@@ -33,6 +33,7 @@ from .sinks.manifest import (
     SchemaEvolutionError,
 )
 from .sinks.replica import ReplicaDiverged, ReplicaTable
+from .sinks.scd2 import SCD2Table
 from .sources.changelog import (
     parse_change_payload,
     parse_debezium,
@@ -62,6 +63,7 @@ __all__ = [
     "CDCEngine",
     "CDCTableDataSource",
     "register_cdc_source",
+    "SCD2Table",
     "parse_change_payload",
     "parse_debezium",
     "parse_maxwell",

@@ -719,6 +719,89 @@ FROM (
 """
 
 
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (type-2) history apply on driver data: events → change stream
+    (same mapping as ``cdc_merge_events``) → TWO ``SCD2Table.apply`` calls
+    split at the median event time — so the second apply exercises the
+    cross-batch interval-CLOSING path, not just the window — → full
+    history read.  Every change event survives as a version row with
+    ``[valid_from, valid_to)``; an 'error' event is a zero-width delete
+    marker.  Oracle: one window over events per user (valid_to = next
+    event's ts).  The reference's only history story is whole-prefix
+    backup copies (``Phase3-BackupData.py:18-39``)."""
+    from ..sinks.scd2 import SCD2Table
+
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("event_id").alias("lsn"),
+        F.col("ts").cast("timestamp"),
+        F.col("user_id").cast("string").alias("user_key"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_key", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_scd2_history_")
+    h = SCD2Table.create(
+        spark, root, payload, key_cols=["user_key"], n_buckets=8
+    )
+    # exact median (deterministic, unlike approxQuantile) — ties at the
+    # cut all land in batch 0, preserving per-key version order across
+    # the two applies (the inorder contract)
+    cut = changes.agg(
+        F.expr("percentile(cast(ts as long), 0.5)")
+    ).collect()[0][0]
+    h.apply(
+        changes.filter(F.col("ts").cast("long") <= cut),
+        epoch_id=0,
+        epoch_scope="driver",
+    )
+    h.apply(
+        changes.filter(F.col("ts").cast("long") > cut),
+        epoch_id=1,
+        epoch_scope="driver",
+    )
+    return h.read().select(
+        "user_key",
+        "vf_lsn",
+        "change_op",
+        F.date_format("valid_from", _TS_FMT_SPARK).alias("valid_from"),
+        F.date_format("valid_to", _TS_FMT_SPARK).alias("valid_to"),
+        "is_last",
+        "is_current",
+        "event_type",
+        "value",
+    )
+
+
+CDC_SCD2_SQL = f"""
+SELECT user_key, vf_lsn, change_op,
+       strftime(valid_from, '{_TS_FMT_DUCK}') AS valid_from,
+       strftime(valid_to, '{_TS_FMT_DUCK}') AS valid_to,
+       is_last, is_current, event_type, value
+FROM (
+  SELECT CAST(user_id AS VARCHAR) AS user_key,
+         event_id AS vf_lsn,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS change_op,
+         ts AS valid_from,
+         CASE WHEN event_type = 'error' THEN ts
+              ELSE LEAD(ts) OVER w END AS valid_to,
+         (LEAD(ts) OVER w IS NULL) AS is_last,
+         (LEAD(ts) OVER w IS NULL AND event_type <> 'error') AS is_current,
+         event_type, value
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+) t
+"""
+
+
 def cdc_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level UPDATE on driver data: the ``cdc_merge_events`` table,
     then ``update_where("event_type = 'view'", {"value": "value * 2"})``
@@ -2693,6 +2776,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_branch_wap": (cdc_branch_wap, CDC_MERGE_SQL),
     "cdc_rename_drop_column": (cdc_rename_drop_column, CDC_RENAME_DROP_SQL),
     "cdc_delete_where": (cdc_delete_where, CDC_DELETE_SQL),
+    "cdc_scd2_history": (cdc_scd2_history, CDC_SCD2_SQL),
     "cdc_update_where": (cdc_update_where, CDC_UPDATE_SQL),
     "cdc_merge_into": (cdc_merge_into, CDC_MERGE_INTO_SQL),
     "cdc_check_constraints": (cdc_check_constraints, CDC_CHECK_CONSTRAINTS_SQL),

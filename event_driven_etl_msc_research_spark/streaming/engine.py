@@ -244,6 +244,11 @@ class CDCEngine:
         self._derived: list = []
         self.sync_derived_every = 1
         self._epochs_since_mv_sync = 0
+        # SCD2 history table applied on the epoch critical path —
+        # see register_history()
+        self._history = None
+        self._history_mode = "inorder"
+        self._history_merge_mode = "delta"
 
     # ---------- the foreachBatch body ----------
 
@@ -316,6 +321,27 @@ class CDCEngine:
                     # are now unreferenced by every retained manifest —
                     # without this a long-running tail grows without bound
                     self._maybe_vacuum(epoch_id, force=True)
+            if self._history is not None:
+                # critical path, and ALSO on a skipped (redelivered) epoch:
+                # the main merge may have committed on a previous attempt
+                # that crashed before the history apply — the history's own
+                # ledger decides whether anything is left to do
+                hst = self._history.apply(
+                    batch_df,
+                    epoch_id,
+                    epoch_scope=self._epoch_scope,
+                    mode=self._history_mode,
+                    merge_mode=self._history_merge_mode,
+                )
+                self.lineage.record_stage(
+                    epoch_id,
+                    "history",
+                    hst.get("status", "Success"),
+                    detail=str(
+                        {k: v for k, v in hst.items() if k != "rows_by_bucket"}
+                    ),
+                    duration_s=hst.get("duration_s"),
+                )
             if stats["status"] == "Success":
                 self._maybe_vacuum(epoch_id)
                 self._maybe_sync_derived(epoch_id)
@@ -515,6 +541,35 @@ class CDCEngine:
         self._derived.append(derived)
         if every is not None:
             self.sync_derived_every = max(1, int(every))
+
+    def register_history(
+        self, history, mode: str = "inorder", merge_mode: str = "delta"
+    ) -> None:
+        """Attach a ``sinks.scd2.SCD2Table``: every merge epoch is ALSO
+        applied to the history table (same epoch id and idempotence scope;
+        the history keeps its own exactly-once ledger).  Unlike derived
+        -table sync — advisory, recomputable later from the table's change
+        feed — the history apply rides the EPOCH CRITICAL PATH: the
+        latest-state merge folds the batch's intermediate versions away,
+        so a batch not recorded now is history lost; a failure therefore
+        aborts the epoch and the checkpoint retry redelivers the batch
+        (the main merge's ledger makes the re-run a no-op on its side).
+
+        ``mode`` follows the transport's ordering contract (see
+        ``sinks/scd2.py``): ``"inorder"`` for per-key version-ordered
+        delivery (a binlog/WAL shard), ``"repair"`` for transports that
+        reorder events across micro-batch boundaries."""
+        ek = self.table.manifest()["key_cols"]
+        if history.key_cols != ek:
+            raise ValueError(
+                f"history table keys {history.key_cols} != engine table "
+                f"keys {ek}"
+            )
+        if mode not in ("inorder", "repair"):
+            raise ValueError(f"mode must be inorder|repair, got {mode!r}")
+        self._history = history
+        self._history_mode = mode
+        self._history_merge_mode = merge_mode
 
     def _maybe_sync_derived(self, epoch_id: int) -> None:
         if not self._derived:
