@@ -342,6 +342,30 @@ class CDCEngine:
                     ),
                     duration_s=hst.get("duration_s"),
                 )
+                if (
+                    hst.get("status") == "Success"
+                    and self._history_compact_every > 0
+                ):
+                    self._epochs_since_history_compact += 1
+                    if (
+                        self._epochs_since_history_compact
+                        >= self._history_compact_every
+                    ):
+                        self._epochs_since_history_compact = 0
+                        cst = self._history.table.compact()
+                        self.lineage.record_stage(
+                            epoch_id,
+                            "history_compact",
+                            cst["status"],
+                            detail=str(
+                                {
+                                    k: v
+                                    for k, v in cst.items()
+                                    if k != "rows_by_bucket"
+                                }
+                            ),
+                            duration_s=cst.get("duration_s"),
+                        )
             if stats["status"] == "Success":
                 self._maybe_vacuum(epoch_id)
                 self._maybe_sync_derived(epoch_id)
@@ -543,7 +567,11 @@ class CDCEngine:
             self.sync_derived_every = max(1, int(every))
 
     def register_history(
-        self, history, mode: str = "inorder", merge_mode: str = "delta"
+        self,
+        history,
+        mode: str = "inorder",
+        merge_mode: str = "delta",
+        compact_every: int = 0,
     ) -> None:
         """Attach a ``sinks.scd2.SCD2Table``: every merge epoch is ALSO
         applied to the history table (same epoch id and idempotence scope;
@@ -558,7 +586,15 @@ class CDCEngine:
         ``mode`` follows the transport's ordering contract (see
         ``sinks/scd2.py``): ``"inorder"`` for per-key version-ordered
         delivery (a binlog/WAL shard), ``"repair"`` for transports that
-        reorder events across micro-batch boundaries."""
+        reorder events across micro-batch boundaries.
+
+        ``compact_every`` — fold the history's delta files into base
+        every N applied epochs (0 = never).  A delta-mode history tail
+        otherwise accumulates one file set per epoch without bound, and
+        compaction is what keeps the inorder path's touched-key read
+        O(files-that-matter); all version rows have distinct
+        ``(keys…, vf_lsn)`` keys, so the fold collapses nothing — it is
+        purely physical."""
         ek = self.table.manifest()["key_cols"]
         if history.key_cols != ek:
             raise ValueError(
@@ -570,6 +606,8 @@ class CDCEngine:
         self._history = history
         self._history_mode = mode
         self._history_merge_mode = merge_mode
+        self._history_compact_every = max(0, int(compact_every))
+        self._epochs_since_history_compact = 0
 
     def _maybe_sync_derived(self, epoch_id: int) -> None:
         if not self._derived:

@@ -1262,3 +1262,89 @@ def test_random_ddl_dml_sequence_matches_oracle(spark, tmp_root, seed, mode):
         assert got == oracle.live_at(v), (
             f"time travel to v{v} diverged (seed {seed}, {mode})"
         )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 fuzz — three delivery shapes of one random stream must agree
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_random_scd2_sequence_matches_single_batch(spark, tmp_root, seed):
+    """Metamorphic SCD2 fuzz: a seeded random change stream (18 hot keys,
+    deletes, a NARROW ts range so equal-ts lsn tie-breaks are common) is
+    applied three ways — (a) one inorder apply of the whole stream; (b)
+    random consecutive version-order splits via inorder mode, each batch
+    salted with a random REDELIVERY sample of earlier events (the trim
+    must absorb them); (c) a random PERMUTATION of the same batches via
+    repair mode — and all three histories must be identical.  current()
+    must equal a latest-state ManifestTable merge of the same stream
+    (the same (ts, lsn) max-version rule)."""
+    from event_driven_etl_msc_research_spark.sinks.scd2 import SCD2Table
+
+    rng = random.Random(seed)
+    events = []
+    lsn = 0
+    for _ in range(_steps(90)):
+        conv, turn = rng.choice(KEYS)
+        lsn += 1
+        op = "D" if rng.random() < 0.2 else "U"
+        ts = rng.randint(1_000, 1_060)
+        if op == "D":
+            events.append(("D", lsn, ts, conv, turn, None, None, None))
+        else:
+            events.append(
+                ("U", lsn, ts, conv, turn, rng.choice(ROLES), f"t{lsn}", None)
+            )
+    # version order: a global (ts, lsn) sort makes every consecutive
+    # split per-key version-ordered (the inorder contract)
+    ordered = sorted(events, key=lambda r: (r[2], r[1]))
+
+    def mk(root):
+        return SCD2Table.create(spark, root, TRANSCRIPT_SCHEMA, n_buckets=4)
+
+    one = mk(tmp_root + "/one")
+    one.apply(_df(spark, ordered), epoch_id=0)
+
+    splits = sorted(rng.sample(range(1, len(ordered)), rng.randint(2, 6)))
+    batches = [
+        ordered[a:b] for a, b in zip([0] + splits, splits + [len(ordered)])
+    ]
+    ino = mk(tmp_root + "/ino")
+    seen: list = []
+    for i, batch in enumerate(batches):
+        redeliver = rng.sample(seen, min(len(seen), rng.randint(0, 5)))
+        ino.apply(_df(spark, batch + redeliver), epoch_id=i)
+        seen.extend(batch)
+
+    rep = mk(tmp_root + "/rep")
+    perm = list(range(len(batches)))
+    rng.shuffle(perm)
+    for i, j in enumerate(perm):
+        rep.apply(_df(spark, batches[j]), epoch_id=i, mode="repair")
+
+    def hist(h):
+        return sorted(
+            (r["conv_id"], r["turn_idx"], r["vf_lsn"], r["change_op"],
+             str(r["valid_from"]), str(r["valid_to"]), r["is_last"],
+             r["role"], r["text"], r["tool"])
+            for r in h.read().collect()
+        )
+
+    base = hist(one)
+    assert hist(ino) == base
+    assert hist(rep) == base
+
+    t = ManifestTable.create(
+        spark, os.path.join(tmp_root, "t"), TRANSCRIPT_SCHEMA, n_buckets=4
+    )
+    t.merge(_df(spark, ordered), epoch_id=0)
+
+    def live(df):
+        return sorted(
+            (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"],
+             int(r["ts"].timestamp()))
+            for r in df.collect()
+        )
+
+    assert live(one.current()) == live(t.read())

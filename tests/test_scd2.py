@@ -322,7 +322,7 @@ def test_streaming_tail_history(spark, tmp_root):
     )
     with pytest.raises(ValueError, match="keys"):
         eng.register_history(wrong)
-    eng.register_history(h, mode="repair")
+    eng.register_history(h, mode="repair", compact_every=2)
     eng.replay(
         os.path.join(tmp_root, "log"), tmp_root + "/cp",
         max_files_per_trigger=2,
@@ -345,3 +345,11 @@ def test_streaming_tail_history(spark, tmp_root):
     a = one.read().orderBy("conv_id", "turn_idx", "vf_lsn").toPandas()
     b = h.read().orderBy("conv_id", "turn_idx", "vf_lsn").toPandas()
     assert_pdf_equal(b, a, list(a.columns))
+
+    # the history-compaction cadence ran (purely physical: the state
+    # equality above already covers it) and bounded the delta backlog
+    stages = {r.stage for r in eng.metrics_report().collect()}
+    assert "history_compact" in stages
+    m = h.table.manifest()
+    n_delta = sum(len(v) for v in (m.get("delta_files") or {}).values())
+    assert n_delta <= 2 * 8  # ≤ compact_every epochs' worth of buckets
