@@ -65,6 +65,7 @@ HEADLINE = [
     "cdc_events_zorder_window",
     "cdc_branch_wap",
     "cdc_delete_where",
+    "cdc_retention_delete",
     "cdc_update_where",
     "cdc_rename_drop_column",
     "cdc_merge_into",

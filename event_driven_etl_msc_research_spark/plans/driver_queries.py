@@ -719,6 +719,82 @@ FROM (
 """
 
 
+def cdc_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention DELETE on driver data: one row per event (keyed by
+    ``event_id``), ts-clustered via ``compact(sort_by=["ts"])``, then
+    ``retention_delete(cutoff)`` at 40% of the event-time range — files
+    whose stats prove all-old leave with a METADATA-ONLY commit, boundary
+    files pay ordinary tombstones, and the retention watermark advances
+    (the age-out verb the reference's ever-growing warehouse prefix lacks,
+    ``Phase3-DataLoad.py:101-118``).  The cutoff is whole-second integer
+    arithmetic — ``mn + (mx - mn) * 2 // 5`` on floored epoch seconds —
+    so the DuckDB oracle computes the identical instant."""
+    import datetime as dt
+
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.lit("U").alias("op"),
+        F.col("event_id").alias("lsn"),
+        F.col("ts").cast("timestamp"),
+        F.col("event_id"),
+        F.col("user_id").cast("string").alias("user_key"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_key", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_retention_delete_")
+    table = ManifestTable.create(
+        spark, root, payload, key_cols=["event_id"], n_buckets=8
+    )
+    table.merge(changes, epoch_id=0, epoch_scope="driver", mode="delta")
+    # the designed layout a retention pass runs against: delta-free,
+    # ts-clustered buckets (the tail's compact --sort-by ts cadence)
+    table.compact(sort_by=["ts"], max_rows_per_file=400)
+    mn, mx = changes.agg(
+        F.min(F.col("ts").cast("long")), F.max(F.col("ts").cast("long"))
+    ).first()
+    cutoff = dt.datetime.fromtimestamp(
+        mn + (mx - mn) * 2 // 5, tz=dt.timezone.utc
+    )
+    n_rows = int(table.manifest()["total_rows"])
+    res = table.retention_delete(cutoff, epoch_id=1)
+    assert res["status"] == "Success", res
+    # ts-clustered files at this row/file sizing make the metadata-only
+    # drop phase fire for real at sf >= 0.01 (sf0.001's single file per
+    # bucket straddles the cutoff and legitimately goes residual-only)
+    assert res["dropped_files"] > 0 or n_rows < 5000, res
+    return table.read().select(
+        "event_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        "user_key",
+        "event_type",
+        "value",
+    )
+
+
+CDC_RETENTION_SQL = f"""
+SELECT event_id, strftime(ts, '{_TS_FMT_DUCK}') AS ts,
+       CAST(user_id AS VARCHAR) AS user_key, event_type, value
+FROM events
+WHERE ts >= (
+  SELECT make_timestamp((mn + (mx - mn) * 2 // 5) * 1000000)
+  FROM (
+    SELECT CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS mn,
+           CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) AS mx
+    FROM events
+  )
+)
+"""
+
+
 def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 (type-2) history apply on driver data: events → change stream
     (same mapping as ``cdc_merge_events``) → TWO ``SCD2Table.apply`` calls
@@ -2776,6 +2852,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_branch_wap": (cdc_branch_wap, CDC_MERGE_SQL),
     "cdc_rename_drop_column": (cdc_rename_drop_column, CDC_RENAME_DROP_SQL),
     "cdc_delete_where": (cdc_delete_where, CDC_DELETE_SQL),
+    "cdc_retention_delete": (cdc_retention_delete, CDC_RETENTION_SQL),
     "cdc_scd2_history": (cdc_scd2_history, CDC_SCD2_SQL),
     "cdc_update_where": (cdc_update_where, CDC_UPDATE_SQL),
     "cdc_merge_into": (cdc_merge_into, CDC_MERGE_INTO_SQL),

@@ -596,7 +596,12 @@ class ManifestTable:
             return
         need_clone = "cloned_from" not in manifest
         need_props = "properties" not in manifest
-        if not (need_clone or need_props):
+        # the retention watermark (retention_delete) is table config like
+        # properties: carried through every commit, surviving rollback —
+        # the "never holds pre-cutoff rows again" contract is not snapshot
+        # state
+        need_ret = "retention_ts" not in manifest
+        if not (need_clone or need_props or need_ret):
             return
         parent = None
         for c in (self._last_read, self._manifest):
@@ -610,6 +615,8 @@ class ManifestTable:
                 return
         if need_props and parent.get("properties"):
             manifest["properties"] = parent["properties"]
+        if need_ret and parent.get("retention_ts") is not None:
+            manifest["retention_ts"] = parent["retention_ts"]
         if need_clone and parent.get("cloned_from"):
             manifest["cloned_from"] = parent["cloned_from"]
             ext = parent.get("external_sizes") or {}
@@ -1113,6 +1120,22 @@ class ManifestTable:
         n_buckets = m["n_buckets"]
         key_cols = m["key_cols"]
         cur_schema = self.schema()
+
+        # retention watermark (see retention_delete): an upsert older than
+        # the table's retention point is data the table contracted never to
+        # hold again — drop it before the fold.  Deletes pass (they can only
+        # remove), and null-ts events keep their existing semantics.  This
+        # filter is also what keeps replicas exactly convergent after a
+        # retention delete: the upstream never commits a pre-watermark
+        # upsert, and the replica's synthesized tombstones block the same
+        # versions a second time.
+        ret = m.get("retention_ts")
+        if ret is not None and "ts" in changes.columns:
+            changes = changes.filter(
+                (F.col("op") == F.lit("D"))
+                | F.col("ts").isNull()
+                | (F.col("ts") >= F.lit(_stat_from_json(ret)))
+            )
 
         # 1. schema evolution (additive) BEFORE touching data
         payload_fields = [
@@ -2414,6 +2437,7 @@ class ManifestTable:
         keep_versions: int = 1,
         grace_s: float = 600.0,
         dry_run: bool = False,
+        collect_files: bool = False,
     ) -> list[str]:
         """Remove data dirs unreferenced by the newest ``keep_versions``
         SURVIVING manifests (the lazy cleanup that replaces the reference's
@@ -2438,12 +2462,24 @@ class ManifestTable:
         (Iceberg's remove-orphan-files dry run — what an operator checks
         before lowering ``grace_s`` or ``keep_versions``).
 
+        ``collect_files=True`` additionally removes UNREFERENCED PARQUET
+        FILES inside still-referenced dirs — the erasure path for
+        ``retention_delete``'s metadata-dropped files, which share a
+        commit dir with files that stay live (dir-granular GC alone would
+        keep their bytes until some rewrite relocates the survivors).
+        Opt-in because it lists every referenced dir (O(live dirs)
+        metadata calls, vs the default's O(garbage)); the same grace
+        window applies per object.  No in-flight writer is endangered:
+        every commit attempt stages into its own fresh dir, never into an
+        old one.
+
         Cost shape: referenced dirs are skipped on the cheap top-level
         ``list_dirs`` alone; the per-object listing runs ONLY over removal
         candidates, so steady-state vacuum work is O(garbage), not O(table)."""
         self._require_main("vacuum")
         versions = self._list_versions()
         referenced: set[str] = set()
+        referenced_files: set[str] = set()
         # newest K surviving manifests PLUS every tagged snapshot — a named
         # ref pins its data files for as long as the tag exists
         keep = set(versions[-max(1, keep_versions):])
@@ -2456,6 +2492,7 @@ class ManifestTable:
                         if p.startswith(_EXT_PREFIX):
                             continue  # clone source's file — not ours to GC
                         referenced.add(p.split("/")[1])  # data/<dir>/...
+                        referenced_files.add(p)
         # live branches pin every dir their surviving chain references —
         # branch writers share data/ and their staged dirs must survive the
         # audit window; drop_branch releases them (branches are short-lived
@@ -2475,10 +2512,24 @@ class ManifestTable:
                             if p.startswith(_EXT_PREFIX):
                                 continue
                             referenced.add(p.split("/")[1])
+                            referenced_files.add(p)
         removed = []
         now = time.time()
         for d in self.storage.list_dirs(_DATA_DIR):
             if d in referenced:
+                if collect_files:
+                    for o in self.storage.list(f"{_DATA_DIR}/{d}"):
+                        if (
+                            o.key.endswith(".parquet")
+                            and o.key not in referenced_files
+                            and (
+                                grace_s <= 0
+                                or now - o.last_modified >= grace_s
+                            )
+                        ):
+                            if not dry_run:
+                                self.storage.delete(o.key)
+                            removed.append(o.key)
                 continue
             prefix = f"{_DATA_DIR}/{d}"
             if grace_s > 0:
@@ -2540,6 +2591,8 @@ class ManifestTable:
                 if str(ek).startswith("publish:")
                 else "rollback"
                 if str(ek).startswith("rollback:")
+                else "retention_delete"
+                if str(ek).startswith("retdel:")
                 else "merge"
             )
             fs = _files_of(m)
@@ -2666,7 +2719,7 @@ class ManifestTable:
 
     def delete_where(
         self,
-        predicate: str,
+        predicate,
         epoch_id: int,
         epoch_scope: str = "delete",
         mode: str = "delta",
@@ -2691,11 +2744,16 @@ class ManifestTable:
         payload bytes happens at the next rewrite of those buckets
         (``compact(min_delta_files=0)`` for at-once erasure — the same
         two-step logical-then-physical deletion contract as Iceberg/Delta
-        row-level deletes)."""
+        row-level deletes).
+
+        ``predicate`` is a SQL string or a ``Column`` expression."""
         m = self.manifest()
         key_cols = set(m["key_cols"])
         fields = list(self.schema().fields)
-        live = self.read(include_internal=True).filter(F.expr(predicate))
+        pred = (
+            predicate if not isinstance(predicate, str) else F.expr(predicate)
+        )
+        live = self.read(include_internal=True).filter(pred)
         # the tombstone carries ONLY what versioning and routing need: the
         # key columns and the row's ts — every other payload column is
         # nulled so the deleted content never rides in the delta files
@@ -2716,6 +2774,212 @@ class ManifestTable:
             mode=mode,
             **merge_kwargs,
         )
+
+    def retention_delete(
+        self, ts_before, epoch_id: int, **merge_kwargs
+    ) -> dict[str, Any]:
+        """``DELETE FROM t WHERE ts < ts_before`` as a RETENTION verb —
+        the Iceberg/Delta "drop old partitions" shape: files whose stats
+        PROVE every row is older than the cutoff are removed with a
+        METADATA-ONLY commit (zero Spark jobs, zero data rewritten — the
+        O(metadata) retention path a 100 TB table needs), and only the
+        boundary rows pay the ordinary tombstone-delete cost.
+
+        Reference analogue: the reference pipeline has no retention story
+        at all — the warehouse prefix only grows and each run re-declares
+        the external table over all of it (``Phase3-DataLoad.py:101-118``).
+
+        Three idempotent phases, each exactly-once by ``epoch_id`` so a
+        crash between them retries cleanly:
+
+        1. **File drop (metadata-only).**  A base file is droppable when
+           its manifest ``ts`` stats prove ``max(ts) < ts_before``, its
+           bucket has NO delta files (a remaining delta row could carry an
+           out-of-order OLDER version that would win the fold once the
+           base row is gone — resurrecting stale content), and a driver-
+           side footer check proves the file has no null-``ts`` rows
+           (nulls are invisible to min/max stats and do not match the
+           predicate).  Droppable files are removed from the manifest in
+           one commit tagged ``retdel:`` that also records them as
+           ``retdel_dropped`` — the change feed, replicas, and the
+           streaming source read the dropped files themselves as the
+           delete set, so downstream consumers stay O(changes).
+        2. **Retention watermark.**  The same commit advances
+           ``retention_ts`` (monotone max).  Every later ``merge`` drops
+           incoming UPSERTS older than the watermark before the fold: the
+           table contracted never to hold pre-cutoff rows again, and this
+           is what keeps log-shipped replicas exactly convergent (their
+           synthesized tombstones block exactly the versions the upstream
+           now filters).  Deletes pass the watermark — they can only
+           remove.
+        3. **Residual tombstones.**  Boundary files (stats straddle the
+           cutoff) and buckets with deltas are handled by an ordinary
+           ``delete_where(ts < ts_before)`` — O(matching rows), change
+           feed and MVs see them as normal deletes.
+
+        Physical bytes of dropped files remain on disk for time travel
+        until ``expire_snapshots`` + ``vacuum`` — the standard two-step
+        erasure contract.  Rows with NULL ``ts`` are never retention-
+        deleted (retention is keyed on the version timestamp)."""
+        import datetime as _dt
+
+        self._require_main("retention_delete")
+        t0 = time.monotonic()
+        m = self.manifest()
+        ts_type = next(
+            (
+                f.dataType
+                for f in T.StructType.fromJson(m["schema"]).fields
+                if f.name == "ts"
+            ),
+            None,
+        )
+        if ts_type is None:
+            raise ValueError("retention_delete needs a ts column")
+        cutoff = _norm_bound(ts_before, ts_type)
+        if not isinstance(cutoff, (_dt.datetime, _dt.date)):
+            raise ValueError(
+                f"ts_before must be a timestamp (datetime or ISO string), "
+                f"got {ts_before!r}"
+            )
+
+        drop_key = f"retdel:{epoch_id}"
+        result: dict[str, Any] = {
+            "status": "Success",
+            "epoch_id": epoch_id,
+            "dropped_files": 0,
+            "dropped_rows": 0,
+        }
+        for attempt in range(5):
+            m = self.manifest()
+            if _epoch_applied(m, drop_key):
+                result["drop_status"] = "Skipped"
+                break
+            old_ret = m.get("retention_ts")
+            old_cut = _stat_from_json(old_ret) if old_ret is not None else None
+            eff = cutoff if old_cut is None else max(old_cut, cutoff)
+            dropped = self._droppable_before(m, eff)
+            stats = dict(m.get("file_stats") or {})
+            bucket_rows = {
+                str(b): int(n)
+                for b, n in (m.get("bucket_rows") or {}).items()
+            }
+            files = {b: list(ps) for b, ps in m["files"].items()}
+            n_dropped_rows = 0
+            for b, p, rows in dropped:
+                files[b] = [q for q in files[b] if q != p]
+                stats.pop(p, None)
+                bucket_rows[b] = max(0, bucket_rows.get(b, 0) - rows)
+                n_dropped_rows += rows
+            if not dropped and old_cut is not None and eff <= old_cut:
+                # nothing to drop and the watermark already covers the
+                # cutoff: no commit needed, go straight to the residual
+                result["drop_status"] = "NoChange"
+                break
+            applied_c, ranges_c = _fold_applied(
+                m["applied_epochs"] + [drop_key],
+                m.get("applied_ranges") or {},
+                self.max_epoch_entries,
+            )
+            new_manifest = {
+                **m,
+                "version": m["version"] + 1,
+                "parent": m["version"],
+                "epoch_id": drop_key,
+                "files": files,
+                "file_stats": stats,
+                "bucket_rows": bucket_rows,
+                "total_rows": max(0, int(m["total_rows"]) - n_dropped_rows),
+                "applied_epochs": applied_c,
+                "applied_ranges": ranges_c,
+                "added_cols": [],
+                "retention_ts": _stat_to_json(eff),
+                "retdel_dropped": sorted(p for _, p, _ in dropped),
+                "retdel_rows": n_dropped_rows,
+                "committed_at": time.time(),
+            }
+            try:
+                self._publish(new_manifest)
+            except ManifestConflict:
+                continue  # re-read and recompute against the winner
+            result["dropped_files"] = len(dropped)
+            result["dropped_rows"] = n_dropped_rows
+            result["version"] = new_manifest["version"]
+            break
+        else:
+            raise ManifestConflict(
+                f"retention_delete epoch {epoch_id}: lost the manifest "
+                f"race 5 times — safe to retry"
+            )
+
+        # residual tombstone pass over whatever live pre-cutoff rows remain
+        # (boundary files, buckets that had deltas) — its own exactly-once
+        # scope so a crash between the phases retries just this half
+        res = self.delete_where(
+            F.col("ts") < F.lit(cutoff),
+            epoch_id,
+            epoch_scope="retdel-res",
+            mode="delta",
+            **merge_kwargs,
+        )
+        result["residual"] = res
+        result["version"] = res.get("version", result.get("version"))
+        result["duration_s"] = time.monotonic() - t0
+        return result
+
+    def _droppable_before(
+        self, m: dict[str, Any], cutoff
+    ) -> list[tuple[str, str, int]]:
+        """Files provably ALL-OLDER than ``cutoff``: manifest ``ts`` stats
+        give ``max(ts) < cutoff``; the bucket has no delta files; a
+        driver-side parquet-footer check (threaded, one ranged read per
+        candidate — no Spark job) proves zero null-``ts`` rows and yields
+        the exact row count.  Returns ``(bucket, relpath, rows)`` sorted by
+        path.  Shallow-clone ``ext://`` references are never dropped here
+        (their bytes belong to the source table; localize with
+        ``compact(min_delta_files=0)`` first)."""
+        import pyarrow.parquet as pq
+        from concurrent.futures import ThreadPoolExecutor
+
+        stats = m.get("file_stats") or {}
+        deltas = m.get("delta_files") or {}
+        cand: list[tuple[str, str]] = []
+        for b, ps in m["files"].items():
+            if deltas.get(str(b)):
+                continue
+            for p in ps:
+                if p.startswith(_EXT_PREFIX):
+                    continue
+                st = (stats.get(p) or {}).get("ts")
+                if st is None:
+                    continue
+                try:
+                    if _stat_from_json(st[1]) < cutoff:
+                        cand.append((str(b), p))
+                except TypeError:
+                    continue
+
+        def _verify(item):
+            b, p = item
+            with self.storage.open_input(p) as fh:
+                md = pq.ParquetFile(fh).metadata
+            idx = {
+                md.schema.column(i).path: i for i in range(md.num_columns)
+            }
+            i = idx.get("ts")
+            if i is None:
+                return None
+            for g in range(md.num_row_groups):
+                cs = md.row_group(g).column(i).statistics
+                if cs is None or not cs.has_null_count or cs.null_count:
+                    return None  # can't prove null-free: not droppable
+            return (b, p, md.num_rows)
+
+        if not cand:
+            return []
+        with ThreadPoolExecutor(max_workers=min(16, len(cand))) as pool:
+            out = [r for r in pool.map(_verify, cand) if r is not None]
+        return sorted(out, key=lambda r: r[1])
 
     def update_where(
         self,
@@ -3290,6 +3554,7 @@ class ManifestTable:
         "maintenance.expire.keep_last": int,
         "maintenance.vacuum.keep_versions": int,
         "maintenance.vacuum.grace_s": float,
+        "maintenance.retention.keep_s": float,  # retention_delete horizon
     }
 
     def properties(self) -> dict[str, str]:
@@ -3368,8 +3633,10 @@ class ManifestTable:
         snapshots, then vacuum.  Steps whose keys are absent are skipped;
         ``dry_run`` reports what would run (vacuum uses its own dry run,
         compact/expire are described only).  Ordering matters and is
-        fixed: compact first (creates superseded files), expire second
-        (releases old manifests), vacuum last (collects what both freed).
+        fixed: compact first (creates superseded files and delta-free
+        ts-clustered buckets), retention second (the metadata-only drop
+        set is maximal right after a compact), expire third (releases old
+        manifests), vacuum last (collects what all three freed).
         """
         self._require_main("auto_maintain")
         p = self.properties()
@@ -3395,6 +3662,25 @@ class ManifestTable:
             if mb is not None:
                 kw["max_file_bytes"] = mb
             out["compact"] = kw if dry_run else self.compact(**kw)
+        keep_s = _get("maintenance.retention.keep_s", float)
+        if keep_s is not None:
+            # retention runs AFTER compact: freshly delta-free, ts-clustered
+            # buckets maximize the metadata-only drop set; residual
+            # tombstones fold on the next cycle's compact.  The epoch id is
+            # the cutoff second — reruns within one second are no-ops by
+            # the exactly-once ledger, later runs advance the horizon.
+            import datetime as _dt
+
+            cutoff = _dt.datetime.now(tz=_dt.timezone.utc) - _dt.timedelta(
+                seconds=keep_s
+            )
+            out["retention"] = (
+                {"ts_before": cutoff.isoformat()}
+                if dry_run
+                else self.retention_delete(
+                    cutoff, epoch_id=int(cutoff.timestamp())
+                )
+            )
         keep_last = _get("maintenance.expire.keep_last", int)
         if keep_last is not None:
             out["expire"] = (
@@ -3411,6 +3697,10 @@ class ManifestTable:
                 keep_versions=keep_versions,
                 grace_s=600.0 if grace is None else grace,
                 dry_run=dry_run,
+                # a retention policy implies the intent to ERASE aged-out
+                # bytes, and retention-dropped files share dirs with live
+                # ones — so the autopilot's vacuum collects file-level
+                collect_files=keep_s is not None,
             )
             out["vacuum"] = {"removed_dirs": removed}
         return out
@@ -4339,7 +4629,7 @@ class ManifestTable:
         to_version: int,
         ma: dict[str, Any],
         mb: dict[str, Any],
-    ) -> tuple[list[str], int] | None:
+    ) -> tuple[list[str], list[str], int] | None:
         """Candidate files for the ``changes()`` fast path, by walking the
         manifest chain over ``(from, to]``.
 
@@ -4347,17 +4637,22 @@ class ManifestTable:
         the same live rows into new files and are tagged ``compact:`` /
         ``rebucket:`` in ``epoch_id``), so the net changes of a range that
         crosses them equal the changes of its delta-append steps alone —
-        the keys in the delta files those steps ADDED.  Returns
-        ``(candidate delta file relpaths, added-row count)`` when every
-        step is a delta append or a state-preserving rewrite; the row
-        count comes from per-step ``delta_rows_total`` metadata (an upper
-        bound on distinct keys — the broadcast decision needs no count
-        job).  Returns ``None`` — caller falls back to the general
-        snapshot diff — when a CoW/initial rewrite sits in the range
-        (its added files carry rewritten old rows, not changes), when a
-        mid-range manifest has been expired (no chain to walk), or when a
-        pre-compaction delta file has since been vacuumed (one LIST per
-        staging dir verifies — O(changed dirs) metadata calls)."""
+        the keys in the delta files those steps ADDED.  A retention
+        delete (``retdel:``) removes whole provably-old files with a
+        metadata commit; its change set is exactly the rows OF those
+        dropped files (every row was live — the verb requires a delta-free
+        bucket), which the step records as ``retdel_dropped``.  Returns
+        ``(added delta file relpaths, retention-dropped file relpaths,
+        changed-row estimate)`` when every step is a delta append, a
+        state-preserving rewrite, or a retention drop; the row estimate
+        comes from per-step manifest metadata (an upper bound on distinct
+        keys — the broadcast decision needs no count job).  Returns
+        ``None`` — caller falls back to the general snapshot diff — when a
+        CoW/initial rewrite sits in the range (its added files carry
+        rewritten old rows, not changes), when a mid-range manifest has
+        been expired (no chain to walk), or when a needed file has since
+        been vacuumed (one LIST per staging dir verifies — O(changed
+        dirs) metadata calls)."""
         steps: list[tuple[dict[str, Any], dict[str, Any]]] = []
         child = mb
         try:
@@ -4373,6 +4668,7 @@ class ManifestTable:
         except FileNotFoundError:
             return None  # mid-range snapshot expired: no chain to walk
         added_files: list[str] = []
+        dropped_files: list[str] = []
         added_rows = 0
         for parent, child in steps:
             ek = str(child.get("epoch_id") or "")
@@ -4384,6 +4680,11 @@ class ManifestTable:
                 # the added-files walk cannot see; only the snapshot diff
                 # is correct across it
                 return None
+            if ek.startswith("retdel:"):
+                # retention drop: the dropped files' rows ARE the deletes
+                dropped_files += list(child.get("retdel_dropped") or [])
+                added_rows += int(child.get("retdel_rows") or 0)
+                continue
             if (
                 child["files"] != parent["files"]
                 or child["n_buckets"] != parent["n_buckets"]
@@ -4395,12 +4696,13 @@ class ManifestTable:
             added_rows += int(child.get("delta_rows_total") or 0) - int(
                 parent.get("delta_rows_total") or 0
             )
-        if added_files:
-            # delta files folded by a LATER compaction may have been
-            # vacuumed; verify at staging-dir granularity
+        if added_files or dropped_files:
+            # delta files folded by a LATER compaction — and retention-
+            # dropped files no longer referenced by the head — may have
+            # been vacuumed; verify at staging-dir granularity
             dirs = {
                 p.split("/")[1]
-                for p in added_files
+                for p in added_files + dropped_files
                 if not p.startswith(_EXT_PREFIX)
             }
             present: set[str] = set()
@@ -4408,9 +4710,9 @@ class ManifestTable:
                 present.update(
                     o.key for o in self.storage.list(f"{_DATA_DIR}/{d}")
                 )
-            if not set(added_files) <= present:
+            if not set(added_files) | set(dropped_files) <= present:
                 return None
-        return added_files, max(added_rows, 0)
+        return added_files, sorted(dropped_files), max(added_rows, 0)
 
     def changes(
         self,
@@ -4510,13 +4812,16 @@ class ManifestTable:
 
         cand_info = self._append_candidates(from_version, tv, ma, mb)
         if cand_info is not None:
-            added, added_rows = cand_info
-            if not added:
+            added, dropped, added_rows = cand_info
+            if not added and not dropped:
                 # every step in the range was a state-preserving rewrite
                 return self.spark.createDataFrame([], out_schema)
+            # retention-dropped files join the candidate scan: their keys
+            # were live when dropped, so the diff classifies them as
+            # deletes (or updates/nothing if later appends re-upserted)
             cand = (
                 self._read_files(
-                    [self._spath(p) for p in added],
+                    [self._spath(p) for p in added + dropped],
                     self._internal_schema(tv),
                     renames=mb.get("renamed_cols"),
                 )

@@ -265,7 +265,7 @@ class ReplicaTable:
             n for n in names if n not in ("_lsn", "_deleted", "_bucket")
         ]
         if cand is not None:
-            files, _est = cand
+            files, ret_dropped, _est = cand
             raw = self.upstream._read_files(
                 [self.upstream.storage.spark_path(p) for p in files],
                 ischema,
@@ -287,6 +287,7 @@ class ReplicaTable:
             raw = self.upstream._read_files(
                 all_files, ischema, renames=m.get("renamed_cols")
             )
+            ret_dropped = []
             path = "snapshot"
 
         batch = self._projected(
@@ -301,6 +302,37 @@ class ReplicaTable:
             ),
             payload_names,
         )
+        if ret_dropped:
+            # a retention_delete upstream removed these files with a
+            # metadata commit: their rows were live at that moment, so the
+            # replica applies them as DELETE tombstones stamped
+            # (row ts, _lsn + 1) — identical to delete_where's versioning.
+            # Exact convergence with the upstream is guaranteed by the
+            # upstream's retention watermark: any pre-cutoff upsert these
+            # tombstones could block is already filtered out of upstream
+            # commits and therefore never shipped here.
+            ek = set(self.upstream.manifest(t)["key_cols"])
+            dr = self.upstream._read_files(
+                [self.upstream.storage.spark_path(p) for p in ret_dropped],
+                ischema,
+                renames=self.upstream.manifest(t).get("renamed_cols"),
+            )
+            dels = self._projected(
+                dr.select(
+                    F.lit("D").alias("op"),
+                    (F.coalesce(F.col("_lsn"), F.lit(0)) + 1).alias("lsn"),
+                    *[
+                        F.col(n)
+                        if n in ek or n == "ts"
+                        else F.lit(None)
+                        .cast(dr.schema[n].dataType)
+                        .alias(n)
+                        for n in payload_names
+                    ],
+                ),
+                payload_names,
+            )
+            batch = batch.unionByName(dels)
         res = self.table.merge(
             batch,
             epoch_id=t,

@@ -85,11 +85,16 @@ class _ChangeFilePartition(InputPartition):
         field_names: list[str],
         schema_json: str,
         renames: dict[str, list[str]],
+        as_deletes: tuple[str, ...] = (),
     ):
         self.path = path
         self.field_names = field_names  # op, lsn, payload... (output order)
         self.schema_json = schema_json  # StructType JSON (session-free)
         self.renames = renames          # current name -> historical names
+        # non-empty = this file was RETENTION-DROPPED upstream: ship every
+        # row as a DELETE stamped (its own ts, _lsn + 1), payload nulled
+        # except the named key columns and ts (delete_where's contract)
+        self.as_deletes = as_deletes
 
 
 def _read_change_file(part) -> Iterator["pa.RecordBatch"]:
@@ -124,12 +129,27 @@ def _read_change_file(part) -> Iterator["pa.RecordBatch"]:
                 if old in have:
                     want.append(old)
                     break
+    as_del = set(getattr(part, "as_deletes", ()) or ())
     for batch in pf.iter_batches(columns=want):
         tbl = pa.Table.from_batches([batch])
         cols = {n: tbl.column(n) for n in tbl.column_names}
         n = len(tbl)
         arrays = []
         for name, typ in zip(out_schema.names, out_schema.types):
+            if as_del and name not in as_del and name != "ts":
+                if name == "op":
+                    arr = pa.array(["D"] * n, type=pa.string())
+                elif name == "lsn":
+                    arr = pc.add(
+                        pc.fill_null(
+                            cols.get("_lsn", pa.nulls(n, type=pa.int64())), 0
+                        ),
+                        1,
+                    )
+                else:  # payload nulled — the deleted content never ships
+                    arr = pa.nulls(n, type=typ)
+                arrays.append(arr.cast(typ) if arr.type != typ else arr)
+                continue
             if name == "op":
                 if "_deleted" in cols:
                     deleted = pc.fill_null(cols["_deleted"], False)
@@ -182,7 +202,11 @@ def _change_schema_of(table) -> T.StructType:
 
 
 def _partitions_for(
-    table, files_rel: list[str], schema: T.StructType, renames
+    table,
+    files_rel: list[str],
+    schema: T.StructType,
+    renames,
+    as_deletes: tuple[str, ...] = (),
 ) -> list[_ChangeFilePartition]:
     names = [f.name for f in schema.fields]
     sjson = json.dumps(schema.jsonValue())
@@ -190,7 +214,7 @@ def _partitions_for(
         _ChangeFilePartition(
             # _spath resolves shallow-clone ext:// refs to their absolute
             # source paths; ordinary files stay table-root-relative
-            table._spath(p), names, sjson, dict(renames or {})
+            table._spath(p), names, sjson, dict(renames or {}), as_deletes
         )
         for p in files_rel
     ]
@@ -243,10 +267,23 @@ class CDCTableStreamReader(DataSourceStreamReader):
                 f"(compact/rebucket are fine), or bootstrap with the batch "
                 f"read and poll changes() for CoW tables"
             )
-        files, _ = cand
-        return _partitions_for(
+        files, ret_dropped, _ = cand
+        parts = _partitions_for(
             self._table, files, self._schema, mb.get("renamed_cols")
         )
+        if ret_dropped:
+            # an upstream retention_delete in the range: ship the dropped
+            # files' rows as synthesized DELETE events (see
+            # ManifestTable.retention_delete — the upstream's retention
+            # watermark makes this exactly convergent downstream)
+            parts += _partitions_for(
+                self._table,
+                ret_dropped,
+                self._schema,
+                mb.get("renamed_cols"),
+                as_deletes=tuple(mb["key_cols"]),
+            )
+        return parts
 
     def read(self, partition: InputPartition):
         return _read_change_file(partition)

@@ -174,7 +174,7 @@ def test_changes_exact_across_compact_and_incremental_refuses(
     ma, mb = tbl.manifest(v1), tbl.manifest(cur)
     cand = tbl._append_candidates(v1, cur, ma, mb)
     assert cand is not None, "fast path must survive a mid-range compaction"
-    added, added_rows = cand
+    added, _dropped, added_rows = cand
     # candidates are exactly the delta files the append step added — never
     # base files (the no-full-snapshot-scan proof)
     assert added and all("-e1-" in p for p in added), added
@@ -207,7 +207,7 @@ def test_changes_fast_path_across_compaction_midrange(spark, tmp_root):
     ma, mb = tbl.manifest(v1), tbl.manifest(cur)
     cand = tbl._append_candidates(v1, cur, ma, mb)
     assert cand is not None
-    added, added_rows = cand
+    added, _dropped, added_rows = cand
     assert added_rows == 5  # 3 (epoch 1) + 2 (epoch 2)
     assert all("-e1-" in p or "-e2-" in p for p in added), added
     expected = dict(EXPECTED, A=("update", "purchase", 10.0),
@@ -277,7 +277,7 @@ def test_changes_vacuumed_candidate_falls_back(spark, tmp_root):
     tbl.compact()
     cur = tbl.current_version()
     ma, mb = tbl.manifest(v1), tbl.manifest(cur)
-    added, _ = tbl._append_candidates(v1, cur, ma, mb)
+    added, _dropped, _ = tbl._append_candidates(v1, cur, ma, mb)
     # simulate vacuum collecting exactly the folded delta staging dirs
     for d in {p.split("/")[1] for p in added}:
         tbl.storage.delete_prefix(f"data/{d}")

@@ -1,0 +1,316 @@
+"""Retention delete: metadata-only drop of provably-old files + residual
+tombstones + retention watermark (``ManifestTable.retention_delete``).
+
+Reference analogue: the reference pipeline has NO retention story — its
+warehouse prefix only grows and every run re-declares the Athena table
+over all of it (``Phase3-DataLoad.py:101-118``).  At 10^10 rows the verb
+that matters is "age out last year's transcripts WITHOUT rewriting 100 TB",
+which is exactly the metadata-drop path pinned here.
+"""
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_driven_etl_msc_research_spark.schemas import TRANSCRIPT_SCHEMA
+from event_driven_etl_msc_research_spark.sinks.manifest import ManifestTable
+
+T0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+CHANGE_DDL = (
+    "op string, lsn long, ts timestamp, conv_id string, turn_idx int, "
+    "role string, text string, tool string"
+)
+
+
+def _ev(op, lsn, s, conv, turn, text="x"):
+    return (op, lsn, T0 + dt.timedelta(seconds=s), conv, turn, "user", text, None)
+
+
+def _cut(s: int) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=s)
+
+
+def _mk(spark, root, n=2000, n_buckets=4, rows_per_file=200):
+    """Table with ts-clustered, delta-free buckets — the designed layout a
+    retention pass runs against (compact --sort-by ts on the tail cadence)."""
+    t = ManifestTable.create(
+        spark, root, TRANSCRIPT_SCHEMA, n_buckets=n_buckets,
+        stats_cols=["ts", "conv_id"],
+    )
+    rows = [_ev("U", i, i, f"c{i % 13}", i, text=f"t{i}") for i in range(1, n + 1)]
+    t.merge(spark.createDataFrame(rows, CHANGE_DDL), epoch_id=0, mode="delta")
+    t.compact(sort_by=["ts"], max_rows_per_file=rows_per_file)
+    return t
+
+
+def _live(t, version=None):
+    return sorted(
+        (r.conv_id, r.turn_idx, r.text)
+        for r in t.read(version=version).collect()
+    )
+
+
+def test_metadata_drop_and_residual(spark, tmp_root):
+    t = _mk(spark, tmp_root + "/t")
+    v1 = t.current_version()
+    res = t.retention_delete(_cut(1000), epoch_id=9)
+    # the drop phase actually fired (ts-clustered files prove all-old)
+    assert res["status"] == "Success" and res["dropped_files"] > 0
+    assert res["dropped_rows"] > 0
+    # final state == the filtered oracle
+    exp = sorted(
+        (f"c{i % 13}", i, f"t{i}") for i in range(1000, 2001)
+    )
+    assert _live(t) == exp
+    # dropped files really left the manifest; time travel still reads them
+    m = t.manifest()
+    retdel = next(
+        t.manifest(v)
+        for v in range(t.current_version(), -1, -1)
+        if str(t.manifest(v).get("epoch_id") or "").startswith("retdel:")
+    )
+    assert res["dropped_files"] == len(retdel["retdel_dropped"])
+    head_files = {p for ps in m["files"].values() for p in ps}
+    assert not head_files & set(retdel["retdel_dropped"])
+    assert len(_live(t, version=v1)) == 2000
+    # watermark recorded and carried by the later residual commit
+    assert m.get("retention_ts") is not None
+    # exactly-once: full rerun is a double Skip
+    r2 = t.retention_delete(_cut(1000), epoch_id=9)
+    assert r2["drop_status"] == "Skipped"
+    assert r2["residual"]["status"] == "Skipped"
+
+
+def test_drop_phase_launches_no_spark_jobs(spark, tmp_root):
+    """The metadata drop is driver-side only: manifest stats pick the
+    candidates, pyarrow footers verify null-freeness and row counts —
+    zero Spark jobs until the residual tombstone pass."""
+    t = _mk(spark, tmp_root + "/t")
+    sc = spark.sparkContext
+    group = "retdel-jobcount"
+    sc.setJobGroup(group, "retention drop phase")
+    try:
+        dropped = t._droppable_before(t.manifest(), _cut(1000))
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(dropped) > 0
+    assert sc.statusTracker().getJobIdsForGroup(group) == []
+
+
+def test_watermark_filters_late_old_upserts(spark, tmp_root):
+    t = _mk(spark, tmp_root + "/t", n=400)
+    t.retention_delete(_cut(200), epoch_id=1)
+    t.merge(
+        spark.createDataFrame(
+            [
+                _ev("U", 9000, 50, "cz", 7001, text="zombie"),  # pre-cutoff
+                _ev("U", 9001, 900, "cn", 7002, text="new"),
+                # deletes PASS the watermark (they can only remove); this
+                # one outranks the live row's (ts=256, lsn=256) version
+                _ev("D", 9002, 256, "c9", 256),
+                # but an out-of-order OLDER delete still loses the fold —
+                # watermark passage never overrides CDC versioning
+                _ev("D", 9003, 100, "c10", 257),
+            ],
+            CHANGE_DDL,
+        ),
+        epoch_id=1,
+        mode="delta",
+    )
+    live = {(r.conv_id, r.turn_idx): r.text for r in t.read().collect()}
+    assert ("cz", 7001) not in live, "pre-watermark upsert must be dropped"
+    assert live[("cn", 7002)] == "new"
+    assert ("c9", 256) not in live, "deletes pass the watermark"
+    assert ("c10", 257) in live, "older delete must lose the fold"
+    # the watermark is monotone: an older cutoff never lowers it
+    t.retention_delete(_cut(100), epoch_id=2)
+    from event_driven_etl_msc_research_spark.sinks.manifest import (
+        _stat_from_json,
+    )
+
+    assert _stat_from_json(t.manifest()["retention_ts"]) == _cut(200)
+
+
+def test_change_feed_across_retention(spark, tmp_root):
+    t = _mk(spark, tmp_root + "/t")
+    v1 = t.current_version()
+    t.retention_delete(_cut(1000), epoch_id=3)
+    ch = {
+        (r.conv_id, r.turn_idx): r._change_type
+        for r in t.changes(v1).collect()
+    }
+    assert len(ch) == 999 and set(ch.values()) == {"delete"}
+    # the candidate fast path survived (no O(table) snapshot diff)
+    cand = t._append_candidates(
+        v1, t.current_version(), t.manifest(v1), t.manifest()
+    )
+    assert cand is not None
+    added, dropped, est = cand
+    assert dropped, "retention-dropped files must ride the candidate walk"
+    # and the feed equals the general diff (fallback oracle)
+    from unittest import mock
+
+    with mock.patch.object(
+        type(t), "_append_candidates", return_value=None
+    ):
+        slow = {
+            (r.conv_id, r.turn_idx): r._change_type
+            for r in t.changes(v1).collect()
+        }
+    assert slow == ch
+
+
+def test_mv_sync_across_retention(spark, tmp_root):
+    from event_driven_etl_msc_research_spark.sinks.derived import DerivedTable
+
+    t = _mk(spark, tmp_root + "/t", n=800, rows_per_file=100)
+    mv = DerivedTable.create(
+        spark, tmp_root + "/mv", t,
+        group_cols=["role"], aggs={"n": "count(*)", "mx": "max(turn_idx)"},
+    )
+    mv.sync()
+    t.retention_delete(_cut(400), epoch_id=4)
+    assert mv.sync()["status"] == "Success"
+    got = {r.role: (r.n, r.mx) for r in mv.table.read().collect()}
+    exp = {
+        r.role: (r.n, r.mx)
+        for r in t.read()
+        .groupBy("role")
+        .agg(F.count("*").alias("n"), F.max("turn_idx").alias("mx"))
+        .collect()
+    }
+    assert got == exp
+
+
+def test_replica_converges_across_retention(spark, tmp_root):
+    """Log-shipped replica: dropped files arrive as synthesized delete
+    tombstones; the upstream watermark guarantees no pre-cutoff upsert is
+    ever shipped, so live state is EXACTLY equal afterwards — including
+    after a post-retention ingest containing a zombie event."""
+    from event_driven_etl_msc_research_spark.sinks.replica import ReplicaTable
+
+    t = _mk(spark, tmp_root + "/t", n=800, rows_per_file=100)
+    rep = ReplicaTable.create(spark, tmp_root + "/rep", t, n_buckets=8)
+    assert rep.sync()["path"] == "snapshot"
+    res = t.retention_delete(_cut(400), epoch_id=5)
+    assert res["dropped_files"] > 0
+    t.merge(
+        spark.createDataFrame(
+            [
+                _ev("U", 9000, 50, "cz", 7001, text="zombie"),
+                _ev("U", 9001, 900, "cn", 7002, text="new"),
+            ],
+            CHANGE_DDL,
+        ),
+        epoch_id=1,
+        mode="delta",
+    )
+    s = rep.sync()
+    assert s["path"] == "log", "retention must not force a snapshot resync"
+    assert _live(t) == sorted(
+        (r.conv_id, r.turn_idx, r.text) for r in rep.table.read().collect()
+    )
+
+
+def test_stream_source_ships_retention_as_deletes(spark, tmp_root):
+    from event_driven_etl_msc_research_spark.sources.table_source import (
+        register_cdc_source,
+    )
+    from event_driven_etl_msc_research_spark.streaming.engine import CDCEngine
+
+    register_cdc_source(spark)
+    t = _mk(spark, tmp_root + "/t", n=600, rows_per_file=100)
+    t.retention_delete(_cut(300), epoch_id=6)
+    t.merge(
+        spark.createDataFrame([_ev("U", 9001, 900, "cn", 7002)], CHANGE_DDL),
+        epoch_id=1,
+        mode="delta",
+    )
+    stream = (
+        spark.readStream.format("edem_cdc")
+        .option("path", t.root)
+        .option("startingVersion", 0)
+        .load()
+    )
+    eng = CDCEngine(
+        spark, tmp_root + "/mirror", n_buckets=4, merge_mode="delta"
+    )
+    eng.replay_stream(stream, tmp_root + "/cp")
+    assert _live(t) == sorted(
+        (r.conv_id, r.turn_idx, r.text)
+        for r in eng.read_table().collect()
+    )
+
+
+def test_physical_erasure_after_expire_and_vacuum(spark, tmp_root):
+    t = _mk(spark, tmp_root + "/t")
+    res = t.retention_delete(_cut(1000), epoch_id=7)
+    dropped = None
+    for v in range(t.current_version(), -1, -1):
+        m = t.manifest(v)
+        if str(m.get("epoch_id") or "").startswith("retdel:"):
+            dropped = m["retdel_dropped"]
+            break
+    assert dropped
+    paths = [os.path.join(t.root, p) for p in dropped]
+    assert all(os.path.exists(p) for p in paths), "time travel needs them"
+    t.expire_snapshots(keep_last=1)
+    # dir-granular vacuum alone CANNOT reclaim them: they share commit
+    # dirs with still-live files — that's what collect_files is for
+    t.vacuum(keep_versions=1, grace_s=0.0)
+    assert all(os.path.exists(p) for p in paths)
+    before = _live(t)
+    removed = t.vacuum(keep_versions=1, grace_s=0.0, collect_files=True)
+    assert set(dropped) <= set(removed)
+    assert not any(os.path.exists(p) for p in paths), "bytes must be erased"
+    assert t.check(verify_rows=True)["status"] == "Success"
+    assert _live(t) == before, "live rows untouched by file collection"
+
+
+def test_partial_files_and_delta_buckets_fall_to_residual(spark, tmp_root):
+    """No ts clustering + live deltas: nothing is provably all-old, so the
+    drop set is empty and the residual tombstone pass carries the whole
+    delete — state still exact."""
+    t = ManifestTable.create(
+        spark, tmp_root + "/t", TRANSCRIPT_SCHEMA, n_buckets=4,
+        stats_cols=["ts", "conv_id"],
+    )
+    rows = [_ev("U", i, i, f"c{i % 13}", i, text=f"t{i}") for i in range(1, 301)]
+    t.merge(spark.createDataFrame(rows, CHANGE_DDL), epoch_id=0, mode="delta")
+    res = t.retention_delete(_cut(150), epoch_id=8)
+    assert res["dropped_files"] == 0
+    assert res["residual"]["status"] == "Success"
+    assert _live(t) == sorted(
+        (f"c{i % 13}", i, f"t{i}") for i in range(150, 301)
+    )
+
+
+def test_misuse(spark, tmp_root):
+    t = _mk(spark, tmp_root + "/t", n=50)
+    with pytest.raises(ValueError, match="timestamp"):
+        t.retention_delete("not-a-time", epoch_id=1)
+    with pytest.raises(ValueError, match="timestamp"):
+        t.retention_delete(12345, epoch_id=1)
+    b = t.create_branch("wap")
+    with pytest.raises(ValueError, match="main-table"):
+        b.retention_delete(_cut(10), epoch_id=1)
+    t.drop_branch("wap")
+
+
+def test_auto_maintain_retention_policy(spark, tmp_root):
+    t = _mk(spark, tmp_root + "/t", n=200, rows_per_file=50)
+    t.set_properties(
+        {
+            "maintenance.compact.min_delta_files": "1",
+            "maintenance.retention.keep_s": "60",
+        }
+    )
+    plan = t.auto_maintain(dry_run=True)
+    assert "retention" in plan and "ts_before" in plan["retention"]
+    out = t.auto_maintain()
+    # every row is older than now-60s, so the whole table ages out
+    assert out["retention"]["status"] == "Success"
+    assert t.read().count() == 0

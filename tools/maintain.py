@@ -20,6 +20,8 @@ MOR pattern — Iceberg/Paimon/Hudi compaction services)::
         --expr 'text IS NOT NULL'
     ... maintain.py --table /lake/transcripts drop-constraint --name text_nn
     ... maintain.py --table /lake/transcripts constraints
+    ... maintain.py --table /lake/transcripts retention-delete \\
+        --ts-before 2026-02-01 --epoch-id 20260201
     ... maintain.py --table /lake/transcripts branch --name audit-0817
     ... maintain.py --table /lake/transcripts publish --name audit-0817
     ... maintain.py --table /lake/transcripts drop-branch --name audit-0817
@@ -82,6 +84,10 @@ def main() -> int:
     sv.add_argument("--grace-s", type=float, default=600.0)
     sv.add_argument("--dry-run", action="store_true",
                     help="report the removal set without deleting")
+    sv.add_argument("--collect-files", action="store_true",
+                    help="also remove unreferenced parquet files inside "
+                    "still-referenced dirs (erases retention-dropped "
+                    "bytes; O(live dirs) listings)")
     sr = sub.add_parser("rebucket", help="change the hash bucket count")
     sr.add_argument("--n-buckets", type=int, required=True)
     sr.add_argument("--sort-by", default=None,
@@ -227,6 +233,17 @@ def main() -> int:
     sdl.add_argument("--epoch-id", type=int, required=True,
                      help="exactly-once token for this delete")
     sdl.add_argument("--mode", default="delta", choices=["delta", "cow"])
+    srd = sub.add_parser(
+        "retention-delete",
+        help="DELETE WHERE ts < cutoff as a retention verb: provably-old "
+        "files are dropped with a METADATA-ONLY commit (zero Spark jobs), "
+        "boundary rows get ordinary tombstones, and the table's retention "
+        "watermark advances (later merges ignore pre-cutoff upserts)",
+    )
+    srd.add_argument("--ts-before", required=True,
+                     help="ISO timestamp cutoff; rows with ts < this go")
+    srd.add_argument("--epoch-id", type=int, required=True,
+                     help="exactly-once token for this retention pass")
     sup = sub.add_parser(
         "update",
         help="row-level UPDATE ... SET col=expr WHERE (upserts via the "
@@ -303,6 +320,7 @@ def main() -> int:
             keep_versions=args.keep_versions,
             grace_s=args.grace_s,
             dry_run=args.dry_run,
+            collect_files=args.collect_files,
         )
         out = {
             "status": "Success",
@@ -416,6 +434,8 @@ def main() -> int:
         out = t.check(version=args.version, verify_rows=args.verify_rows)
     elif args.op == "delete":
         out = t.delete_where(args.where, epoch_id=args.epoch_id, mode=args.mode)
+    elif args.op == "retention-delete":
+        out = t.retention_delete(args.ts_before, epoch_id=args.epoch_id)
     elif args.op == "update":
         sets = dict(kv.split("=", 1) for kv in args.set)
         out = t.update_where(
