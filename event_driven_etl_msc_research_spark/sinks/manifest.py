@@ -232,9 +232,13 @@ def _norm_bound(v, dtype: T.DataType | None = None):
 
 
 def _footer_minmax(md, stats_cols: list[str]) -> dict[str, list]:
-    """Per-column [min, max] over all row groups of one parquet footer
-    (already in memory — no extra I/O).  Columns whose statistics are
-    absent are omitted → the file is never pruned on them."""
+    """Per-column [min, max, null_count] over all row groups of one parquet
+    footer (already in memory — no extra I/O).  Columns whose min/max
+    statistics are absent are omitted → the file is never pruned on them.
+    The third element is present only when EVERY row group records a null
+    count (it's what lets ``retention_delete`` prove null-freeness from the
+    manifest alone); readers index ``[0]``/``[1]`` so older two-element
+    entries keep working."""
     if not stats_cols:
         return {}
     idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
@@ -244,6 +248,7 @@ def _footer_minmax(md, stats_cols: list[str]) -> dict[str, list]:
         if i is None:
             continue
         lo = hi = None
+        nulls: int | None = 0
         ok = md.num_row_groups > 0
         for g in range(md.num_row_groups):
             st = md.row_group(g).column(i).statistics
@@ -252,10 +257,21 @@ def _footer_minmax(md, stats_cols: list[str]) -> dict[str, list]:
                 break
             lo = st.min if lo is None or st.min < lo else lo
             hi = st.max if hi is None or st.max > hi else hi
+            if nulls is not None and st.has_null_count:
+                nulls += st.null_count
+            else:
+                nulls = None
         if ok:
             lo_j, hi_j = _stat_to_json(lo), _stat_to_json(hi)
             if lo_j is not None and hi_j is not None:
-                out[col] = [lo_j, hi_j]
+                out[col] = (
+                    [lo_j, hi_j] if nulls is None else [lo_j, hi_j, nulls]
+                )
+    if out:
+        # per-FILE row count under a reserved pseudo-column ("::" can never
+        # be a column name) — with the null counts above, this is what lets
+        # retention_delete's drop phase run from the manifest alone
+        out["::rows"] = [md.num_rows]
     return out
 
 
@@ -2931,33 +2947,46 @@ class ManifestTable:
         self, m: dict[str, Any], cutoff
     ) -> list[tuple[str, str, int]]:
         """Files provably ALL-OLDER than ``cutoff``: manifest ``ts`` stats
-        give ``max(ts) < cutoff``; the bucket has no delta files; a
-        driver-side parquet-footer check (threaded, one ranged read per
-        candidate — no Spark job) proves zero null-``ts`` rows and yields
-        the exact row count.  Returns ``(bucket, relpath, rows)`` sorted by
-        path.  Shallow-clone ``ext://`` references are never dropped here
-        (their bytes belong to the source table; localize with
-        ``compact(min_delta_files=0)`` first)."""
+        give ``max(ts) < cutoff``; the bucket has no delta files; zero
+        null-``ts`` rows (nulls are invisible to min/max stats and never
+        match the predicate).  For files whose manifest stats carry the
+        harvested null and row counts (every file written since the
+        three-element ``_footer_minmax`` format) the whole proof is
+        MANIFEST-ONLY — no I/O at all; legacy two-element entries fall
+        back to a driver-side footer check (threaded, one ranged read per
+        candidate — still no Spark job).  Returns ``(bucket, relpath,
+        rows)`` sorted by path.  Shallow-clone ``ext://`` references are
+        never dropped here (their bytes belong to the source table;
+        localize with ``compact(min_delta_files=0)`` first)."""
         import pyarrow.parquet as pq
         from concurrent.futures import ThreadPoolExecutor
 
         stats = m.get("file_stats") or {}
         deltas = m.get("delta_files") or {}
-        cand: list[tuple[str, str]] = []
+        proven: list[tuple[str, str, int]] = []
+        cand: list[tuple[str, str]] = []  # footer-check fallback set
         for b, ps in m["files"].items():
             if deltas.get(str(b)):
                 continue
             for p in ps:
                 if p.startswith(_EXT_PREFIX):
                     continue
-                st = (stats.get(p) or {}).get("ts")
+                fs = stats.get(p) or {}
+                st = fs.get("ts")
                 if st is None:
                     continue
                 try:
-                    if _stat_from_json(st[1]) < cutoff:
-                        cand.append((str(b), p))
+                    if not _stat_from_json(st[1]) < cutoff:
+                        continue
                 except TypeError:
                     continue
+                rows = fs.get("::rows")
+                if len(st) >= 3 and st[2] > 0:
+                    continue  # has null-ts rows: never droppable
+                if len(st) >= 3 and rows:
+                    proven.append((str(b), p, int(rows[0])))
+                else:
+                    cand.append((str(b), p))
 
         def _verify(item):
             b, p = item
@@ -2975,10 +3004,10 @@ class ManifestTable:
                     return None  # can't prove null-free: not droppable
             return (b, p, md.num_rows)
 
-        if not cand:
-            return []
-        with ThreadPoolExecutor(max_workers=min(16, len(cand))) as pool:
-            out = [r for r in pool.map(_verify, cand) if r is not None]
+        out = list(proven)
+        if cand:
+            with ThreadPoolExecutor(max_workers=min(16, len(cand))) as pool:
+                out += [r for r in pool.map(_verify, cand) if r is not None]
         return sorted(out, key=lambda r: r[1])
 
     def update_where(

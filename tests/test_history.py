@@ -136,8 +136,10 @@ def test_files_and_partitions_metadata_tables(spark, table):
         assert r["file_path"].startswith("data/")
         assert r["written_at"] is not None
         st = json.loads(r["stats_json"])
-        # stats carry the configured cols with [min, max] bounds
-        assert "conv_id" in st and len(st["conv_id"]) == 2
+        # stats carry the configured cols with [min, max, null_count]
+        # bounds plus the per-file ::rows count
+        assert "conv_id" in st and len(st["conv_id"]) == 3
+        assert st["::rows"][0] > 0
 
     p = {r["bucket"]: r for r in table.partitions().collect()}
     assert sum(r["base_files"] for r in p.values()) == n_base

@@ -54,8 +54,11 @@ def test_manifest_records_file_stats(spark, tmp_root):
     all_files = [p for ps in m["files"].values() for p in ps]
     assert all_files and all(p in m["file_stats"] for p in all_files)
     st = m["file_stats"][all_files[0]]
-    assert set(st) == {"ts", "conv_id", "turn_idx"}
+    assert set(st) == {"ts", "conv_id", "turn_idx", "::rows"}
     assert "_ts" in st["ts"][0]  # timestamps round-trip through ISO strings
+    # three-element entries carry the harvested null count (retention's
+    # manifest-only null proof) and ::rows the per-file row count
+    assert st["ts"][2] == 0 and st["::rows"][0] > 0
 
 
 def test_clustered_compaction_enables_file_range_pruning(spark, tmp_root):
@@ -488,7 +491,7 @@ def test_zorder_clustering_prunes_on_every_clustered_dim(spark, tmp_root):
         out = []
         for ps in m["files"].values():
             for p in ps:
-                lo, hi = m["file_stats"][p][col]
+                lo, hi = m["file_stats"][p][col][:2]
                 out.append(parse(hi) - parse(lo))
         out.sort()
         return out
