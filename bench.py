@@ -63,6 +63,7 @@ HEADLINE = [
     "top_users_by_value",
     "cdc_latest_event_per_user",
     "cdc_events_zorder_window",
+    "cdc_null_pruned_read",
     "cdc_branch_wap",
     "cdc_delete_where",
     "cdc_retention_delete",

@@ -564,6 +564,63 @@ FROM (
 """
 
 
+def cdc_null_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-predicate pruned read (``read(where={col: "is_null"})``) — the
+    data-quality scan: rows whose derived ``tool`` column is missing.  The
+    change stream lands as one delta epoch, a clustered compaction sorts
+    each bucket by ``tool`` (nulls first) so most rolled files are provably
+    null-free in their harvested null counts, and the read opens only the
+    null-bearing files while staying exact.  Oracle: latest event per user,
+    minus deletes, where the same CASE derivation is NULL."""
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("event_id").alias("lsn"),
+        F.col("ts").cast("timestamp"),
+        F.col("user_id").cast("string").alias("user_key"),
+        F.when(F.col("value") > 50.0, F.col("event_type")).alias("tool"),
+        F.col("value"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_key", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_null_pruned_read_")
+    table = ManifestTable.create(
+        spark,
+        root,
+        payload,
+        key_cols=["user_key"],
+        n_buckets=8,
+        stats_cols=["ts", "user_key", "tool"],
+    )
+    table.merge(changes, epoch_id=0, epoch_scope="driver", mode="delta")
+    st = table.compact(sort_by=["tool"], max_rows_per_file=2_000)
+    assert st["status"] == "Success", st
+    bounded = table.read(where={"tool": "is_null"})
+    return bounded.select(
+        "user_key",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        "value",
+    )
+
+
+CDC_NULL_PRUNED_SQL = f"""
+SELECT CAST(user_id AS VARCHAR) AS user_key,
+       strftime(ts, '{_TS_FMT_DUCK}') AS ts, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type != 'error'
+  AND (CASE WHEN value > 50.0 THEN event_type END) IS NULL
+"""
+
+
 def cdc_merge_events_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The merge-on-read tail path on driver data: the same change stream as
     ``cdc_merge_events`` applied as TWO delta epochs (split by event_id),
@@ -2863,6 +2920,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_shallow_clone": (cdc_shallow_clone, CDC_MERGE_SQL),
     "cdc_events_time_window": (cdc_events_time_window, CDC_TIME_WINDOW_SQL),
     "cdc_events_zorder_window": (cdc_events_zorder_window, CDC_ZORDER_WINDOW_SQL),
+    "cdc_null_pruned_read": (cdc_null_pruned_read, CDC_NULL_PRUNED_SQL),
     "cdc_table_changes": (cdc_table_changes, CDC_CHANGES_SQL),
     "cdc_changes_across_compaction": (
         cdc_changes_across_compaction,

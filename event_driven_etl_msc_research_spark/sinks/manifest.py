@@ -234,11 +234,16 @@ def _norm_bound(v, dtype: T.DataType | None = None):
 def _footer_minmax(md, stats_cols: list[str]) -> dict[str, list]:
     """Per-column [min, max, null_count] over all row groups of one parquet
     footer (already in memory — no extra I/O).  Columns whose min/max
-    statistics are absent are omitted → the file is never pruned on them.
+    statistics are absent are omitted → the file is never pruned on them —
+    EXCEPT a column that is provably ALL NULL in the file (every row group
+    reports null_count == its row count), recorded as
+    ``[None, None, null_count]`` so null-predicate pruning can skip it.
     The third element is present only when EVERY row group records a null
-    count (it's what lets ``retention_delete`` prove null-freeness from the
+    count (it's what lets ``retention_delete`` prove null-freeness and
+    ``read(where={col: "is_null"/"not_null"})`` prune files from the
     manifest alone); readers index ``[0]``/``[1]`` so older two-element
-    entries keep working."""
+    entries keep working.  All-null row groups contribute no values, so a
+    mixed file still gets tight min/max from its value-bearing groups."""
     if not stats_cols:
         return {}
     idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
@@ -251,17 +256,29 @@ def _footer_minmax(md, stats_cols: list[str]) -> dict[str, list]:
         nulls: int | None = 0
         ok = md.num_row_groups > 0
         for g in range(md.num_row_groups):
-            st = md.row_group(g).column(i).statistics
-            if st is None or not st.has_min_max:
+            rg = md.row_group(g)
+            st = rg.column(i).statistics
+            if st is None:
                 ok = False
                 break
-            lo = st.min if lo is None or st.min < lo else lo
-            hi = st.max if hi is None or st.max > hi else hi
             if nulls is not None and st.has_null_count:
                 nulls += st.null_count
             else:
                 nulls = None
-        if ok:
+            if st.has_null_count and st.null_count == rg.num_rows:
+                continue  # all-null group: no values to fold into min/max
+            if not st.has_min_max:
+                ok = False
+                break
+            lo = st.min if lo is None or st.min < lo else lo
+            hi = st.max if hi is None or st.max > hi else hi
+        if not ok:
+            continue
+        if lo is None and hi is None:
+            # every group proved all-null (the continue path requires
+            # has_null_count), so nulls is an int == md.num_rows here
+            out[col] = [None, None, nulls]
+        else:
             lo_j, hi_j = _stat_to_json(lo), _stat_to_json(hi)
             if lo_j is not None and hi_j is not None:
                 out[col] = (
@@ -865,8 +882,14 @@ class ManifestTable:
         rows) — and it disappears entirely after ``compact()``.
 
         ``where`` — optional inclusive bounds ``{col: (lo, hi)}`` (either
-        side None = unbounded).  Files whose manifest-recorded [min, max]
-        range cannot overlap are never opened (the per-file-stats pruning
+        side None = unbounded), or the strings ``"is_null"`` /
+        ``"not_null"`` for null-ness predicates (the data-quality scans —
+        "transcript rows missing their tool column" — that at 10^10 rows
+        must skip every healthy file: harvested per-file null counts prove
+        null-freeness, all-null files prune under any range or
+        ``not_null`` bound, and ``is_null`` on the bucket column pins the
+        single bucket null keys hash to).  Files whose manifest-recorded
+        [min, max] range cannot overlap are never opened (the per-file-stats pruning
         Iceberg manifests give over the reference's MSCK model,
         ``Phase3-DataLoad.py:169-175``; at 10^10 events this is the
         difference between reading a bucket and reading a day).  The bounds
@@ -895,6 +918,12 @@ class ManifestTable:
         m = self.manifest(version)
         ischema = self._internal_schema(version)
         if where:
+            for c, v in where.items():
+                if isinstance(v, str) and v not in ("is_null", "not_null"):
+                    raise ValueError(
+                        f"where[{c!r}]: expected a (lo, hi) tuple, "
+                        f"'is_null', or 'not_null' — got {v!r}"
+                    )
             base_files, delta_files = self._pruned_files(m, where)
         else:
             base_files = [
@@ -911,11 +940,17 @@ class ManifestTable:
         df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
         if where:
             dtypes = {f.name: f.dataType for f in ischema.fields}
-            for c, (lo, hi) in where.items():
-                if lo is not None:
-                    df = df.filter(F.col(c) >= F.lit(_norm_bound(lo, dtypes.get(c))))
-                if hi is not None:
-                    df = df.filter(F.col(c) <= F.lit(_norm_bound(hi, dtypes.get(c))))
+            for c, v in where.items():
+                if v == "is_null":
+                    df = df.filter(F.col(c).isNull())
+                elif v == "not_null":
+                    df = df.filter(F.col(c).isNotNull())
+                else:
+                    lo, hi = v
+                    if lo is not None:
+                        df = df.filter(F.col(c) >= F.lit(_norm_bound(lo, dtypes.get(c))))
+                    if hi is not None:
+                        df = df.filter(F.col(c) <= F.lit(_norm_bound(hi, dtypes.get(c))))
         if not include_internal:
             df = df.select(*[f.name for f in self.schema(version).fields])
         return df
@@ -925,16 +960,26 @@ class ManifestTable:
     ) -> tuple[list[str], list[str]]:
         """Split the snapshot's files into (kept base, kept delta) full
         paths under the bounds — see ``read`` for the MOR pruning rule.
-        Files with no recorded stats for a bound column are always kept."""
+        Files with no recorded stats for a bound column are always kept.
+
+        Null predicates (``"is_null"`` / ``"not_null"`` values) ride the
+        SAME machinery: ``disjoint`` dispatches on the predicate kind, and
+        the MOR proof carries over verbatim — a base file only prunes when
+        it is ITSELF provably predicate-free, so its rows would have been
+        filtered anyway, and requiring every delta file of the bucket to be
+        provably predicate-free guarantees any newly-winning stale delta
+        row is filtered too."""
         key_cols = set(m["key_cols"])
         stats = m.get("file_stats") or {}
         dtypes = {
             f.name: f.dataType
             for f in T.StructType.fromJson(m["schema"]).fields
         }
+        null_preds = {c: v for c, v in where.items() if isinstance(v, str)}
         nb = {
-            c: (_norm_bound(lo, dtypes.get(c)), _norm_bound(hi, dtypes.get(c)))
-            for c, (lo, hi) in where.items()
+            c: (_norm_bound(v[0], dtypes.get(c)), _norm_bound(v[1], dtypes.get(c)))
+            for c, v in where.items()
+            if c not in null_preds
         }
 
         # files written before a rename_column() carry their stats under the
@@ -943,8 +988,11 @@ class ManifestTable:
         ren = m.get("renamed_cols") or {}
 
         def disjoint(p: str, c: str) -> bool:
-            """PROVABLY no row of file ``p`` satisfies the bound on ``c``
-            (recorded stats exist and the ranges cannot overlap)."""
+            """PROVABLY no row of file ``p`` satisfies the predicate on
+            ``c`` — range bounds via min/max (an all-null file is disjoint
+            from any actual bound), ``is_null`` via a zero harvested null
+            count, ``not_null`` via the all-null ``[None, None, n]``
+            stats form."""
             st = stats.get(p)
             if not st:
                 return False
@@ -955,7 +1003,18 @@ class ManifestTable:
                     break
             if entry is None:
                 return False
+            if c in null_preds:
+                if null_preds[c] == "is_null":
+                    # legacy two-element entries carry no null count:
+                    # not provable, keep
+                    return len(entry) >= 3 and entry[2] == 0
+                return entry[0] is None  # not_null: all-null file form
             lo, hi = nb[c]
+            if entry[0] is None:
+                # all-null file: no row satisfies an ACTUAL bound (nulls
+                # fail every comparison); (None, None) applies no filter,
+                # so it must keep the file
+                return lo is not None or hi is not None
             fmin = _stat_from_json(entry[0])
             fmax = _stat_from_json(entry[1])
             try:
@@ -971,8 +1030,8 @@ class ManifestTable:
         delta_by_bucket = {
             b: ps for b, ps in (m.get("delta_files") or {}).items() if ps
         }
-        key_bounds = [c for c in nb if c in key_cols]
-        nonkey_bounds = [c for c in nb if c not in key_cols]
+        key_bounds = [c for c in where if c in key_cols]
+        nonkey_bounds = [c for c in where if c not in key_cols]
 
         # exact hash-bucket pruning (Iceberg bucket-transform analogue): an
         # EQUALITY bound on the bucket column pins the one bucket that can
@@ -981,7 +1040,16 @@ class ManifestTable:
         # state of conversation X") at 10^10 rows.
         only_bucket: int | None = None
         bcol = m["key_cols"][0]
-        if bcol in nb and nb[bcol][0] is not None and nb[bcol][0] == nb[bcol][1]:
+        if null_preds.get(bcol) == "is_null":
+            # Spark's hash expressions skip null inputs, so every
+            # null-keyed row hashes to the seed: ALL null keys live in one
+            # known bucket (property-tested vs F.xxhash64 in
+            # test_hashing.py) — "find the null-keyed rows" is an
+            # O(one-bucket) scan at any table size
+            from ..hashing import SPARK_HASH_SEED
+
+            only_bucket = SPARK_HASH_SEED % m["n_buckets"]
+        elif bcol in nb and nb[bcol][0] is not None and nb[bcol][0] == nb[bcol][1]:
             # hash the literal AS the column's declared type — xxhash64 of a
             # string and of an int differ, and _bucket_expr hashes the
             # native column.  Driver-side replica first (property-tested
@@ -1019,7 +1087,7 @@ class ManifestTable:
             if only_bucket is not None and int(b) != only_bucket:
                 continue
             if str(b) not in delta_by_bucket:
-                usable = list(nb)
+                usable = key_bounds + nonkey_bounds
             else:
                 # MOR rule, per non-key column: a base file may prune on c
                 # when EVERY delta file of this bucket is PROVABLY disjoint
