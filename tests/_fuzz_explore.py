@@ -7,11 +7,20 @@ from tests.test_dml_fuzz import (  # noqa: F401 (fixtures via conftest)
     test_random_branch_wap_sequence_matches_oracle as _wap,
     test_random_constraint_dml_sequence_matches_oracle as _con,
     test_random_ddl_dml_sequence_matches_oracle as _ddl,
+    test_random_dml_sequence_matches_oracle as _dml,
     test_physical_config_invariance as _cfg,
     test_random_crash_recovery_sequence_matches_oracle as _crash,
     test_random_mv_sequence_matches_full_group_by as _mv,
     test_random_replication_sequence_mirrors_upstream as _rep,
 )
+
+
+@pytest.mark.parametrize(
+    "seed,mode",
+    [(s, m) for s in (3, 17, 31, 43, 59) for m in ("delta", "cow")],
+)
+def test_dml_fuzz_sweep(spark, tmp_root, seed, mode):
+    _dml(spark, tmp_root, seed, mode)
 
 
 @pytest.mark.parametrize(

@@ -56,12 +56,21 @@ class Oracle:
         # key -> (ts_int, lsn, deleted, row_dict)
         self.state: dict = {}
         self.history: list = [dict(self.state)]  # snapshot per commit
+        # retention watermark (epoch seconds): upserts older than it are
+        # dropped before the fold; deletes pass; survives rollback
+        self.watermark: int | None = None
 
     def _commit(self):
         self.history.append(dict(self.state))
 
     def merge(self, rows):
         for op, lsn, ts, conv, turn, role, text, tool in rows:
+            if (
+                op != "D"
+                and self.watermark is not None
+                and ts < self.watermark
+            ):
+                continue  # pre-watermark upsert: aged out, never lands
             k = (conv, turn)
             cur = self.state.get(k)
             if cur is not None and (ts, lsn) <= (cur[0], cur[1]):
@@ -71,6 +80,24 @@ class Oracle:
                 {"role": role, "text": text, "tool": tool},
             )
         self._commit()
+
+    def retention(self, cutoff: int, commits: int):
+        """Age out live rows with ts < cutoff and advance the watermark.
+        ``commits`` mirrors how many snapshots the engine published for
+        this retention (watermark/drop commit and/or residual delete) —
+        only the FINAL one is modeled exactly; an intermediate drop-only
+        snapshot is file-granular and engine-internal (callers mark it
+        unverifiable for time travel)."""
+        self.watermark = (
+            cutoff if self.watermark is None else max(self.watermark, cutoff)
+        )
+        self.state = {
+            k: e
+            for k, e in self.state.items()
+            if e[2] or e[0] >= cutoff  # tombstones stay (unobservable)
+        }
+        for _ in range(commits):
+            self._commit()
 
     def delete_where(self, pred):
         for k, (ts, lsn, deleted, row) in list(self.state.items()):
@@ -217,12 +244,17 @@ def test_random_dml_sequence_matches_oracle(spark, tmp_root, seed, mode):
     oracle.merge(rows)
 
     clone_n = [0]
+    # retention's intermediate (drop-only) snapshot is file-granular —
+    # engine-internal layout decides which old rows left in the drop
+    # commit vs the residual delete, so those versions are exempt from
+    # time travel and rollback targeting; the FINAL state is exact
+    fuzzy_versions: set[int] = set()
 
     for step in range(_steps(22)):
         verb = rng.choices(
             ["merge", "delete", "update", "compact", "rebucket", "rollback",
-             "clone"],
-            weights=[10, 3, 3, 2, 1, 1, 1],
+             "clone", "retention"],
+            weights=[10, 3, 3, 2, 1, 1, 1, 1],
         )[0]
         if verb == "merge":
             rows = random_batch()
@@ -268,12 +300,26 @@ def test_random_dml_sequence_matches_oracle(spark, tmp_root, seed, mode):
                 f"clone diverged at step {step} (seed {seed}, {mode})"
             )
             fork.delete_where("turn_idx >= 0", epoch_id=1_000_000)
-            assert _table_live(fork) == {}
+            assert _table_live(fork) == []
             # fall through: the shared assert re-checks the SOURCE
+        elif verb == "retention":
+            import datetime as _dt
+
+            cut = rng.randint(1_500, 9_500)
+            v_before = t.current_version()
+            t.retention_delete(
+                _dt.datetime.fromtimestamp(cut, tz=_dt.timezone.utc),
+                epoch_id=next_epoch(),
+            )
+            commits = t.current_version() - v_before
+            if commits:
+                oracle.retention(cut, commits)
+                if commits == 2:
+                    fuzzy_versions.add(v_before + 1)
         else:  # rollback one or two commits
             cur = t.current_version()
             back = rng.randint(1, min(2, cur - 1)) if cur > 1 else 0
-            if back:
+            if back and (cur - back) not in fuzzy_versions:
                 st = t.rollback_to(version=cur - back)
                 assert st["status"] == "Success"
                 oracle.rollback_to(cur - back)
@@ -282,8 +328,11 @@ def test_random_dml_sequence_matches_oracle(spark, tmp_root, seed, mode):
         )
         assert t.current_version() == len(oracle.history) - 1
 
-    # time-travel spot-check: three random historical versions
-    for v in rng.sample(range(1, t.current_version() + 1), 3):
+    # time-travel spot-check: three random historical versions (retention's
+    # file-granular intermediate snapshots excluded — see fuzzy_versions)
+    for v in rng.sample(
+        sorted(set(range(1, t.current_version() + 1)) - fuzzy_versions), 3
+    ):
         got = sorted(
             (r["conv_id"], r["turn_idx"], r["text"])
             for r in t.read(version=v).collect()
