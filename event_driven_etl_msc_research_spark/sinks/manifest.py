@@ -349,6 +349,7 @@ class ManifestTable:
         bloom_filter_cols: list[str] | None = None,
         storage: TableStorage | None = None,
         constraints: dict[str, str] | None = None,
+        properties: dict[str, str] | None = None,
     ) -> "ManifestTable":
         """Idempotent create (cf. ``IF NOT EXISTS`` DDL, ``Phase3-DataLoad.py:86,104``).
 
@@ -375,7 +376,12 @@ class ManifestTable:
         expression or the whole epoch fails before publish).  NOT NULL is
         the special case ``{"text_nn": "text IS NOT NULL"}``.  See
         ``add_constraint`` for semantics (a NULL expression result is a
-        violation, matching Delta, not ANSI CHECK)."""
+        violation, matching Delta, not ANSI CHECK).
+
+        ``properties`` — initial table properties (see
+        :meth:`set_properties` for namespace validation; e.g.
+        ``{"write.parquet.compression": "zstd"}`` makes every data write
+        of this table's life use that codec)."""
         bad = [f.name for f in schema.fields if f.name in _RESERVED_COLS]
         if bad:
             raise ValueError(
@@ -401,6 +407,8 @@ class ManifestTable:
             raise ValueError(f"bloom_filter_cols not in schema: {missing_bloom}")
         for cname, cexpr in (constraints or {}).items():
             t._validate_constraint(schema, cname, cexpr)
+        if properties:
+            cls._validate_props(properties)
         manifest = {
             "version": 0,
             "parent": None,
@@ -416,6 +424,10 @@ class ManifestTable:
             or [c for c in (["ts"] + kc) if c in have],
             "bloom_filter_cols": list(bloom_filter_cols or []),
             "constraints": dict(constraints or {}),
+            "properties": {
+                k: str(v) for k, v in (properties or {}).items()
+                if v is not None
+            },
             "applied_epochs": [],
             "total_rows": 0,
             "committed_at": time.time(),
@@ -1286,7 +1298,7 @@ class ManifestTable:
                 .withColumn("_pb", F.col("_bucket"))
                 .repartition(max(n_buckets, 1), F.col("_bucket"))
             )
-            self._with_bloom(writer.write.mode("overwrite"), m).partitionBy(
+            self._write_options(writer.write.mode("overwrite"), m).partitionBy(
                 "_pb"
             ).parquet(stage_dir)
             staged_files, rows_by_bucket, staged_rows, staged_stats = (
@@ -1317,7 +1329,7 @@ class ManifestTable:
             ch_rel = os.path.join(stage_rel, "changes")
             ch_dir = self.storage.spark_path(ch_rel)
             ch_obs = Observation()
-            self._with_bloom(
+            self._write_options(
                 change_rows.observe(
                     ch_obs,
                     F.count(F.lit(1)).alias("rows"),
@@ -1406,7 +1418,7 @@ class ManifestTable:
                     writer = writer.repartition(
                         max(len(touched), 1), F.col("_bucket")
                     )
-                self._with_bloom(writer.write.mode("overwrite"), m).partitionBy(
+                self._write_options(writer.write.mode("overwrite"), m).partitionBy(
                     "_pb"
                 ).parquet(merged_dir)
                 staged_files, rows_by_bucket, staged_rows, staged_stats = (
@@ -2128,7 +2140,7 @@ class ManifestTable:
                 .sortWithinPartitions("_pb", "_z")
                 .drop("_z")
             )
-        writer = self._with_bloom(out.write.mode("overwrite"), m)
+        writer = self._write_options(out.write.mode("overwrite"), m)
         if max_rows_per_file:
             writer = writer.option("maxRecordsPerFile", int(max_rows_per_file))
         writer.partitionBy("_pb").parquet(stage_dir)
@@ -2318,11 +2330,12 @@ class ManifestTable:
     # bounded per file, zero manifest growth)
     bloom_filter_max_bytes: int = 131072
 
-    def _with_bloom(self, writer, m: dict[str, Any]):
-        """Attach the configured parquet bloom-filter writer options.
+    def _write_options(self, writer, m: dict[str, Any]):
+        """Attach the configured per-table writer options — parquet bloom
+        filters and the ``write.parquet.compression`` codec property.
         Applied at EVERY data write site (delta staging, CoW changes +
-        merged rewrite, compact, rebucket) so the blooms survive rewrites
-        the same way clustering does; a no-op when unconfigured.
+        merged rewrite, compact, rebucket) so they survive rewrites the
+        same way clustering does; a no-op when unconfigured.
 
         parquet-mr only MATERIALIZES the bloom for column chunks that fall
         back from dictionary encoding (verified empirically: all-unique
@@ -2342,6 +2355,13 @@ class ManifestTable:
                 "parquet.bloom.filter.max.bytes",
                 str(int(self.bloom_filter_max_bytes)),
             )
+        codec = (m.get("properties") or {}).get("write.parquet.compression")
+        if codec:
+            # at 100 TB the codec is a first-order cost lever (zstd ≈ 1.3-
+            # 1.5× smaller than Spark's snappy default at comparable scan
+            # speed); per-table because transcript text and metric tables
+            # compress very differently
+            writer = writer.option("compression", str(codec).lower())
         return writer
 
     def _staging_relpath(self, version: int, epoch_id) -> str:
@@ -2454,7 +2474,7 @@ class ManifestTable:
                 .sortWithinPartitions("_pb", "_z")
                 .drop("_z")
             )
-        writer = self._with_bloom(out.write.mode("overwrite"), m)
+        writer = self._write_options(out.write.mode("overwrite"), m)
         if max_rows_per_file:
             writer = writer.option("maxRecordsPerFile", int(max_rows_per_file))
         writer.partitionBy("_pb").parquet(stage_dir)
@@ -3654,6 +3674,48 @@ class ManifestTable:
         "maintenance.retention.keep_s": float,  # retention_delete horizon
     }
 
+    # known write-path property keys (every data writer reads these at
+    # write time — see _write_options); values validated at SET time
+    _PARQUET_CODECS = {
+        "none", "uncompressed", "snappy", "gzip", "lzo", "brotli",
+        "lz4", "lz4raw", "zstd",
+    }
+    _WRITE_PROPS = {"write.parquet.compression"}
+
+    @classmethod
+    def _validate_props(cls, props: dict[str, Any]) -> None:
+        """Shared SET-time validation for the known property namespaces
+        (``maintenance.*`` autopilot keys, ``write.*`` writer keys);
+        other namespaces are free-form.  Fails the DDL now, not at 3am
+        when the cron job or the next merge runs."""
+        for k, v in props.items():
+            if k.startswith("maintenance."):
+                want = cls._MAINTENANCE_PROPS.get(k)
+                if want is None:
+                    raise ValueError(
+                        f"unknown maintenance property {k!r} (known: "
+                        f"{sorted(cls._MAINTENANCE_PROPS)})"
+                    )
+                if v is not None:
+                    try:
+                        want(v)
+                    except (TypeError, ValueError):
+                        raise ValueError(
+                            f"property {k!r} must parse as "
+                            f"{want.__name__}, got {v!r}"
+                        )
+            elif k.startswith("write."):
+                if k not in cls._WRITE_PROPS:
+                    raise ValueError(
+                        f"unknown write property {k!r} (known: "
+                        f"{sorted(cls._WRITE_PROPS)})"
+                    )
+                if v is not None and str(v).lower() not in cls._PARQUET_CODECS:
+                    raise ValueError(
+                        f"property {k!r} must be one of "
+                        f"{sorted(cls._PARQUET_CODECS)}, got {v!r}"
+                    )
+
     def properties(self) -> dict[str, str]:
         """Current table properties (Iceberg/Delta TBLPROPERTIES
         analogue) — free-form string config carried through every commit
@@ -3671,27 +3733,17 @@ class ManifestTable:
 
         ``maintenance.*`` keys are validated against the known autopilot
         schema (wrong type / unknown maintenance key fails now, not at 3am
-        when the cron job runs); other namespaces are free-form.  The
-        commit has identical files to its parent, so the change-feed fast
-        path walks through it."""
+        when the cron job runs); ``write.*`` keys against the writer
+        schema (``write.parquet.compression`` — codec whitelist, applied
+        by every data write site from the next commit on; existing files
+        are rewritten on compaction/rebucket, Iceberg
+        ``write.parquet.compression-codec`` parity); other namespaces are
+        free-form.  The commit has identical files to its parent, so the
+        change-feed fast path walks through it."""
         m = self.manifest()
         cur = dict(m.get("properties") or {})
+        self._validate_props(props)
         for k, v in props.items():
-            if k.startswith("maintenance."):
-                want = self._MAINTENANCE_PROPS.get(k)
-                if want is None:
-                    raise ValueError(
-                        f"unknown maintenance property {k!r} (known: "
-                        f"{sorted(self._MAINTENANCE_PROPS)})"
-                    )
-                if v is not None:
-                    try:
-                        want(v)
-                    except (TypeError, ValueError):
-                        raise ValueError(
-                            f"property {k!r} must parse as "
-                            f"{want.__name__}, got {v!r}"
-                        )
             if v is None:
                 cur.pop(k, None)
             else:

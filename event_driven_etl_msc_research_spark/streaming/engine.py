@@ -174,6 +174,12 @@ class CDCEngine:
         # writers attach parquet bloom filters for (point-lookup row-group
         # skipping inside files min/max stats can't prune — typically the
         # key columns; see ManifestTable.create)
+        table_properties: dict[str, str] | None = None,  # initial table
+        # properties when this engine CREATES the table (e.g.
+        # {"write.parquet.compression": "zstd"} — every data write of the
+        # table's life uses that codec; maintenance.* keys arm the
+        # autopilot); an existing table keeps its own — evolve with
+        # table.set_properties
         constraints: dict[str, str] | None = None,  # table CHECK
         # constraints {name: sql_bool_expr} enforced on every staged change
         # batch before publish (Delta ADD CONSTRAINT parity; applied only
@@ -221,6 +227,7 @@ class CDCEngine:
             bloom_filter_cols=bloom_filter_cols,
             storage=storage,
             constraints=constraints,
+            properties=table_properties,
         )
         if branch is not None:
             self.table = (

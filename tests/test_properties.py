@@ -186,3 +186,78 @@ def test_cli_properties_and_auto(spark, table):
     assert out["status"] == "Success" and out["dry_run"] is True
     out = cli("set-properties", "--unset", "owner")
     assert "owner" not in out["properties"]
+
+
+# ---------- write.parquet.compression ----------
+
+
+def _codecs_of(t):
+    """Distinct parquet codecs across every live data file (base+delta),
+    read from the footers."""
+    import pyarrow.parquet as pq
+
+    m = t.manifest()
+    out = set()
+    paths = [p for ps in m["files"].values() for p in ps]
+    for ps in (m.get("delta_files") or {}).values():
+        paths += ps
+    for p in paths:
+        md = pq.ParquetFile(os.path.join(t.root, p)).metadata
+        for g in range(md.num_row_groups):
+            out.add(md.row_group(g).column(0).compression)
+    return out
+
+
+def test_write_compression_property_applies_to_every_write_site(
+    spark, tmp_root
+):
+    """write.parquet.compression=zstd: delta staging, compaction and CoW
+    rewrites all write zstd files; state is identical to a default-codec
+    twin; files() sizes are real."""
+    zt = ManifestTable.create(
+        spark,
+        os.path.join(tmp_root, "z"),
+        TRANSCRIPT_SCHEMA,
+        n_buckets=2,
+        properties={"write.parquet.compression": "zstd"},
+    )
+    dt = ManifestTable.create(
+        spark, os.path.join(tmp_root, "d"), TRANSCRIPT_SCHEMA, n_buckets=2
+    )
+    for t in (zt, dt):
+        t.merge(_changes(spark, _rows(40)), 0, mode="delta")
+        t.merge(_changes(spark, _rows(40, start_key=40, lsn0=100)), 1, mode="delta")
+        t.compact()
+        t.merge(_changes(spark, _rows(10, start_key=80, lsn0=200)), 2, mode="cow")
+    assert _codecs_of(zt) == {"ZSTD"}
+    assert "ZSTD" not in _codecs_of(dt)  # Spark default (snappy)
+    a = sorted(map(tuple, zt.read().drop("ts").collect()))
+    b = sorted(map(tuple, dt.read().drop("ts").collect()))
+    assert a == b and a
+
+
+def test_write_compression_set_later_rewrites_on_compaction(spark, table):
+    assert table.set_properties(
+        {"write.parquet.compression": "gzip"}
+    )["status"] == "Success"
+    # new writes pick it up immediately
+    table.merge(_changes(spark, _rows(6, start_key=6, lsn0=50)), 1, mode="delta")
+    assert "GZIP" in _codecs_of(table)
+    # a full rewrite converts the pre-property files too
+    st = table.compact(min_delta_files=0)
+    assert st["status"] == "Success"
+    assert _codecs_of(table) == {"GZIP"}
+
+
+def test_write_property_validation(spark, table):
+    with pytest.raises(ValueError, match="one of"):
+        table.set_properties({"write.parquet.compression": "zip"})
+    with pytest.raises(ValueError, match="unknown write property"):
+        table.set_properties({"write.parquet.codec": "zstd"})
+    with pytest.raises(ValueError, match="one of"):
+        ManifestTable.create(
+            spark,
+            table.root + "_bad",
+            TRANSCRIPT_SCHEMA,
+            properties={"write.parquet.compression": "zip"},
+        )
