@@ -2924,7 +2924,17 @@ class ManifestTable:
         Physical bytes of dropped files remain on disk for time travel
         until ``expire_snapshots`` + ``vacuum`` — the standard two-step
         erasure contract.  Rows with NULL ``ts`` are never retention-
-        deleted (retention is keyed on the version timestamp)."""
+        deleted (retention is keyed on the version timestamp).
+
+        Concurrency: the drop commit CAS-retries, RECOMPUTING the
+        droppable set against each race winner (a concurrently merged
+        bucket grows deltas and leaves the set; the residual pass then
+        tombstones its pre-cutoff rows — nothing stale survives).  The
+        watermark binds merges that BEGIN after the retention commit; a
+        delta merge already staged when retention lands rebases and its
+        pre-cutoff upserts still land (linearization point = merge
+        start) — the NEXT retention pass ages them out.  Both races are
+        pinned in ``test_retention.py``."""
         import datetime as _dt
 
         self._require_main("retention_delete")

@@ -328,6 +328,64 @@ def test_random_dml_sequence_matches_oracle(spark, tmp_root, seed, mode):
         )
         assert t.current_version() == len(oracle.history) - 1
 
+        if rng.random() < 0.25:
+            # pruned-read equivalence: a random where= read must equal the
+            # filtered full read no matter what DML/maintenance interleaving
+            # produced the current file layout (deltas, compactions,
+            # retention drops, rollbacks) — manifest-stats pruning is the
+            # most correctness-sensitive read surface, so it rides the fuzz
+            import pyspark.sql.functions as F
+
+            kind = rng.random()
+            if kind < 0.4:
+                lo, hi = sorted((rng.randint(1_000, 9_999),
+                                 rng.randint(1_000, 9_999)))
+                w = {"ts": (lo, hi)}
+                pred = (F.col("ts").cast("long") >= lo) & (
+                    F.col("ts").cast("long") <= hi
+                )
+            elif kind < 0.7:
+                conv = rng.choice(KEYS)[0]
+                w = {"conv_id": (conv, conv)}
+                pred = F.col("conv_id") == conv
+            else:
+                nullness = rng.choice(["is_null", "not_null"])
+                w = {"tool": nullness}
+                pred = (
+                    F.col("tool").isNull()
+                    if nullness == "is_null"
+                    else F.col("tool").isNotNull()
+                )
+            import datetime as _dt
+
+            def _norm(v):
+                if isinstance(v, _dt.datetime):
+                    return int(v.timestamp())
+                return v
+
+            got = sorted(
+                tuple(_norm(v) for v in r)
+                for r in t.read(where={
+                    c: (
+                        tuple(
+                            _dt.datetime.fromtimestamp(x, tz=_dt.timezone.utc)
+                            for x in v
+                        )
+                        if c == "ts"
+                        else v
+                    )
+                    for c, v in w.items()
+                }).collect()
+            )
+            want = sorted(
+                tuple(_norm(v) for v in r)
+                for r in t.read().filter(pred).collect()
+            )
+            assert got == want, (
+                f"pruned read {w} diverged after step {step} "
+                f"(seed {seed}, {mode})"
+            )
+
     # time-travel spot-check: three random historical versions (retention's
     # file-granular intermediate snapshots excluded — see fuzzy_versions)
     for v in rng.sample(

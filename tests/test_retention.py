@@ -336,3 +336,95 @@ def test_auto_maintain_retention_policy(spark, tmp_root):
     # every row is older than now-60s, so the whole table ages out
     assert out["retention"]["status"] == "Success"
     assert t.read().count() == 0
+
+
+def test_retention_drop_races_concurrent_merge(spark, tmp_root):
+    """A merge landing between retention's droppable computation and its
+    publish: the CAS loop re-reads and RECOMPUTES against the winner (the
+    merged bucket now carries deltas, so its files leave the drop set),
+    then the residual pass tombstones whatever pre-cutoff rows remain —
+    including the concurrently merged old row.  Nothing is lost, nothing
+    stale survives."""
+    t = _mk(spark, tmp_root + "/t")
+    other = ManifestTable(spark, tmp_root + "/t")
+    injected = []
+    real_publish = t._publish
+
+    def hooked(man):
+        if not injected and str(man.get("epoch_id", "")).startswith("retdel:"):
+            injected.append(1)
+            # an old (pre-cutoff) and a new row sneak in first
+            other.merge(
+                spark.createDataFrame(
+                    [_ev("U", 9001, 500, "race", 0, text="old"),
+                     _ev("U", 9002, 1500, "race", 1, text="new")],
+                    CHANGE_DDL,
+                ),
+                epoch_id=77,
+                mode="delta",
+            )
+        return real_publish(man)
+
+    t._publish = hooked
+    try:
+        res = t.retention_delete(_cut(1000), epoch_id=9)
+    finally:
+        t._publish = real_publish
+    assert injected and res["status"] == "Success"
+    live = _live(t)
+    assert ("race", 1, "new") in live          # concurrent new row lands
+    assert ("race", 0, "old") not in live      # old row aged by the residual
+    assert all(r[0] != "c0" or r[1] >= 1000 for r in live)
+    assert t.check()["status"] == "Success"
+
+
+def test_delta_merge_losing_to_retention_then_next_pass(spark, tmp_root):
+    """The mirror race: a delta merge STAGED before a retention commit
+    rebases onto it (same-layout delta append) and its pre-cutoff upsert
+    still lands — the watermark binds merges that BEGIN after the
+    retention commit, not ones already in flight (linearization point =
+    merge start).  The NEXT retention pass ages the straggler out, which
+    is the documented eventual invariant; a genuinely late NEW merge is
+    watermark-filtered immediately."""
+    t = _mk(spark, tmp_root + "/t")
+    other = ManifestTable(spark, tmp_root + "/t")
+    injected = []
+    real_publish = t._publish
+
+    def hooked(man):
+        if not injected:
+            injected.append(1)
+            other.retention_delete(_cut(1000), epoch_id=9)
+        return real_publish(man)
+
+    t._publish = hooked
+    try:
+        res = t.merge(
+            spark.createDataFrame(
+                [_ev("U", 9001, 500, "race", 0, text="old"),
+                 _ev("U", 9002, 1500, "race", 1, text="new")],
+                CHANGE_DDL,
+            ),
+            epoch_id=77,
+            mode="delta",
+        )
+    finally:
+        t._publish = real_publish
+    assert injected and res["status"] == "Success"
+    live = _live(t)
+    assert ("race", 1, "new") in live
+    assert ("race", 0, "old") in live  # in-flight merge: not yet bound
+    # a merge that BEGINS after the retention commit is filtered
+    t.merge(
+        spark.createDataFrame(
+            [_ev("U", 9003, 600, "late", 0, text="dropped")], CHANGE_DDL
+        ),
+        epoch_id=78,
+        mode="delta",
+    )
+    assert ("late", 0, "dropped") not in _live(t)
+    # the next retention pass ages the straggler out
+    t.retention_delete(_cut(1000), epoch_id=10)
+    live = _live(t)
+    assert ("race", 0, "old") not in live and ("race", 1, "new") in live
+    assert t.check()["status"] == "Success"
