@@ -46,15 +46,24 @@ def create_sql(
     schema: T.StructType,
     key_cols: list[str],
     n_buckets: int = 16,
+    compression: str | None = None,
 ) -> str:
     """Idempotent DDL for the target table (payload + _lsn/_deleted),
     bucket-partitioned on the first key column (the reference's warehouse
-    DDL twin, Phase3-DataLoad.py:99-124)."""
+    DDL twin, Phase3-DataLoad.py:99-124).  ``compression`` maps the
+    engine's ``write.parquet.compression`` table property to Iceberg's
+    ``write.parquet.compression-codec`` TBLPROPERTIES key."""
     cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+    props = (
+        f" TBLPROPERTIES ('write.parquet.compression-codec'="
+        f"'{compression.lower()}')"
+        if compression
+        else ""
+    )
     return (
         f"CREATE TABLE IF NOT EXISTS {identifier} ({cols}, _lsn BIGINT, "
         f"_deleted BOOLEAN) USING iceberg "
-        f"PARTITIONED BY (bucket({n_buckets}, {key_cols[0]}))"
+        f"PARTITIONED BY (bucket({n_buckets}, {key_cols[0]}))" + props
     )
 
 
@@ -152,9 +161,15 @@ class IcebergTable:
         key_cols: list[str] | None = None,
         n_buckets: int = 16,
         tenant_id: str | None = None,
+        compression: str | None = None,
     ) -> "IcebergTable":
         t = cls(spark, identifier, key_cols or ["conv_id", "turn_idx"])
-        spark.sql(create_sql(identifier, schema, t.key_cols, n_buckets))
+        spark.sql(
+            create_sql(
+                identifier, schema, t.key_cols, n_buckets,
+                compression=compression,
+            )
+        )
         return t
 
     def read(self, version: int | None = None) -> DataFrame:

@@ -84,7 +84,18 @@ def test_create_and_evolve_sql(spark):
     assert "CREATE TABLE IF NOT EXISTS cat.db.transcripts" in ddl
     assert "_lsn BIGINT" in ddl and "_deleted BOOLEAN" in ddl
     assert "PARTITIONED BY (bucket(8, conv_id))" in ddl
+    assert "TBLPROPERTIES" not in ddl
     _parse(spark, ddl)
+
+    # the engine's write.parquet.compression property maps to Iceberg's
+    # TBLPROPERTIES key in the twin DDL
+    zddl = create_sql(
+        "cat.db.transcripts", schema, KEYS, n_buckets=8, compression="ZSTD"
+    )
+    assert (
+        "TBLPROPERTIES ('write.parquet.compression-codec'='zstd')" in zddl
+    )
+    _parse(spark, zddl)
 
     alter = evolve_sql(
         "cat.db.transcripts", [T.StructField("tool_meta", T.StringType())]
