@@ -583,9 +583,64 @@ class ManifestTable:
                     continue  # an in-flight .tmp or foreign file
         return sorted(versions)
 
+    # Head resolution is the one metadata read EVERY verb pays, and a
+    # naive lookup LISTs the whole manifest directory — O(commits) pages
+    # on an object store (10^10 events at 10^4-event epochs is 10^6
+    # commits ≈ 1,000 ListObjectsV2 pages per read).  Instead every
+    # publish drops a tiny HEAD HINT object (put_if_absent under its own
+    # per-version key, so the five-verb no-overwrite contract holds) and
+    # GCs all but the newest few; resolution LISTs the hint dir (O(keep)
+    # objects), takes the max, and probes FORWARD with GETs to absorb
+    # hint-lag from a writer that crashed between publish and hint.  The
+    # hint is a hint — the conditional PUT of the manifest key remains
+    # the only commit point — and a table with no hints (pre-hint
+    # layouts, tampered dirs) falls back to the full listing, healed by
+    # its next publish.  Delta's ``_last_checkpoint`` plays the same role.
+    head_hint_keep: int = 4
+
+    def _head_hint_dir(self) -> str:
+        return f"{self._manifest_dir}/head"
+
+    def _write_head_hint(self, version: int) -> None:
+        try:
+            self.storage.put_if_absent(
+                f"{self._head_hint_dir()}/h{version:012d}",
+                json.dumps({"version": version}).encode(),
+            )
+            hints = sorted(
+                o.key for o in self.storage.list(self._head_hint_dir())
+            )
+            for key in hints[: -max(1, self.head_hint_keep)]:
+                self.storage.delete(key)
+        except Exception:
+            # best-effort: the publish already committed; a lost hint only
+            # costs the next reader its probe (or the full-list fallback)
+            pass
+
     def current_version(self) -> int | None:
-        versions = self._list_versions()
-        return versions[-1] if versions else None
+        best = None
+        for o in self.storage.list(self._head_hint_dir()):
+            name = o.key.rsplit("/", 1)[-1]
+            if name.startswith("h"):
+                try:
+                    v = int(name[1:])
+                except ValueError:
+                    continue
+                best = v if best is None else max(best, v)
+        if best is None:
+            versions = self._list_versions()
+            return versions[-1] if versions else None
+        # probe forward over hint-lag: a hint is written only AFTER its
+        # manifest's conditional PUT, so max-hint ≤ head always, and the
+        # chain above it is dense (each commit is parent+1; expiry only
+        # removes versions below the head)
+        v = best
+        while True:
+            try:
+                self.storage.get(self._manifest_key(v + 1))
+            except FileNotFoundError:
+                return v
+            v += 1
 
     def manifest(self, version: int | None = None) -> dict[str, Any]:
         head = version is None
@@ -595,6 +650,16 @@ class ManifestTable:
         try:
             m = json.loads(self.storage.get(self._manifest_key(v)))
         except FileNotFoundError:
+            if head and self.branch is None:
+                # a hinted head whose manifest is gone (tampered hints /
+                # partial restore): recompute from the full listing once
+                versions = self._list_versions()
+                if versions and versions[-1] != v:
+                    m = json.loads(
+                        self.storage.get(self._manifest_key(versions[-1]))
+                    )
+                    self._last_read = m
+                    return m
             if self.branch is None:
                 raise
             # pre-fork snapshots live on the main chain: a branch is seeded
@@ -624,6 +689,7 @@ class ManifestTable:
                 f"concurrent writer"
             )
         self._manifest = manifest
+        self._write_head_hint(manifest["version"])
 
     def _carry_sticky_meta(self, manifest: dict[str, Any]) -> None:
         """Carry commit-invariant bookkeeping through every publish, so
