@@ -617,6 +617,27 @@ class ManifestTable:
             # costs the next reader its probe (or the full-list fallback)
             pass
 
+    # Manifests are rewritten WHOLE per commit — O(files) bytes uploaded
+    # at publish and downloaded by every verb's head read.  gzip is a
+    # 5-10× cut on that traffic for free (JSON file lists/stats compress
+    # hard), which at 10^5 files per table is the difference between a
+    # ~1 MB and a ~10 MB object riding every single commit and read.
+    # Reads sniff the gzip magic, so chains with pre-compression commits
+    # (or hand-written plain-JSON manifests) stay readable.
+    @staticmethod
+    def _encode_manifest(manifest: dict[str, Any]) -> bytes:
+        import gzip
+
+        return gzip.compress(json.dumps(manifest).encode(), compresslevel=5)
+
+    def _get_manifest(self, key: str) -> dict[str, Any]:
+        import gzip
+
+        raw = self.storage.get(key)
+        if raw[:2] == b"\x1f\x8b":
+            raw = gzip.decompress(raw)
+        return json.loads(raw)
+
     def current_version(self) -> int | None:
         best = None
         for o in self.storage.list(self._head_hint_dir()):
@@ -648,16 +669,14 @@ class ManifestTable:
         if v is None:
             raise FileNotFoundError(f"no manifest at {self.root}")
         try:
-            m = json.loads(self.storage.get(self._manifest_key(v)))
+            m = self._get_manifest(self._manifest_key(v))
         except FileNotFoundError:
             if head and self.branch is None:
                 # a hinted head whose manifest is gone (tampered hints /
                 # partial restore): recompute from the full listing once
                 versions = self._list_versions()
                 if versions and versions[-1] != v:
-                    m = json.loads(
-                        self.storage.get(self._manifest_key(versions[-1]))
-                    )
+                    m = self._get_manifest(self._manifest_key(versions[-1]))
                     self._last_read = m
                     return m
             if self.branch is None:
@@ -665,9 +684,7 @@ class ManifestTable:
             # pre-fork snapshots live on the main chain: a branch is seeded
             # with a copy of its fork-base manifest only, so time travel /
             # chain walks below the fork fall through to the main namespace
-            return json.loads(
-                self.storage.get(f"{_MANIFEST_DIR}/v{v:012d}.json")
-            )
+            return self._get_manifest(f"{_MANIFEST_DIR}/v{v:012d}.json")
         if head:
             # remember the newest head read: _carry_sticky_meta's zero-GET
             # fast path (every verb reads the head right before assembling)
@@ -683,7 +700,7 @@ class ManifestTable:
         lost race — ``merge`` rebases and retries."""
         self._carry_sticky_meta(manifest)
         key = self._manifest_key(manifest["version"])
-        if not self.storage.put_if_absent(key, json.dumps(manifest).encode()):
+        if not self.storage.put_if_absent(key, self._encode_manifest(manifest)):
             raise ManifestConflict(
                 f"manifest v{manifest['version']} was committed by a "
                 f"concurrent writer"
@@ -3679,7 +3696,7 @@ class ManifestTable:
         for v in versions[:-keep_last]:
             if v in tagged:
                 continue
-            m = json.loads(self.storage.get(self._manifest_key(v)))
+            m = self._get_manifest(self._manifest_key(v))
             if cutoff is None or float(m["committed_at"]) < cutoff:
                 self.storage.delete(self._manifest_key(v))
                 expired.append(v)
@@ -4694,9 +4711,8 @@ class ManifestTable:
         # seed the branch chain with the fork-base snapshot so the handle is
         # self-contained (current_version/read work before the first commit);
         # put_if_absent keeps a crashed create retryable after drop_branch
-        b.storage.put_if_absent(
-            b._manifest_key(v), json.dumps(base).encode()
-        )
+        if b.storage.put_if_absent(b._manifest_key(v), self._encode_manifest(base)):
+            b._write_head_hint(v)
         return b
 
     def branch_ref(self, name: str) -> "ManifestTable":
