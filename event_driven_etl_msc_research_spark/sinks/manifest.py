@@ -64,6 +64,10 @@ _EXT_PREFIX = "ext://"
 _TAGS_DIR = "_tags"
 _BRANCH_REFS_DIR = "_branches"           # branch ref objects ({name}.json)
 _BRANCH_META_DIR = "_manifest_branches"  # per-branch manifest chains
+# content-addressed manifest SEGMENT pool (shared by main + every branch):
+# large snapshots externalize their per-bucket file listings/stats here so a
+# commit uploads only the segments whose content changed — see _externalize
+_SEG_DIR = "_manifest_seg"
 
 
 class SchemaEvolutionError(ValueError):
@@ -327,6 +331,10 @@ class ManifestTable:
         self.storage = storage or LocalFSStorage(root)
         self._manifest: dict[str, Any] | None = None
         self._last_read: dict[str, Any] | None = None  # newest manifest GET
+        from collections import OrderedDict
+
+        # content-hash-keyed manifest-segment LRU (see _get_segments)
+        self._seg_cache: "OrderedDict[str, dict]" = OrderedDict()
         # a branch handle commits to its own manifest namespace while
         # sharing the table's data/ tree — see create_branch()
         self.branch = branch
@@ -630,13 +638,180 @@ class ManifestTable:
 
         return gzip.compress(json.dumps(manifest).encode(), compresslevel=5)
 
-    def _get_manifest(self, key: str) -> dict[str, Any]:
+    @staticmethod
+    def _decode_blob(raw: bytes) -> dict[str, Any]:
         import gzip
 
-        raw = self.storage.get(key)
         if raw[:2] == b"\x1f\x8b":
             raw = gzip.decompress(raw)
         return json.loads(raw)
+
+    def _get_manifest(self, key: str, splice: bool = True) -> dict[str, Any]:
+        m = self._decode_blob(self.storage.get(key))
+        segs = m.get("segments")
+        if not (splice and segs):
+            return m
+        # splice externalized segments back in: callers always see the
+        # fully-inline manifest shape (and never the "segments" key, so a
+        # spliced dict re-published verbatim can never double-count)
+        del m["segments"]
+        segs = list(dict.fromkeys(segs))  # defensive: splice each key once
+        files = dict(m.get("files") or {})
+        delta = dict(m.get("delta_files") or {})
+        stats = dict(m.get("file_stats") or {})
+        for part in self._get_segments(segs):
+            for dst, src_key in (
+                (files, "files"),
+                (delta, "delta_files"),
+            ):
+                for b, ps in (part.get(src_key) or {}).items():
+                    dst[b] = dst.get(b, []) + list(ps)
+            stats.update(part.get("file_stats") or {})
+        m["files"] = files
+        m["delta_files"] = delta
+        m["file_stats"] = stats
+        return m
+
+    # parsed segments cached per handle, keyed by their content hash —
+    # immutable objects make the cache trivially correct, and a long-lived
+    # handle (the streaming tailer reads the head every epoch) then GETs
+    # only the segments the last commit actually changed instead of
+    # re-downloading the whole O(files) listing each time
+    _SEG_CACHE_MAX = 64
+
+    def _get_segments(self, keys: list[str]) -> list[dict[str, Any]]:
+        """Fetch segment objects — LRU-cached by content hash; misses go
+        out in parallel (a real object store pays one RTT per object)."""
+        cache = self._seg_cache
+        out: dict[str, dict[str, Any]] = {}
+        missing: list[str] = []
+        for k in keys:
+            if k in cache:
+                cache.move_to_end(k)
+                out[k] = cache[k]
+            elif k not in missing:
+                missing.append(k)
+        if missing:
+            if len(missing) == 1:
+                blobs = [self.storage.get(missing[0])]
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                    max_workers=min(8, len(missing))
+                ) as ex:
+                    blobs = list(ex.map(self.storage.get, missing))
+            for k, raw in zip(missing, blobs):
+                part = self._decode_blob(raw)
+                out[k] = part
+                cache[k] = part
+            while len(cache) > self._SEG_CACHE_MAX:
+                cache.popitem(last=False)
+        return [out[k] for k in keys]
+
+    # Inline manifests are rewritten WHOLE per commit — O(live files) bytes
+    # uploaded at publish and downloaded by every head read, the last
+    # recurring O(table) cost in the metadata plane (gzip cuts the constant,
+    # not the shape: 10^6 files is still a ~30 MB object riding EVERY
+    # commit).  Above ``manifest_segment_min_files`` file entries the heavy
+    # per-bucket payloads (``files``/``delta_files``/``file_stats``) are
+    # split by bucket into ≤ ``manifest_segments`` CONTENT-ADDRESSED segment
+    # objects (keyed by the sha256 of their canonical JSON, Iceberg's
+    # manifest-reuse design): a commit that touches k buckets re-uploads
+    # only the ⌈k·S/n_buckets⌉ segments whose content moved — the
+    # put_if_absent of an unchanged segment's key finds it already present
+    # and uploads nothing — so publish I/O is O(touched buckets), and
+    # successive snapshots SHARE their unchanged segments on disk.
+    # Readers re-assemble via S parallel GETs (see _get_manifest); segment
+    # objects die in expire_snapshots' ref-counted GC once no surviving
+    # snapshot on any ref chain points at them.  Both knobs are overridable
+    # per table via write.manifest.* properties; the inline format remains
+    # readable forever (a manifest without "segments" is its own splice).
+    manifest_segment_min_files: int = 512
+    manifest_segments: int = 16
+
+    def _segment_params(self, manifest: dict[str, Any]) -> tuple[int, int]:
+        props = manifest.get("properties") or {}
+
+        def _int(key: str, default: int) -> int:
+            try:
+                return int(props.get(key, default))
+            except (TypeError, ValueError):
+                return default
+
+        return (
+            max(0, _int(
+                "write.manifest.segment-min-files",
+                self.manifest_segment_min_files,
+            )),
+            max(1, _int("write.manifest.segments", self.manifest_segments)),
+        )
+
+    def _externalize(self, manifest: dict[str, Any]) -> dict[str, Any]:
+        """Publish-ready copy of ``manifest``: heavy per-bucket payloads
+        split into content-addressed segment objects (written here, BEFORE
+        the manifest's conditional PUT — same data-first ordering as
+        write-audit-publish; a lost manifest race orphans only segments,
+        which expire_snapshots GCs after its grace window).  Small
+        manifests pass through inline."""
+        import gzip
+        import hashlib
+
+        m = dict(manifest)
+        m.pop("segments", None)  # defensive: spliced dicts never carry it
+        files = m.get("files") or {}
+        delta = m.get("delta_files") or {}
+        stats = m.get("file_stats") or {}
+        total = sum(len(ps) for ps in files.values()) + sum(
+            len(ps) for ps in delta.values()
+        )
+        min_files, n_seg = self._segment_params(m)
+        if total < max(1, min_files):
+            return m
+        n_buckets = int(m.get("n_buckets") or 1)
+        S = max(1, min(n_buckets, n_seg))
+        seg: list[dict[str, dict]] = [
+            {"files": {}, "delta_files": {}, "file_stats": {}}
+            for _ in range(S)
+        ]
+        path_seg: dict[str, int] = {}
+        for dst_key, d in (("files", files), ("delta_files", delta)):
+            for b, ps in d.items():
+                if not ps:
+                    continue
+                s = int(b) % S
+                seg[s][dst_key][str(b)] = list(ps)
+                for p in ps:
+                    path_seg[p] = s
+        rem_stats: dict[str, Any] = {}
+        for p, st in stats.items():
+            s = path_seg.get(p)
+            if s is None:
+                rem_stats[p] = st  # stats for a path no bucket lists
+            else:
+                seg[s]["file_stats"][p] = st
+        keys: list[str] = []
+        for part in seg:
+            if not (
+                part["files"] or part["delta_files"] or part["file_stats"]
+            ):
+                continue  # empty segment: nothing to store or splice
+            body = json.dumps(part, sort_keys=True).encode()
+            # hash the CANONICAL JSON, not the gzip bytes (gzip headers
+            # embed a timestamp) — equal content must reuse its key
+            digest = hashlib.sha256(body).hexdigest()[:40]
+            key = f"{_SEG_DIR}/{digest}.json"
+            # present already = an earlier snapshot wrote identical
+            # content: the put uploads nothing and the key is shared
+            self.storage.put_if_absent(
+                key, gzip.compress(body, compresslevel=5)
+            )
+            keys.append(key)
+        m["segments"] = keys
+        m["files"] = {}
+        m["delta_files"] = {}
+        m["file_stats"] = rem_stats
+        return m
 
     def current_version(self) -> int | None:
         best = None
@@ -700,7 +875,8 @@ class ManifestTable:
         lost race — ``merge`` rebases and retries."""
         self._carry_sticky_meta(manifest)
         key = self._manifest_key(manifest["version"])
-        if not self.storage.put_if_absent(key, self._encode_manifest(manifest)):
+        stored = self._externalize(manifest)
+        if not self.storage.put_if_absent(key, self._encode_manifest(stored)):
             raise ManifestConflict(
                 f"manifest v{manifest['version']} was committed by a "
                 f"concurrent writer"
@@ -3671,7 +3847,10 @@ class ManifestTable:
         }
 
     def expire_snapshots(
-        self, older_than_ts=None, keep_last: int = 1
+        self,
+        older_than_ts=None,
+        keep_last: int = 1,
+        segment_grace_s: float = 600.0,
     ) -> list[int]:
         """Remove manifest OBJECTS (snapshots) committed before
         ``older_than_ts`` (epoch seconds, ISO string, or datetime; None =
@@ -3682,7 +3861,14 @@ class ManifestTable:
         RELEASES the data files only old snapshots referenced; the next
         ``vacuum()`` (which scopes "referenced" to surviving manifests)
         collects them.  Time travel to an expired version raises
-        ``FileNotFoundError``.  Returns the expired version numbers."""
+        ``FileNotFoundError``.  Returns the expired version numbers.
+
+        Also ref-count-GCs the content-addressed manifest-SEGMENT pool:
+        a segment object survives while ANY surviving snapshot on ANY ref
+        chain (main or branch) lists it.  ``segment_grace_s`` protects a
+        CONCURRENT writer's just-written segments — they are unreferenced
+        by definition until its manifest's conditional PUT lands (same
+        guard as ``vacuum``'s; 0 restores eager single-writer behavior)."""
         self._require_main("expire_snapshots")
         cutoff = (
             None
@@ -3696,11 +3882,49 @@ class ManifestTable:
         for v in versions[:-keep_last]:
             if v in tagged:
                 continue
-            m = self._get_manifest(self._manifest_key(v))
+            m = self._get_manifest(self._manifest_key(v), splice=False)
             if cutoff is None or float(m["committed_at"]) < cutoff:
                 self.storage.delete(self._manifest_key(v))
                 expired.append(v)
+        self._gc_segments(segment_grace_s)
         return expired
+
+    def _gc_segments(self, grace_s: float) -> list[str]:
+        """Delete segment-pool objects no surviving snapshot references.
+        Cheap when the table never segmented (one empty LIST); otherwise
+        O(surviving manifests) small raw GETs + O(pool) key compares."""
+        pool = list(self.storage.list(_SEG_DIR))
+        if not pool:
+            return []
+        refs: set[str] = set()
+
+        def scan(handle: "ManifestTable") -> None:
+            for v in handle._list_versions():
+                try:
+                    m = handle._get_manifest(
+                        handle._manifest_key(v), splice=False
+                    )
+                except FileNotFoundError:
+                    continue  # raced with another expiry
+                refs.update(m.get("segments") or [])
+
+        scan(self)
+        for name in self.branches():
+            scan(
+                ManifestTable(
+                    self.spark, self.root, storage=self.storage, branch=name
+                )
+            )
+        now = time.time()
+        removed: list[str] = []
+        for o in pool:
+            if o.key in refs:
+                continue
+            if grace_s > 0 and now - o.last_modified < grace_s:
+                continue  # possibly an in-flight publish's fresh segment
+            self.storage.delete(o.key)
+            removed.append(o.key)
+        return removed
 
     def set_stats_cols(self, stats_cols: list[str]) -> dict[str, Any]:
         """Change which columns get per-file min/max stats harvested
@@ -3773,7 +3997,12 @@ class ManifestTable:
         "none", "uncompressed", "snappy", "gzip", "lzo", "brotli",
         "lz4", "lz4raw", "zstd",
     }
-    _WRITE_PROPS = {"write.parquet.compression"}
+    # write.* property -> validator (raises ValueError on a bad value)
+    _WRITE_PROPS = {
+        "write.parquet.compression": "codec",
+        "write.manifest.segment-min-files": int,  # 0 = always segment
+        "write.manifest.segments": int,           # max segment objects
+    }
 
     @classmethod
     def _validate_props(cls, props: dict[str, Any]) -> None:
@@ -3798,16 +4027,28 @@ class ManifestTable:
                             f"{want.__name__}, got {v!r}"
                         )
             elif k.startswith("write."):
-                if k not in cls._WRITE_PROPS:
+                want = cls._WRITE_PROPS.get(k)
+                if want is None:
                     raise ValueError(
                         f"unknown write property {k!r} (known: "
                         f"{sorted(cls._WRITE_PROPS)})"
                     )
-                if v is not None and str(v).lower() not in cls._PARQUET_CODECS:
-                    raise ValueError(
-                        f"property {k!r} must be one of "
-                        f"{sorted(cls._PARQUET_CODECS)}, got {v!r}"
-                    )
+                if v is None:
+                    continue
+                if want == "codec":
+                    if str(v).lower() not in cls._PARQUET_CODECS:
+                        raise ValueError(
+                            f"property {k!r} must be one of "
+                            f"{sorted(cls._PARQUET_CODECS)}, got {v!r}"
+                        )
+                else:
+                    try:
+                        want(v)
+                    except (TypeError, ValueError):
+                        raise ValueError(
+                            f"property {k!r} must parse as "
+                            f"{want.__name__}, got {v!r}"
+                        )
 
     def properties(self) -> dict[str, str]:
         """Current table properties (Iceberg/Delta TBLPROPERTIES
@@ -4710,8 +4951,13 @@ class ManifestTable:
         b = ManifestTable(self.spark, self.root, storage=self.storage, branch=name)
         # seed the branch chain with the fork-base snapshot so the handle is
         # self-contained (current_version/read work before the first commit);
-        # put_if_absent keeps a crashed create retryable after drop_branch
-        if b.storage.put_if_absent(b._manifest_key(v), self._encode_manifest(base)):
+        # put_if_absent keeps a crashed create retryable after drop_branch.
+        # _externalize makes the seed zero-copy on a segmented table: the
+        # fork base's segments already exist in the shared pool, so the
+        # seed manifest is a small object of references, not a full listing
+        if b.storage.put_if_absent(
+            b._manifest_key(v), self._encode_manifest(b._externalize(base))
+        ):
             b._write_head_hint(v)
         return b
 

@@ -210,6 +210,14 @@ def test_random_dml_sequence_matches_oracle(spark, tmp_root, seed, mode):
         os.path.join(tmp_root, f"fuzz_{mode}"),
         TRANSCRIPT_SCHEMA,
         n_buckets=4,
+        # one of the two fuzz lanes runs with segmented manifests forced on
+        # (threshold 0): every verb below — merge, delete, compact,
+        # rollback, crash-retry, pruned reads — must be segmentation-blind
+        properties=(
+            {"write.manifest.segment-min-files": "0",
+             "write.manifest.segments": "3"}
+            if mode == "delta" else None
+        ),
     )
     oracle = Oracle()
     lsn = [0]
