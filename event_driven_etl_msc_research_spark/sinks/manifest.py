@@ -70,6 +70,17 @@ _BRANCH_META_DIR = "_manifest_branches"  # per-branch manifest chains
 _SEG_DIR = "_manifest_seg"
 
 
+def _segment_refs(m: dict[str, Any]) -> list[str]:
+    """Segment object keys a raw manifest references.  The current format
+    is an index-addressed dict ``{str(bucket % segment_mod): key}`` (which
+    lets a pinned-bucket read splice ONE segment); early segmented
+    manifests stored a plain list."""
+    s = m.get("segments")
+    if not s:
+        return []
+    return list(s.values()) if isinstance(s, dict) else list(s)
+
+
 class SchemaEvolutionError(ValueError):
     pass
 
@@ -648,13 +659,14 @@ class ManifestTable:
 
     def _get_manifest(self, key: str, splice: bool = True) -> dict[str, Any]:
         m = self._decode_blob(self.storage.get(key))
-        segs = m.get("segments")
+        segs = _segment_refs(m)
         if not (splice and segs):
             return m
         # splice externalized segments back in: callers always see the
         # fully-inline manifest shape (and never the "segments" key, so a
         # spliced dict re-published verbatim can never double-count)
         del m["segments"]
+        m.pop("segment_mod", None)
         segs = list(dict.fromkeys(segs))  # defensive: splice each key once
         files = dict(m.get("files") or {})
         delta = dict(m.get("delta_files") or {})
@@ -709,6 +721,50 @@ class ManifestTable:
                 cache.popitem(last=False)
         return [out[k] for k in keys]
 
+    def _manifest_point_view(
+        self, version: int | None, where: dict[str, tuple]
+    ) -> dict[str, Any] | None:
+        """PARTIAL spliced manifest for a read whose ``where`` pins the
+        bucket column job-free (equality / ``is_null`` — see
+        ``_pinned_bucket``): the raw manifest plus exactly the segment
+        covering that bucket, so a point lookup's metadata cost is two
+        small GETs regardless of table file count.  Returns None when the
+        shortcut does not apply (inline manifest, no job-free pin, legacy
+        list-format segments, or a branch fall-through key) — the caller
+        then takes the ordinary full splice.  Safe because
+        ``_pruned_files`` skips every bucket but the pinned one anyway;
+        the partial view is never cached or published."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no manifest at {self.root}")
+        try:
+            raw = self._get_manifest(self._manifest_key(v), splice=False)
+        except FileNotFoundError:
+            return None  # pre-fork snapshot on a branch: full path handles it
+        segs, mod = raw.get("segments"), raw.get("segment_mod")
+        if not segs or not isinstance(segs, dict) or not mod:
+            return None
+        b = self._pinned_bucket(raw, where)
+        if b is None:
+            return None
+        m = dict(raw)
+        del m["segments"]
+        m.pop("segment_mod", None)
+        files = dict(m.get("files") or {})
+        delta = dict(m.get("delta_files") or {})
+        stats = dict(m.get("file_stats") or {})
+        key = segs.get(str(int(b) % int(mod)))
+        if key:  # absent = the pinned bucket's segment holds nothing
+            (part,) = self._get_segments([key])
+            for dst, src_key in ((files, "files"), (delta, "delta_files")):
+                for bb, ps in (part.get(src_key) or {}).items():
+                    dst[bb] = dst.get(bb, []) + list(ps)
+            stats.update(part.get("file_stats") or {})
+        m["files"] = files
+        m["delta_files"] = delta
+        m["file_stats"] = stats
+        return m
+
     # Inline manifests are rewritten WHOLE per commit — O(live files) bytes
     # uploaded at publish and downloaded by every head read, the last
     # recurring O(table) cost in the metadata plane (gzip cuts the constant,
@@ -759,6 +815,7 @@ class ManifestTable:
 
         m = dict(manifest)
         m.pop("segments", None)  # defensive: spliced dicts never carry it
+        m.pop("segment_mod", None)
         files = m.get("files") or {}
         delta = m.get("delta_files") or {}
         stats = m.get("file_stats") or {}
@@ -790,8 +847,8 @@ class ManifestTable:
                 rem_stats[p] = st  # stats for a path no bucket lists
             else:
                 seg[s]["file_stats"][p] = st
-        keys: list[str] = []
-        for part in seg:
+        parts: dict[str, str] = {}
+        for idx, part in enumerate(seg):
             if not (
                 part["files"] or part["delta_files"] or part["file_stats"]
             ):
@@ -806,8 +863,11 @@ class ManifestTable:
             self.storage.put_if_absent(
                 key, gzip.compress(body, compresslevel=5)
             )
-            keys.append(key)
-        m["segments"] = keys
+            # index-addressed: segment idx holds buckets {b: b % S == idx},
+            # so a pinned-bucket reader can splice exactly one segment
+            parts[str(idx)] = key
+        m["segments"] = parts
+        m["segment_mod"] = S
         m["files"] = {}
         m["delta_files"] = {}
         m["file_stats"] = rem_stats
@@ -945,7 +1005,11 @@ class ManifestTable:
         return T.StructType.fromJson(self.manifest(version)["schema"])
 
     def _internal_schema(self, version: int | None = None) -> T.StructType:
-        s = self.schema(version)
+        return self._internal_schema_of(self.manifest(version))
+
+    @staticmethod
+    def _internal_schema_of(m: dict[str, Any]) -> T.StructType:
+        s = T.StructType.fromJson(m["schema"])
         return T.StructType(
             s.fields
             + [
@@ -1186,8 +1250,7 @@ class ManifestTable:
             version = self._resolve_tag(tag)
         if as_of is not None:
             version = self._resolve_as_of(as_of)
-        m = self.manifest(version)
-        ischema = self._internal_schema(version)
+        m = None
         if where:
             for c, v in where.items():
                 if isinstance(v, str) and v not in ("is_null", "not_null"):
@@ -1195,6 +1258,15 @@ class ManifestTable:
                         f"where[{c!r}]: expected a (lo, hi) tuple, "
                         f"'is_null', or 'not_null' — got {v!r}"
                     )
+            # a point lookup on a segmented table splices only the ONE
+            # segment covering its pinned bucket — the whole metadata read
+            # is the manifest object + one segment GET, not the full
+            # O(files) listing (None = not applicable, take the full path)
+            m = self._manifest_point_view(version, where)
+        if m is None:
+            m = self.manifest(version)
+        ischema = self._internal_schema_of(m)
+        if where:
             base_files, delta_files = self._pruned_files(m, where)
         else:
             base_files = [
@@ -1223,8 +1295,45 @@ class ManifestTable:
                     if hi is not None:
                         df = df.filter(F.col(c) <= F.lit(_norm_bound(hi, dtypes.get(c))))
         if not include_internal:
-            df = df.select(*[f.name for f in self.schema(version).fields])
+            # project off m (already loaded) — a second manifest(version)
+            # here would defeat the partial point-view's one-segment read
+            df = df.select(
+                *[f.name for f in T.StructType.fromJson(m["schema"]).fields]
+            )
         return df
+
+    @staticmethod
+    def _pinned_bucket(
+        m: dict[str, Any], where: dict[str, tuple]
+    ) -> int | None:
+        """The single hash bucket a ``where`` can touch, when provable
+        JOB-FREE on the driver: an equality bound on the bucket column
+        (driver-side xxhash64 replica, property-tested byte-identical to
+        Spark's) or ``is_null`` on it (null keys hash to the seed).  None
+        = not pinned (or a literal type the replica can't hash — the
+        caller may fall back to a 1-row Spark job).  Needs only inline
+        manifest fields (schema/key_cols/n_buckets), so it works on a
+        RAW, unspliced manifest — the partial point-lookup read depends
+        on that."""
+        bcol = m["key_cols"][0]
+        v = (where or {}).get(bcol)
+        if v == "is_null":
+            from ..hashing import SPARK_HASH_SEED
+
+            return SPARK_HASH_SEED % m["n_buckets"]
+        if isinstance(v, str) or v is None:
+            return None
+        dtypes = {
+            f.name: f.dataType
+            for f in T.StructType.fromJson(m["schema"]).fields
+        }
+        lo = _norm_bound(v[0], dtypes.get(bcol))
+        hi = _norm_bound(v[1], dtypes.get(bcol))
+        if lo is None or lo != hi:
+            return None
+        from ..hashing import spark_bucket
+
+        return spark_bucket(lo, dtypes[bcol], m["n_buckets"])
 
     def _pruned_files(
         self, m: dict[str, Any], where: dict[str, tuple]
@@ -1309,49 +1418,38 @@ class ManifestTable:
         # hold the key — every other bucket's files are skipped outright,
         # stats or no stats.  This is the O(1-bucket) point lookup ("latest
         # state of conversation X") at 10^10 rows.
-        only_bucket: int | None = None
-        bcol = m["key_cols"][0]
-        if null_preds.get(bcol) == "is_null":
-            # Spark's hash expressions skip null inputs, so every
-            # null-keyed row hashes to the seed: ALL null keys live in one
-            # known bucket (property-tested vs F.xxhash64 in
-            # test_hashing.py) — "find the null-keyed rows" is an
-            # O(one-bucket) scan at any table size
-            from ..hashing import SPARK_HASH_SEED
-
-            only_bucket = SPARK_HASH_SEED % m["n_buckets"]
-        elif bcol in nb and nb[bcol][0] is not None and nb[bcol][0] == nb[bcol][1]:
-            # hash the literal AS the column's declared type — xxhash64 of a
-            # string and of an int differ, and _bucket_expr hashes the
-            # native column.  Driver-side replica first (property-tested
-            # byte-identical to Spark's xxhash64): the metadata path of a
-            # point lookup launches NO Spark job; only an exotic literal
-            # type pays the 1-row hashing job fallback.
-            from ..hashing import spark_bucket
-
+        only_bucket = self._pinned_bucket(m, where)
+        if (
+            only_bucket is None
+            and m["key_cols"][0] in nb
+            and nb[m["key_cols"][0]][0] is not None
+            and nb[m["key_cols"][0]][0] == nb[m["key_cols"][0]][1]
+        ):
+            bcol = m["key_cols"][0]
+            # exotic literal the driver-side hash replica can't type:
+            # 1-row Spark hashing job fallback (rare; the common string/
+            # int path above is job-free, property-tested vs F.xxhash64)
             btype = next(
                 f.dataType
                 for f in T.StructType.fromJson(m["schema"]).fields
                 if f.name == bcol
             )
-            only_bucket = spark_bucket(nb[bcol][0], btype, m["n_buckets"])
-            if only_bucket is None:
-                try:
-                    row = (
-                        self.spark.createDataFrame(
-                            [(nb[bcol][0],)],
-                            T.StructType([T.StructField("_k", btype)]),
-                        )
-                        .select(
-                            F.pmod(F.xxhash64(F.col("_k")), F.lit(m["n_buckets"]))
-                            .cast("int")
-                            .alias("b")
-                        )
-                        .collect()
+            try:
+                row = (
+                    self.spark.createDataFrame(
+                        [(nb[bcol][0],)],
+                        T.StructType([T.StructField("_k", btype)]),
                     )
-                    only_bucket = int(row[0]["b"])
-                except Exception:
-                    only_bucket = None  # untypable literal: stats pruning only
+                    .select(
+                        F.pmod(F.xxhash64(F.col("_k")), F.lit(m["n_buckets"]))
+                        .cast("int")
+                        .alias("b")
+                    )
+                    .collect()
+                )
+                only_bucket = int(row[0]["b"])
+            except Exception:
+                only_bucket = None  # untypable literal: stats pruning only
 
         base: list[str] = []
         for b, ps in m["files"].items():
@@ -3906,7 +4004,7 @@ class ManifestTable:
                     )
                 except FileNotFoundError:
                     continue  # raced with another expiry
-                refs.update(m.get("segments") or [])
+                refs.update(_segment_refs(m))
 
         scan(self)
         for name in self.branches():

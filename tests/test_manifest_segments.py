@@ -87,6 +87,14 @@ def _raw(table, version=None):
     return table._get_manifest(table._manifest_key(v), splice=False)
 
 
+def _refs(raw):
+    from event_driven_etl_msc_research_spark.sinks.manifest import (
+        _segment_refs,
+    )
+
+    return set(_segment_refs(raw))
+
+
 def _pool(table):
     return sorted(o.key for o in table.storage.list(_SEG_DIR))
 
@@ -164,13 +172,13 @@ def test_point_merge_reuses_unchanged_segments(spark, seg_table):
         epoch_id=2, mode="delta",
     )
     after = _raw(t)
-    shared = set(before["segments"]) & set(after["segments"])
-    assert len(shared) >= len(after["segments"]) - 1
+    shared = _refs(before) & _refs(after)
+    assert len(shared) >= len(_refs(after)) - 1
     # the content-addressed pool grew by only the changed segment(s)
     assert len(_pool(t)) <= len(pool_before) + 1
     # a metadata-only commit changes NO files → every segment is reused
     t.set_properties({"free.form": "x"})
-    assert set(_raw(t)["segments"]) == set(after["segments"])
+    assert _refs(_raw(t)) == _refs(after)
 
 
 def test_stored_manifest_stays_small_as_files_grow(
@@ -208,8 +216,8 @@ def test_expire_gc_respects_refs_tags_and_grace(spark, seg_table):
             _batch(spark, CONVS[: e * 3], lsn0=e * 10_000, text=f"e{e}"),
             epoch_id=e, mode="delta",
         )
-    tagged_refs = set(_raw(t, 1)["segments"])
-    head_refs = set(_raw(t)["segments"])
+    tagged_refs = _refs(_raw(t, 1))
+    head_refs = _refs(_raw(t))
     pool = set(_pool(t))
     assert tagged_refs <= pool and head_refs <= pool
     # plant an orphan (a lost-race publish's leftover segment)
@@ -227,7 +235,7 @@ def test_expire_gc_respects_refs_tags_and_grace(spark, seg_table):
     # drop the tag: its exclusive segments become collectible
     t.untag("keep")
     t.expire_snapshots(keep_last=1, segment_grace_s=0)
-    assert set(_pool(t)) == set(_raw(t)["segments"])
+    assert set(_pool(t)) == _refs(_raw(t))
     assert len(_state(t)) > 0
 
 
@@ -240,14 +248,14 @@ def test_branch_seed_is_zero_copy_and_gc_safe(spark, seg_table):
     assert _pool(t) == pool_before
     assert _state(b) == _state(t)
     b.merge(_batch(spark, ["convB"], lsn0=9000), epoch_id=2, mode="delta")
-    branch_refs = set(_raw(b)["segments"])
+    branch_refs = _refs(_raw(b))
     # GC from main must see the branch chain's refs
     t.expire_snapshots(keep_last=1, segment_grace_s=0)
     assert branch_refs <= set(_pool(t))
     assert ("convB", 1) in _state(b)
     t.drop_branch("audit")
     t.expire_snapshots(keep_last=1, segment_grace_s=0)
-    assert set(_pool(t)) == set(_raw(t)["segments"])
+    assert set(_pool(t)) == _refs(_raw(t))
 
 
 def test_segmentation_can_flip_mid_chain(spark, tmp_root, storage_factory):
@@ -268,6 +276,62 @@ def test_segmentation_can_flip_mid_chain(spark, tmp_root, storage_factory):
     states = [_state(t, version=v) for v in range(t.current_version() + 1)]
     assert states[-1] == states[-2]
     assert len(states[0]) == 0
+
+
+class _GetCounter:
+    """Storage wrapper metering GETs by key prefix."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.got = []
+
+    def get(self, key):
+        self.got.append(key)
+        return self.inner.get(key)
+
+    def __getattr__(self, name):
+        return getattr(self.inner, name)
+
+
+def test_point_lookup_splices_one_segment(
+    spark, tmp_root, storage_factory
+):
+    root = os.path.join(tmp_root, "pt")
+    t = ManifestTable.create(
+        spark, root, TRANSCRIPT_SCHEMA, n_buckets=8,
+        storage=storage_factory(root), properties=SEG_ON,
+    )
+    t.merge(_batch(spark, CONVS), epoch_id=1, mode="delta")
+    expect = {
+        r["turn_idx"]: r["text"]
+        for r in t.read().filter("conv_id = 'conv003'").collect()
+    }
+    assert len(expect) == 3
+    n_segments = len(_refs(_raw(t)))
+    assert n_segments >= 2
+    # a FRESH handle (cold segment cache) point-reads: the metadata path
+    # must GET the manifest + exactly ONE segment object, not all of them
+    counter = _GetCounter(storage_factory(root))
+    cold = ManifestTable(spark, root, storage=counter)
+    got = {
+        r["turn_idx"]: r["text"]
+        for r in cold.read(
+            where={"conv_id": ("conv003", "conv003")}
+        ).collect()
+    }
+    assert got == expect
+    seg_gets = [k for k in counter.got if k.startswith(_SEG_DIR)]
+    assert len(seg_gets) <= 1, seg_gets
+    # is_null pins the seed bucket the same way
+    counter.got.clear()
+    assert cold.read(where={"conv_id": "is_null"}).count() == 0
+    assert len(
+        [k for k in counter.got if k.startswith(_SEG_DIR)]
+    ) <= 1
+    # a non-pinned bounded read takes the full splice and stays exact
+    counter.got.clear()
+    n_all = cold.read(where={"turn_idx": (1, 2)}).count()
+    assert n_all == len(CONVS) * 2
 
 
 def test_rollback_and_changes_fast_path_under_segments(spark, seg_table):
