@@ -69,6 +69,7 @@ HEADLINE = [
     "cdc_retention_delete",
     "cdc_update_where",
     "cdc_rename_drop_column",
+    "cdc_segmented_merge",
     "cdc_merge_into",
     "cdc_check_constraints",
     "cdc_replica",

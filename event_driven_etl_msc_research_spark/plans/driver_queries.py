@@ -659,6 +659,64 @@ def cdc_merge_events_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_segmented_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``cdc_merge_events_delta`` lifecycle with CONTENT-ADDRESSED
+    SEGMENTED MANIFESTS forced on (``write.manifest.segment-min-files=0``
+    — above the 512-file default threshold this is every large table's
+    ordinary operating mode): two delta epochs, a compaction between
+    them, and a bucket-pinned point lookup served off the partial
+    one-segment manifest view, all over externalized metadata.  The
+    final snapshot must equal the inline-manifest oracle exactly —
+    metadata layout is physical config, never logical state."""
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("event_id").alias("lsn"),
+        F.col("ts").cast("timestamp"),
+        F.col("user_id").cast("string").alias("user_key"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_key", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    mid = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).first()[0]
+    root = tempfile.mkdtemp(prefix="cdc_segmented_merge_")
+    table = ManifestTable.create(
+        spark, root, payload, key_cols=["user_key"], n_buckets=8,
+        properties={
+            "write.manifest.segment-min-files": "0",
+            "write.manifest.segments": "4",
+        },
+    )
+    table.merge(changes.filter(F.col("lsn") <= mid), 0, mode="delta", epoch_scope="d")
+    table.compact()
+    table.merge(changes.filter(F.col("lsn") > mid), 1, mode="delta", epoch_scope="d")
+    # the raw head must actually be externalized, and a point lookup off
+    # the one-segment partial view must agree with the full read
+    raw = table._get_manifest(
+        table._manifest_key(table.current_version()), splice=False
+    )
+    assert raw.get("segments"), "head manifest should be segmented"
+    probe = table.read().select("user_key").first()
+    if probe is not None:
+        k = probe["user_key"]
+        pointed = table.read(where={"user_key": (k, k)}).count()
+        full = table.read().filter(F.col("user_key") == k).count()
+        assert pointed == full, (pointed, full)
+    return table.read().select(
+        "user_key",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        "event_type",
+        "value",
+    )
+
+
 def cdc_rename_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only schema surgery mid-stream (``rename_column`` /
     ``drop_column`` — the Iceberg ALTER TABLE analogues the reference
@@ -2905,6 +2963,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_latest_event_per_user": (cdc_latest_event_per_user, CDC_LATEST_SQL),
     "cdc_merge_events": (cdc_merge_events, CDC_MERGE_SQL),
     "cdc_merge_events_delta": (cdc_merge_events_delta, CDC_MERGE_SQL),
+    "cdc_segmented_merge": (cdc_segmented_merge, CDC_MERGE_SQL),
     "cdc_debezium_ingest": (cdc_debezium_ingest, CDC_MERGE_SQL),
     "cdc_branch_wap": (cdc_branch_wap, CDC_MERGE_SQL),
     "cdc_rename_drop_column": (cdc_rename_drop_column, CDC_RENAME_DROP_SQL),
