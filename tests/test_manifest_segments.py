@@ -278,6 +278,50 @@ def test_segmentation_can_flip_mid_chain(spark, tmp_root, storage_factory):
     assert len(states[0]) == 0
 
 
+def test_racing_writers_rebase_cleanly_under_segments(
+    spark, tmp_root, storage_factory
+):
+    """Two writers, one segmented table: A stages, B wins the version
+    race, A rebases and re-externalizes against B's head.  Both epochs
+    land, the spliced state is exact, and the loser's pre-rebase segment
+    orphans (if any) are GC'd by the next expire while live refs
+    survive — put_if_absent makes same-content segment writes from both
+    writers benign by construction."""
+    root = os.path.join(tmp_root, "race")
+    a = ManifestTable.create(
+        spark, root, TRANSCRIPT_SCHEMA, n_buckets=8,
+        storage=storage_factory(root), properties=SEG_ON,
+    )
+    b = ManifestTable(spark, root, storage=storage_factory(root))
+    a.merge(_batch(spark, CONVS), epoch_id=0, mode="delta")
+
+    fired = {"done": False}
+
+    def interleave(_m):
+        if not fired["done"]:
+            fired["done"] = True
+            b.merge(
+                _batch(spark, ["convB"], lsn0=9000), epoch_id=2, mode="delta"
+            )
+
+    r = a.merge(
+        _batch(spark, ["convA"], lsn0=8000),
+        epoch_id=1,
+        mode="delta",
+        before_publish=interleave,
+    )
+    assert r["status"] == "Success"
+    m = a.manifest()
+    assert m["version"] == 3  # seed + B + rebased A, no collision
+    st = _state(a)
+    assert ("convA", 1) in st and ("convB", 1) in st
+    assert len(st) == len(CONVS) * 3 + 6
+    # pool converges to exactly the surviving refs after expiry
+    a.expire_snapshots(keep_last=1, segment_grace_s=0)
+    assert set(_pool(a)) == _refs(_raw(a))
+    assert _state(a) == st
+
+
 class _GetCounter:
     """Storage wrapper metering GETs by key prefix."""
 
