@@ -70,6 +70,7 @@ HEADLINE = [
     "cdc_update_where",
     "cdc_rename_drop_column",
     "cdc_segmented_merge",
+    "cdc_metadata_count",
     "cdc_merge_into",
     "cdc_check_constraints",
     "cdc_replica",

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -172,6 +173,7 @@ def generate_change_stream(out_dir: str, spec: ChangeStreamSpec) -> GeneratedStr
 
     gen = GeneratedStream(spec=spec, out_dir=out_dir, evolve_lsn=evolve_lsn)
     seq = 0
+    mtime_base = time.time()
 
     def write_segment(seg_lines: np.ndarray) -> None:
         nonlocal seq
@@ -179,6 +181,16 @@ def generate_change_stream(out_dir: str, spec: ChangeStreamSpec) -> GeneratedStr
         with open(path, "w") as f:
             f.write("\n".join(seg_lines))
             f.write("\n")
+        # strictly-increasing per-segment mtimes (2 ms apart — distinct at
+        # Spark's ms granularity): a burst-written WAL dir otherwise gets
+        # COLLIDING mtimes and the file streaming source, which orders by
+        # modification time, delivers segments in arbitrary tie order.  A
+        # real tail's segments arrive over time; stamping the generation
+        # order makes replay reproduce it — required by anything deriving
+        # a lateness bound from delivery order (compact_purge_tombstone_lag)
+        # and makes every replay's epoch→segment mapping deterministic.
+        mt = mtime_base + 0.002 * seq
+        os.utime(path, (mt, mt))
         gen.segment_paths.append(path)
         seq += 1
 

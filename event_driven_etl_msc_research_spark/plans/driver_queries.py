@@ -717,6 +717,67 @@ def cdc_segmented_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only ``count()`` across the table lifecycle: merge the
+    events change stream (errors = deletes), then count live rows at THREE
+    states — (1) delta-carrying (MOR fold fallback), (2) compacted with
+    tombstones retained (footer-probe/pruned-scan tiers), (3) compacted
+    with watermark-purged tombstones (pure manifest sum, zero Spark jobs —
+    job-freeness itself is asserted in ``tests/test_count.py``).  All three
+    must equal the oracle's ``COUNT(*)`` of the deduped live set: the
+    manifest bookkeeping may change WHERE the answer comes from, never what
+    it is."""
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("event_id").alias("lsn"),
+        F.col("ts").cast("timestamp"),
+        F.col("user_id").cast("string").alias("user_key"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_key", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_metadata_count_")
+    table = ManifestTable.create(
+        spark, root, payload, key_cols=["user_key"], n_buckets=8
+    )
+    table.merge(changes, 0, mode="delta", epoch_scope="driver")
+    n_delta = table.count()
+    table.compact()
+    n_compacted = table.count()
+    # purge bound above every event's ts: all tombstones GC'd, every base
+    # file proves ::dead == 0, the count is a driver dict-sum
+    hi = ev.agg(F.max(F.col("ts").cast("timestamp"))).first()[0]
+    import datetime as _dt
+
+    table.compact(
+        min_delta_files=0,
+        purge_tombstones_before=hi + _dt.timedelta(seconds=1),
+    )
+    n_purged = table.count()
+    return spark.createDataFrame(
+        [(int(n_delta), int(n_compacted), int(n_purged))],
+        "n_delta bigint, n_compacted bigint, n_purged bigint",
+    )
+
+
+CDC_METADATA_COUNT_SQL = """
+SELECT COUNT(*) AS n_delta, COUNT(*) AS n_compacted, COUNT(*) AS n_purged
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type != 'error'
+"""
+
+
 def cdc_rename_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only schema surgery mid-stream (``rename_column`` /
     ``drop_column`` — the Iceberg ALTER TABLE analogues the reference
@@ -2964,6 +3025,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_merge_events": (cdc_merge_events, CDC_MERGE_SQL),
     "cdc_merge_events_delta": (cdc_merge_events_delta, CDC_MERGE_SQL),
     "cdc_segmented_merge": (cdc_segmented_merge, CDC_MERGE_SQL),
+    "cdc_metadata_count": (cdc_metadata_count, CDC_METADATA_COUNT_SQL),
     "cdc_debezium_ingest": (cdc_debezium_ingest, CDC_MERGE_SQL),
     "cdc_branch_wap": (cdc_branch_wap, CDC_MERGE_SQL),
     "cdc_rename_drop_column": (cdc_rename_drop_column, CDC_RENAME_DROP_SQL),

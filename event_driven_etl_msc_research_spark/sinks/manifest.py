@@ -258,12 +258,22 @@ def _footer_minmax(md, stats_cols: list[str]) -> dict[str, list]:
     ``read(where={col: "is_null"/"not_null"})`` prune files from the
     manifest alone); readers index ``[0]``/``[1]`` so older two-element
     entries keep working.  All-null row groups contribute no values, so a
-    mixed file still gets tight min/max from its value-bearing groups."""
-    if not stats_cols:
-        return {}
+    mixed file still gets tight min/max from its value-bearing groups.
+
+    Two engine pseudo-columns are harvested UNCONDITIONALLY (even with no
+    ``stats_cols`` configured — the footer is already in memory):
+    ``::rows`` (the file's row count) and, when provable from the
+    ``_deleted`` boolean column's row-group statistics alone, ``::dead``
+    (the file's tombstone count).  Together they make
+    :meth:`ManifestTable.count` a pure manifest read — live rows =
+    Σ(rows − dead) — with zero Spark jobs and zero file I/O on a
+    delta-free table.  ``::dead`` is omitted when any row group mixes
+    live and tombstone rows without separating them in stats (min=False,
+    max=True); ``count()`` then falls back to a footer probe / pruned
+    scan of just those files."""
     idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
     out: dict[str, list] = {}
-    for col in stats_cols:
+    for col in stats_cols or ():
         i = idx.get(col)
         if i is None:
             continue
@@ -299,12 +309,50 @@ def _footer_minmax(md, stats_cols: list[str]) -> dict[str, list]:
                 out[col] = (
                     [lo_j, hi_j] if nulls is None else [lo_j, hi_j, nulls]
                 )
-    if out:
-        # per-FILE row count under a reserved pseudo-column ("::" can never
-        # be a column name) — with the null counts above, this is what lets
-        # retention_delete's drop phase run from the manifest alone
-        out["::rows"] = [md.num_rows]
+    # per-FILE row count under a reserved pseudo-column ("::" can never be
+    # a column name) — with the null counts above, this is what lets
+    # retention_delete's drop phase and count() run from the manifest alone
+    out["::rows"] = [md.num_rows]
+    dead = _footer_dead_count(md, idx)
+    if dead is not None:
+        out["::dead"] = [dead]
     return out
+
+
+def _footer_dead_count(md, idx: dict[str, int]) -> int | None:
+    """Exact tombstone (``_deleted`` = true) count of one parquet file,
+    from its footer statistics alone — or ``None`` when not provable.
+
+    Booleans carry min/max in parquet stats: a row group with
+    ``max == False`` holds no tombstones; one with ``min == True`` is all
+    tombstones among its non-null values (nulls read as live — the read
+    path coalesces ``_deleted`` to false).  A group mixing both gives up
+    (``None``): the caller probes or scans that file instead.  Compaction
+    writes keep tombstones, so post-compact files are commonly mixed —
+    but a table that never deletes proves ``dead = 0`` everywhere, and a
+    tombstone-purged compaction (``purge_tombstones_before``) restores
+    all-live files."""
+    i = idx.get("_deleted")
+    if i is None:
+        return 0  # column absent: written before deletes existed → all live
+    dead = 0
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        st = rg.column(i).statistics
+        if st is None or not st.has_null_count:
+            return None
+        non_null = rg.num_rows - st.null_count
+        if non_null == 0:
+            continue  # all-null group: reads as live
+        if not st.has_min_max:
+            return None
+        if st.max is False or st.max == False:  # noqa: E712 — pyarrow bool
+            continue
+        if st.min is True or st.min == True:  # noqa: E712
+            dead += non_null
+        else:
+            return None  # mixed group: not provable from the footer
+    return dead
 
 
 # column names the engine claims for itself: 'op'/'lsn' are the change-batch
@@ -963,7 +1011,8 @@ class ManifestTable:
         # the retention watermark (retention_delete) is table config like
         # properties: carried through every commit, surviving rollback —
         # the "never holds pre-cutoff rows again" contract is not snapshot
-        # state
+        # state.  (Monotonicity across a rollback to a version carrying an
+        # OLDER watermark is enforced in rollback_to itself.)
         need_ret = "retention_ts" not in manifest
         if not (need_clone or need_props or need_ret):
             return
@@ -1302,6 +1351,95 @@ class ManifestTable:
             )
         return df
 
+    def count(
+        self,
+        version: int | None = None,
+        tag: str | None = None,
+        as_of=None,
+    ) -> int:
+        """Exact live-row count of a snapshot, answered from METADATA when
+        possible (the Iceberg manifest-count / Delta ``SELECT COUNT(*)``
+        fast path — at 10^10 rows, counting by scanning is a cluster job;
+        counting from the manifest is a driver dict-sum).
+
+        Tiered, always exact:
+
+        1. **Delta-free table, stats complete** — Σ(``::rows`` − ``::dead``)
+           over the manifest's per-file stats.  ZERO Spark jobs, zero file
+           I/O (job-count asserted in ``test_count.py``).
+        2. Files missing the harvested counts (pre-upgrade manifests,
+           shallow-clone externals) — driver-side parallel footer probe
+           (the same thread-pool shape as the staging audit; still no
+           Spark job).
+        3. Files whose footers can't prove their tombstone count (a mixed
+           row group) — ONE column-pruned Spark job over just those files
+           (reads only ``_deleted``; every provable file stays pruned).
+        4. Any delta files present — the MOR fold decides winners, so the
+           full ``read(version=).count()`` runs (correctness beats the
+           shortcut; ``compact()`` restores tier 1).
+
+        Selectors mirror :meth:`read` (``version``/``tag``/``as_of``,
+        mutually exclusive)."""
+        if sum(x is not None for x in (version, tag, as_of)) > 1:
+            raise ValueError(
+                "count(version=, tag=, as_of=) are mutually exclusive"
+            )
+        if tag is not None:
+            version = self._resolve_tag(tag)
+        if as_of is not None:
+            version = self._resolve_as_of(as_of)
+        m = self.manifest(version)
+        if any(ps for ps in (m.get("delta_files") or {}).values()):
+            return self.read(version=m["version"]).count()
+        stats = m.get("file_stats") or {}
+        total = 0
+        probe: list[str] = []  # tier 2: driver footer probe
+        scan: list[str] = []  # tier 3: pruned Spark scan
+        for ps in m["files"].values():
+            for p in ps:
+                fs = stats.get(p) or {}
+                rows, dead = fs.get("::rows"), fs.get("::dead")
+                if rows and dead:
+                    total += int(rows[0]) - int(dead[0])
+                elif p.startswith(_EXT_PREFIX):
+                    # clone-external file with incomplete stats: its bytes
+                    # live outside this table's storage root, so the safe
+                    # route is the scan tier (reads via _spath like any read)
+                    scan.append(p)
+                else:
+                    probe.append(p)
+        if probe:
+            import pyarrow.parquet as pq
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _probe(relpath: str):
+                with self.storage.open_input(relpath) as fh:
+                    md = pq.ParquetFile(fh).metadata
+                idx = {
+                    md.schema.column(i).path: i
+                    for i in range(md.num_columns)
+                }
+                dead = _footer_dead_count(md, idx)
+                return relpath, md.num_rows, dead
+
+            with ThreadPoolExecutor(max_workers=min(16, len(probe))) as pl:
+                for relpath, n, dead in pl.map(_probe, probe):
+                    if dead is None:
+                        scan.append(relpath)
+                    else:
+                        total += n - dead
+        if scan:
+            ischema = self._internal_schema_of(m)
+            df = self._read_files(
+                [self._spath(p) for p in scan],
+                ischema,
+                renames=m.get("renamed_cols"),
+            )
+            total += int(
+                df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).count()
+            )
+        return total
+
     @staticmethod
     def _pinned_bucket(
         m: dict[str, Any], where: dict[str, tuple]
@@ -1512,6 +1650,7 @@ class ManifestTable:
         before_publish=None,
         mode: str = "cow",
         retries: int = 5,
+        _bypass_watermark: bool = False,
     ) -> dict[str, Any]:
         """Exactly-once upsert of a change batch.
 
@@ -1581,9 +1720,13 @@ class ManifestTable:
         # filter is also what keeps replicas exactly convergent after a
         # retention delete: the upstream never commits a pre-watermark
         # upsert, and the replica's synthesized tombstones block the same
-        # versions a second time.
+        # versions a second time.  ``_bypass_watermark`` is for INTERNAL
+        # verbs only (update_where): a rewrite of current LIVE state stamps
+        # the row's own ts, which may legitimately precede the watermark —
+        # it is not late external data, and it can never resurrect a purged
+        # key because it was derived from the live snapshot.
         ret = m.get("retention_ts")
-        if ret is not None and "ts" in changes.columns:
+        if ret is not None and not _bypass_watermark and "ts" in changes.columns:
             changes = changes.filter(
                 (F.col("op") == F.lit("D"))
                 | F.col("ts").isNull()
@@ -2344,6 +2487,7 @@ class ManifestTable:
         max_rows_per_file: int | None = None,
         zorder_by: list[str] | None = None,
         max_file_bytes: int | None = None,
+        purge_tombstones_before=None,
     ) -> dict[str, Any]:
         """Fold delta files into base files at bucket granularity.
 
@@ -2389,7 +2533,32 @@ class ManifestTable:
         (object sizes via the storage LIST verb ÷ manifest row counts — no
         Spark job, no file reads) and converted to a ``maxRecordsPerFile``;
         actual files land near the target, modulated by how much better the
-        re-sorted data compresses."""
+        re-sorted data compresses.
+
+        ``purge_tombstones_before`` — WATERMARK-BOUNDED TOMBSTONE GC.
+        Tombstones must normally be retained forever (see above), because
+        per-key max-version semantics need them to beat a late-arriving
+        OLDER update.  But a CDC tail always carries a lateness contract —
+        the same watermark the streaming engine already enforces — and
+        once the caller asserts "no change event with ``ts`` earlier than
+        W will ever arrive", a tombstone with ``ts < W`` can never lose to
+        anything it still needs to block.  This parameter (epoch seconds,
+        ISO string, or datetime — same forms as ``read(as_of=)``) drops
+        exactly those tombstones during the fold.  At 10^10 events with
+        ongoing deletes this is the difference between a table whose dead
+        rows grow without bound and one whose physical size tracks its
+        LIVE size (Cassandra's ``gc_grace_seconds`` / Delta deletion-vector
+        vacuum analogue).  Live state is untouched, so the commit stays a
+        state-preserving ``compact:`` and the change feed's fast path walks
+        through it; it also restores the ``::dead``-provable all-live file
+        shape that keeps :meth:`count` at tier 1.  The contract is
+        ENFORCED, not assumed: the purge commit advances the table's
+        retention watermark (``retention_ts``, monotone max with any
+        retention already set), so merge's existing pre-watermark filter
+        drops a violating late upsert — a purged tombstone's key can
+        never be resurrected; the engine simply stops needing the
+        tombstone to guarantee it.  (Deletes pass the watermark as
+        always; they can only remove.)"""
         if sort_by and zorder_by:
             raise ValueError("sort_by and zorder_by are mutually exclusive")
         if max_file_bytes and max_rows_per_file:
@@ -2458,6 +2627,24 @@ class ManifestTable:
             key_cols,
             ["ts", "_lsn"],
         )
+        if purge_tombstones_before is not None:
+            # watermark-bounded tombstone GC (see docstring): drop winners
+            # that are tombstones older than the caller's lateness bound W —
+            # nothing they still need to block can ever arrive.  Applied
+            # AFTER the fold so a tombstone first beats every older update
+            # in the same fold, exactly as it would have at read time.
+            w = F.lit(
+                _norm_bound(
+                    self._as_of_datetime(purge_tombstones_before),
+                    T.TimestampType(),
+                )
+            )
+            merged = merged.filter(
+                ~(
+                    F.coalesce(F.col("_deleted"), F.lit(False))
+                    & (F.col("ts") < w)
+                )
+            )
         version = m["version"] + 1
         stage_rel = self._staging_relpath(version, f"compact{version}")
         stage_dir = self.storage.spark_path(stage_rel)
@@ -2562,6 +2749,21 @@ class ManifestTable:
             "delta_rows_total": sum(delta_rows.values()),
             "committed_at": time.time(),
         }
+        if purge_tombstones_before is not None:
+            # the purge ENFORCES its own contract: advance the table's
+            # watermark (monotone max with any retention watermark already
+            # set) so merge's existing pre-watermark-upsert filter drops
+            # the late older events a purged tombstone can no longer block
+            # — resurrection becomes impossible, not just contracted away
+            w = _norm_bound(
+                self._as_of_datetime(purge_tombstones_before),
+                T.TimestampType(),
+            )
+            old = m.get("retention_ts")
+            if old is None or _stat_from_json(old) < w:
+                new_manifest["retention_ts"] = _stat_to_json(w)
+            else:
+                new_manifest["retention_ts"] = old
         if before_publish is not None:
             before_publish(new_manifest)
         try:
@@ -3516,6 +3718,10 @@ class ManifestTable:
             epoch_id=epoch_id,
             epoch_scope=epoch_scope,
             mode=mode,
+            # the rewrite stamps each row's OWN ts, which may precede a
+            # purge-advanced watermark — internal live-state rewrites are
+            # not late external data (see merge)
+            _bypass_watermark=True,
             **merge_kwargs,
         )
 
@@ -4937,6 +5143,37 @@ class ManifestTable:
             return d.timestamp()
         return float(ts)
 
+    def max_event_ts(self, col: str = "ts"):
+        """Maximum event-time across the current snapshot, from manifest
+        file stats ALONE (driver dict-max, no Spark job, no file I/O) —
+        ``None`` when no file carries stats for ``col``.  Files missing
+        the stat are skipped, which can only UNDERESTIMATE: safe for the
+        watermark uses this feeds (a lower observed max purges/bounds
+        LESS).  This is the engine-side analogue of Spark's streaming
+        watermark source (max observed event time), read back from the
+        table's own metadata."""
+        m = self.manifest()
+        hi = None
+        for st in (m.get("file_stats") or {}).values():
+            ent = st.get(col)
+            if not ent or ent[1] is None:
+                continue
+            v = _stat_from_json(ent[1])
+            if hi is None or v > hi:
+                hi = v
+        return hi
+
+    @classmethod
+    def _as_of_datetime(cls, ts):
+        """The same timestamp forms ``read(as_of=)`` takes (epoch seconds,
+        ISO string, datetime), as a tz-aware UTC datetime — the shape
+        ``F.lit`` needs for an event-time comparison."""
+        import datetime as _dt
+
+        return _dt.datetime.fromtimestamp(
+            cls._to_epoch_seconds(ts), tz=_dt.timezone.utc
+        )
+
     def _resolve_as_of(self, ts) -> int:
         """Newest SURVIVING snapshot committed at or before ``ts``
         (``TIMESTAMP AS OF``).  Walks the version list newest-first with
@@ -4984,9 +5221,24 @@ class ManifestTable:
         # semantics): a rollback keeps the current set, it does not revive
         # the target's
         pub.pop("properties", None)
-        head_props = self.manifest().get("properties")
+        head = self.manifest()
+        head_props = head.get("properties")
         if head_props:
             pub["properties"] = head_props
+        # the retention watermark is MONOTONE config: a rollback to a
+        # version carrying an older (or no) watermark must not regress it —
+        # replica convergence and tombstone GC both argue from "the
+        # upstream never commits a pre-watermark upsert", which only holds
+        # if the watermark never moves backward.  (A target with NO
+        # watermark already inherits the parent's via _commit_manifest;
+        # this handles a target with an older one.)
+        head_ret = head.get("retention_ts")
+        if head_ret is not None:
+            tgt_ret = pub.get("retention_ts")
+            if tgt_ret is None or _stat_from_json(tgt_ret) < _stat_from_json(
+                head_ret
+            ):
+                pub["retention_ts"] = head_ret
         self._publish(pub)
         return {
             "status": "Success",

@@ -139,6 +139,21 @@ class CDCEngine:
         # with compact_sort_by — see ManifestTable.compact / functions.zorder)
         compact_max_rows_per_file: int | None = None,
         compact_max_file_bytes: int | None = None,  # bytes-targeted sizing
+        compact_purge_tombstone_lag: float | None = None,  # EVENT-TIME
+        # seconds: at each auto-compaction, GC delete tombstones older than
+        # (max observed event ts − lag) — the same lateness contract a
+        # streaming watermark declares, applied to the table's dead rows so
+        # physical size tracks LIVE size under ongoing deletes.  The bound
+        # comes from the manifest's own file stats (driver-side, no job);
+        # the purge commit advances the table's retention watermark, so a
+        # violating late upsert is dropped rather than resurrecting a
+        # purged key (see ManifestTable.compact purge_tombstones_before).
+        # CONTRACT (identical to withWatermark's): lag must bound the
+        # stream's event-time disorder AS DELIVERED — an upsert arriving
+        # more than `lag` behind the max event time already committed is
+        # dropped as late data.  Size it to the transport's worst-case
+        # delivery skew (for Kafka: max lateness across partitions), not
+        # just per-key reordering.
         # (row width estimated from the fold's input — see
         # ManifestTable.compact; mutually exclusive with the rows cap)
         vacuum_keep_versions: int = 8,  # 0 disables auto-vacuum
@@ -205,6 +220,7 @@ class CDCEngine:
         self.compact_zorder_by = compact_zorder_by
         self.compact_max_rows_per_file = compact_max_rows_per_file
         self.compact_max_file_bytes = compact_max_file_bytes
+        self.compact_purge_tombstone_lag = compact_purge_tombstone_lag
         self.vacuum_keep_versions = vacuum_keep_versions
         self.vacuum_grace_s = vacuum_grace_s
         self._epochs_since_compact = 0
@@ -307,11 +323,24 @@ class CDCEngine:
             ):
                 self._epochs_since_compact += 1
                 if self._epochs_since_compact >= self.compact_every:
+                    purge_before = None
+                    if self.compact_purge_tombstone_lag is not None:
+                        # watermark = max observed event time − lag, read
+                        # back from the table's own manifest stats (driver
+                        # dict-max, no job); None = no stats yet, skip
+                        import datetime as _dt
+
+                        hi = self.table.max_event_ts()
+                        if hi is not None:
+                            purge_before = hi - _dt.timedelta(
+                                seconds=self.compact_purge_tombstone_lag
+                            )
                     cst = self.table.compact(
                         sort_by=self.compact_sort_by,
                         zorder_by=self.compact_zorder_by,
                         max_rows_per_file=self.compact_max_rows_per_file,
                         max_file_bytes=self.compact_max_file_bytes,
+                        purge_tombstones_before=purge_before,
                     )
                     self.lineage.record_stage(
                         epoch_id,

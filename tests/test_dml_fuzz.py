@@ -115,6 +115,23 @@ class Oracle:
     def noop_commit(self):  # compact / rebucket are state-preserving
         self._commit()
 
+    def purge(self, w: int):
+        """Watermark-bounded tombstone GC (compact purge_tombstones_before):
+        tombstones with ts < w vanish physically AND the retention
+        watermark advances (the engine enforces the no-late-upsert
+        contract through merge's existing pre-watermark filter — modeled
+        by the same ``self.watermark`` check merge already applies)."""
+        self.watermark = (
+            w if self.watermark is None else max(self.watermark, w)
+        )
+        self.state = {
+            k: e for k, e in self.state.items() if not (e[2] and e[0] < w)
+        }
+        self._commit()
+
+    def live_count(self):
+        return sum(1 for e in self.state.values() if not e[2])
+
     def rollback_to(self, version):
         self.state = dict(self.history[version])
         self._commit()
@@ -284,14 +301,32 @@ def test_random_dml_sequence_matches_oracle(spark, tmp_root, seed, mode):
             )
         elif verb == "compact":
             kind = rng.random()
-            if kind < 0.33:
+            if kind < 0.25:
                 st = t.compact()
-            elif kind < 0.66:
+                purged = None
+            elif kind < 0.5:
                 st = t.compact(sort_by=["ts"], max_rows_per_file=7)
-            else:
+                purged = None
+            elif kind < 0.75:
                 st = t.compact(min_delta_files=0)  # OPTIMIZE
+                purged = None
+            else:
+                # watermark-bounded tombstone GC riding an OPTIMIZE: live
+                # state must be untouched, purged keys unresurrectable
+                import datetime as _dt
+
+                purged = rng.randint(1_500, 9_500)
+                st = t.compact(
+                    min_delta_files=0,
+                    purge_tombstones_before=_dt.datetime.fromtimestamp(
+                        purged, tz=_dt.timezone.utc
+                    ),
+                )
             if st["status"] == "Success":
-                oracle.noop_commit()
+                if purged is not None:
+                    oracle.purge(purged)
+                else:
+                    oracle.noop_commit()
         elif verb == "rebucket":
             st = t.rebucket(rng.choice([2, 8]))
             if st["status"] == "Success":
@@ -335,6 +370,15 @@ def test_random_dml_sequence_matches_oracle(spark, tmp_root, seed, mode):
             f"divergence after step {step} verb {verb} (seed {seed}, {mode})"
         )
         assert t.current_version() == len(oracle.history) - 1
+
+        if rng.random() < 0.3:
+            # metadata-count invariant: count() (whatever tier answers —
+            # manifest sum, footer probe, pruned scan, or MOR fold) must
+            # equal the oracle's live cardinality under ANY interleaving
+            assert t.count() == oracle.live_count(), (
+                f"count() diverged after step {step} verb {verb} "
+                f"(seed {seed}, {mode})"
+            )
 
         if rng.random() < 0.25:
             # pruned-read equivalence: a random where= read must equal the

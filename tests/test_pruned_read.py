@@ -54,7 +54,7 @@ def test_manifest_records_file_stats(spark, tmp_root):
     all_files = [p for ps in m["files"].values() for p in ps]
     assert all_files and all(p in m["file_stats"] for p in all_files)
     st = m["file_stats"][all_files[0]]
-    assert set(st) == {"ts", "conv_id", "turn_idx", "::rows"}
+    assert set(st) == {"ts", "conv_id", "turn_idx", "::rows", "::dead"}
     assert "_ts" in st["ts"][0]  # timestamps round-trip through ISO strings
     # three-element entries carry the harvested null count (retention's
     # manifest-only null proof) and ::rows the per-file row count

@@ -428,3 +428,34 @@ def test_delta_merge_losing_to_retention_then_next_pass(spark, tmp_root):
     live = _live(t)
     assert ("race", 0, "old") not in live and ("race", 1, "new") in live
     assert t.check()["status"] == "Success"
+
+
+def test_watermark_is_monotone_across_rollback(spark, tmp_root):
+    """A rollback to a snapshot carrying an OLDER (or no) retention
+    watermark must NOT regress the table's watermark — replica
+    convergence and tombstone GC both argue from "the upstream never
+    commits a pre-watermark upsert", which only holds if ``retention_ts``
+    never moves backward.  Regression test for the rollback_to monotone
+    max."""
+    t = _mk(spark, tmp_root + "/wm", n=400)
+    t.retention_delete(_cut(100), epoch_id=9)
+    v_ret1 = t.current_version()
+    t.retention_delete(_cut(200), epoch_id=10)
+    # roll back to between the two retention commits: target carries the
+    # OLDER watermark (cut=100) but the table keeps the newer (cut=200)
+    t.rollback_to(version=v_ret1)
+    from event_driven_etl_msc_research_spark.sinks.manifest import (
+        _stat_from_json,
+    )
+
+    wm = _stat_from_json(t.manifest()["retention_ts"])
+    assert wm == _cut(200), wm
+
+    # and a pre-watermark upsert is still dropped after the rollback
+    t.merge(
+        spark.createDataFrame([_ev("U", 10_000, 150, "late", 0, "zombie")],
+                              CHANGE_DDL),
+        epoch_id=11,
+        mode="delta",
+    )
+    assert t.read().filter(F.col("text") == "zombie").count() == 0

@@ -72,6 +72,14 @@ def main() -> int:
         "(pairs with --sort-by/--zorder-by for file-level range pruning)",
     )
     sc.add_argument(
+        "--purge-tombstones-before",
+        default=None,
+        help="watermark-bounded tombstone GC: drop delete tombstones with "
+        "event-time ts strictly before this bound (ISO timestamp or epoch "
+        "seconds) during the fold — the caller asserts no older change "
+        "event can still arrive (the streaming tail's lateness contract)",
+    )
+    sc.add_argument(
         "--max-file-bytes",
         type=int,
         default=None,
@@ -314,6 +322,13 @@ def main() -> int:
             zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
             max_rows_per_file=args.max_rows_per_file,
             max_file_bytes=args.max_file_bytes,
+            # numeric CLI strings are epoch seconds; anything else is ISO
+            purge_tombstones_before=(
+                float(p)
+                if (p := args.purge_tombstones_before) is not None
+                and p.replace(".", "", 1).isdigit()
+                else p
+            ),
         )
     elif args.op == "vacuum":
         removed = t.vacuum(
