@@ -71,6 +71,7 @@ HEADLINE = [
     "cdc_rename_drop_column",
     "cdc_segmented_merge",
     "cdc_metadata_count",
+    "cdc_metadata_minmax",
     "cdc_merge_into",
     "cdc_check_constraints",
     "cdc_replica",

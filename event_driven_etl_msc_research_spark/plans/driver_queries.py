@@ -778,6 +778,63 @@ FROM (
 """
 
 
+def cdc_metadata_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-answered ``min_max()`` across the table lifecycle: merge
+    the events change stream (errors = deletes), then take min/max of the
+    ``value`` payload column at two states — delta-carrying (MOR-fold
+    tier) and tombstone-purged compacted (pure manifest fold, zero Spark
+    jobs; job-freeness asserted in ``tests/test_count.py``).  Both states
+    must equal the oracle's aggregate over the deduped live set: retained
+    or purged tombstones change WHERE the answer comes from, never what
+    it is — in particular a DELETED row holding the global extremum must
+    never surface (the all-live provability gate exists for exactly that
+    row)."""
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("event_id").alias("lsn"),
+        F.col("ts").cast("timestamp"),
+        F.col("user_id").cast("string").alias("user_key"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_key", T.StringType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_metadata_minmax_")
+    table = ManifestTable.create(
+        spark, root, payload, key_cols=["user_key"], n_buckets=8
+    )
+    table.merge(changes, 0, mode="delta", epoch_scope="driver")
+    d_lo, d_hi = table.min_max("value")
+    hi = ev.agg(F.max(F.col("ts").cast("timestamp"))).first()[0]
+    import datetime as _dt
+
+    table.compact(purge_tombstones_before=hi + _dt.timedelta(seconds=1))
+    p_lo, p_hi = table.min_max("value")
+    return spark.createDataFrame(
+        [(float(d_lo), float(d_hi), float(p_lo), float(p_hi))],
+        "min_v_delta double, max_v_delta double, "
+        "min_v_purged double, max_v_purged double",
+    )
+
+
+CDC_METADATA_MINMAX_SQL = """
+SELECT MIN(value) AS min_v_delta, MAX(value) AS max_v_delta,
+       MIN(value) AS min_v_purged, MAX(value) AS max_v_purged
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type != 'error'
+"""
+
+
 def cdc_rename_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only schema surgery mid-stream (``rename_column`` /
     ``drop_column`` — the Iceberg ALTER TABLE analogues the reference
@@ -3026,6 +3083,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_merge_events_delta": (cdc_merge_events_delta, CDC_MERGE_SQL),
     "cdc_segmented_merge": (cdc_segmented_merge, CDC_MERGE_SQL),
     "cdc_metadata_count": (cdc_metadata_count, CDC_METADATA_COUNT_SQL),
+    "cdc_metadata_minmax": (cdc_metadata_minmax, CDC_METADATA_MINMAX_SQL),
     "cdc_debezium_ingest": (cdc_debezium_ingest, CDC_MERGE_SQL),
     "cdc_branch_wap": (cdc_branch_wap, CDC_MERGE_SQL),
     "cdc_rename_drop_column": (cdc_rename_drop_column, CDC_RENAME_DROP_SQL),

@@ -1440,6 +1440,148 @@ class ManifestTable:
             )
         return total
 
+    def min_max(
+        self,
+        col: str,
+        version: int | None = None,
+        tag: str | None = None,
+        as_of=None,
+    ) -> tuple:
+        """Exact ``(min, max)`` of a payload column over a snapshot's LIVE
+        rows, answered from METADATA when possible — the same tier ladder
+        as :meth:`count` (at 10^10 rows ``SELECT max(ts)`` must not be a
+        cluster scan; the manifest already harvested every file's footer
+        min/max at write time).  SQL semantics: nulls contribute nothing;
+        an empty / all-null snapshot returns ``(None, None)``.
+
+        1. **Manifest** — files whose stats carry the column's harvested
+           ``[min, max]`` AND prove ``::dead == 0`` fold driver-side with
+           zero Spark jobs (a retained tombstone's value could BE the
+           extremum, so only all-live files are provable; the all-null
+           ``[None, None, n]`` form contributes nothing regardless of
+           tombstones).  Files written before an ``add_column`` read as
+           null → contribute nothing.
+        2. **Driver footer probe** — files the manifest can't prove
+           (pre-upgrade stats, column not in ``stats_cols``) re-harvest
+           through the same ``_footer_minmax`` the writer uses.
+        3. **One column-pruned Spark scan** of only the still-unprovable
+           files (mixed row groups, clone externals), reading just the
+           column + ``_deleted``.
+        4. Delta files present → the MOR fold decides winners: full
+           ``read(version=)`` aggregate.
+
+        String/binary columns go straight to the scan tiers: parquet
+        writers may TRUNCATE binary statistics (a truncated max is a valid
+        pruning BOUND but not an actual row value), so footer stats are
+        range-safe yet not exactness-safe there.  Rename shadows resolve
+        through the same chain the pruner uses."""
+        if sum(x is not None for x in (version, tag, as_of)) > 1:
+            raise ValueError(
+                "min_max(version=, tag=, as_of=) are mutually exclusive"
+            )
+        if tag is not None:
+            version = self._resolve_tag(tag)
+        if as_of is not None:
+            version = self._resolve_as_of(as_of)
+        m = self.manifest(version)
+        field = next(
+            (
+                f
+                for f in T.StructType.fromJson(m["schema"]).fields
+                if f.name == col
+            ),
+            None,
+        )
+        if field is None:
+            raise ValueError(f"min_max: unknown column {col!r}")
+
+        def _agg(df) -> tuple:
+            r = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+            return r["lo"], r["hi"]
+
+        if any(ps for ps in (m.get("delta_files") or {}).values()):
+            d_lo, d_hi = _agg(self.read(version=m["version"]))
+            if d_lo is None:
+                return None, None
+            # normalize to the same tz-aware shape the metadata tiers
+            # return (Spark collects naive session-tz datetimes)
+            return (
+                _norm_bound(d_lo, field.dataType),
+                _norm_bound(d_hi, field.dataType),
+            )
+
+        stringy = isinstance(field.dataType, (T.StringType, T.BinaryType))
+        names = (col, *(m.get("renamed_cols") or {}).get(col, ()))
+        stats = m.get("file_stats") or {}
+        lo = hi = None
+
+        def _fold(v_lo, v_hi):
+            nonlocal lo, hi
+            v_lo = _norm_bound(v_lo, field.dataType)
+            v_hi = _norm_bound(v_hi, field.dataType)
+            lo = v_lo if lo is None or v_lo < lo else lo
+            hi = v_hi if hi is None or v_hi > hi else hi
+
+        probe: list[str] = []
+        scan: list[str] = []
+        for ps in m["files"].values():
+            for p in ps:
+                fs = stats.get(p) or {}
+                entry = next(
+                    (fs[nm] for nm in names if nm in fs), None
+                )
+                if entry is not None and entry[0] is None:
+                    continue  # provably all-null file: contributes nothing
+                if stringy or p.startswith(_EXT_PREFIX):
+                    scan.append(p)
+                elif entry is not None and fs.get("::dead") == [0]:
+                    _fold(_stat_from_json(entry[0]), _stat_from_json(entry[1]))
+                else:
+                    probe.append(p)
+        if probe:
+            import pyarrow.parquet as pq
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _probe(relpath: str):
+                with self.storage.open_input(relpath) as fh:
+                    md = pq.ParquetFile(fh).metadata
+                idx = {
+                    md.schema.column(i).path: i
+                    for i in range(md.num_columns)
+                }
+                phys = next((nm for nm in names if nm in idx), None)
+                if phys is None:
+                    return None  # pre-add_column file: reads as null
+                out = _footer_minmax(md, [phys])
+                ent = out.get(phys)
+                if ent is not None and ent[0] is None:
+                    return None  # all-null file
+                if ent is None or out.get("::dead") != [0]:
+                    return relpath  # not provable: scan it
+                return _stat_from_json(ent[0]), _stat_from_json(ent[1])
+
+            with ThreadPoolExecutor(max_workers=min(16, len(probe))) as pl:
+                for r in pl.map(_probe, probe):
+                    if r is None:
+                        continue
+                    if isinstance(r, str):
+                        scan.append(r)
+                    else:
+                        _fold(*r)
+        if scan:
+            ischema = self._internal_schema_of(m)
+            df = self._read_files(
+                [self._spath(p) for p in scan],
+                ischema,
+                renames=m.get("renamed_cols"),
+            )
+            s_lo, s_hi = _agg(
+                df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+            )
+            if s_lo is not None:
+                _fold(s_lo, s_hi)
+        return lo, hi
+
     @staticmethod
     def _pinned_bucket(
         m: dict[str, Any], where: dict[str, tuple]

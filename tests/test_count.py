@@ -12,6 +12,7 @@ backends.
 
 from __future__ import annotations
 
+import datetime as _dt
 import os
 
 import pandas as pd
@@ -203,3 +204,108 @@ def test_count_mixed_files_fall_back_exactly(spark, table):
     table.delete_where("conv_id = 'c0'", epoch_id=1)
     table.compact()  # tombstones retained → some files mixed
     assert table.count() == table.read().count() == 9
+
+
+def _mm(table, col):
+    """min_max normalized to naive-UTC for comparison with Spark collects."""
+    lo, hi = table.min_max(col)
+    strip = lambda v: v.replace(tzinfo=None) if hasattr(v, "tzinfo") else v
+    return strip(lo), strip(hi)
+
+
+def _agg_mm(df, col):
+    r = df.agg(F.min(col).alias("l"), F.max(col).alias("h")).first()
+    return r["l"], r["h"]
+
+
+def test_min_max_job_free_when_clean(spark, tmp_root, storage_factory):
+    """A delta-free, delete-free table answers min_max() from the manifest
+    with ZERO Spark jobs, for both a numeric and a timestamp column."""
+    root = os.path.join(tmp_root, "mm_clean")
+    t = ManifestTable.create(
+        spark, root, TRANSCRIPT_SCHEMA, n_buckets=2, storage=storage_factory(root)
+    )
+    t.merge(_batch(spark, _rows(10)), 0, mode="cow")
+    t2 = ManifestTable(spark, root, storage=t.storage)  # cold handle
+    jobs, got = _jobs_in(
+        spark, "mm_clean", lambda: (t2.min_max("turn_idx"), t2.min_max("ts"))
+    )
+    assert jobs == 0, f"expected metadata-only min_max, saw {jobs} jobs"
+    (lo_t, hi_t), (lo_ts, hi_ts) = got
+    assert (lo_t, hi_t) == _agg_mm(t.read(), "turn_idx") == (0, 2)
+    exp_lo, exp_hi = _agg_mm(t.read(), "ts")
+    assert (lo_ts.replace(tzinfo=None), hi_ts.replace(tzinfo=None)) == (
+        exp_lo,
+        exp_hi,
+    )
+
+
+def test_min_max_tracks_read_through_lifecycle(spark, table):
+    """min_max() == the read-side aggregate at every table state — deltas
+    (MOR tier), tombstones retained (scan tier), purged (manifest tier),
+    time travel."""
+    assert _mm(table, "ts") == _agg_mm(table.read(), "ts")
+    v0 = table.current_version()
+
+    table.delete_where("conv_id = 'c3'", epoch_id=1)  # kills max ts 1011
+    assert _mm(table, "ts") == _agg_mm(table.read(), "ts")
+
+    table.compact()  # tombstones retained: dead ts 1011 must NOT surface
+    got = _mm(table, "ts")
+    assert got == _agg_mm(table.read(), "ts")
+    assert got[1].timestamp() == 1010
+
+    table.compact(min_delta_files=0, purge_tombstones_before=5000)
+    assert _mm(table, "ts") == _agg_mm(table.read(), "ts")
+    assert _mm(table, "turn_idx") == _agg_mm(table.read(), "turn_idx")
+    # time travel still answers for the pre-delete snapshot
+    lo, hi = table.min_max("ts", version=v0)
+    assert hi.timestamp() == 1011
+    assert table.min_max("ts", version=v0) == tuple(
+        v.replace(tzinfo=_dt.timezone.utc)
+        for v in _agg_mm(table.read(version=v0), "ts")
+    )
+
+
+def test_min_max_string_and_null_columns(spark, table):
+    """Strings are exact via the scan tier (footer stats may be truncated
+    BOUNDS, not values); an all-null column returns (None, None); a column
+    added later null-fills old files and folds only real values."""
+    assert table.min_max("text") == _agg_mm(table.read(), "text")
+    assert table.min_max("tool") == (None, None)  # all-null payload
+    table.add_column("score", "double")
+    assert table.min_max("score") == (None, None)
+    table.merge(
+        _batch_with_score(spark, [("U", 99, 3000, "c9", 0, 2.5)]),
+        epoch_id=7,
+        mode="delta",
+    )
+    table.compact()
+    assert table.min_max("score") == (2.5, 2.5)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        table.min_max("nope")
+    with _pt.raises(ValueError):
+        table.min_max("ts", version=0, tag="x")
+
+
+def _batch_with_score(spark, rows):
+    pdf = pd.DataFrame(
+        rows, columns=["op", "lsn", "ts", "conv_id", "turn_idx", "score"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s", utc=True)
+    return spark.createDataFrame(
+        pdf,
+        T.StructType(
+            [
+                T.StructField("op", T.StringType()),
+                T.StructField("lsn", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("conv_id", T.StringType()),
+                T.StructField("turn_idx", T.IntegerType()),
+                T.StructField("score", T.DoubleType()),
+            ]
+        ),
+    )
