@@ -22,6 +22,8 @@ MOR pattern — Iceberg/Paimon/Hudi compaction services)::
     ... maintain.py --table /lake/transcripts constraints
     ... maintain.py --table /lake/transcripts retention-delete \\
         --ts-before 2026-02-01 --epoch-id 20260201
+    ... maintain.py --table /lake/transcripts count
+    ... maintain.py --table /lake/transcripts min-max --col ts
     ... maintain.py --table /lake/transcripts branch --name audit-0817
     ... maintain.py --table /lake/transcripts publish --name audit-0817
     ... maintain.py --table /lake/transcripts drop-branch --name audit-0817
@@ -117,6 +119,19 @@ def main() -> int:
         help="per-bucket base/delta file+byte summary (compaction planning)",
     )
     spn.add_argument("--version", type=int, default=None)
+    scn = sub.add_parser(
+        "count",
+        help="exact live-row count, metadata-answered when provable "
+        "(zero Spark jobs on a delta-free all-live table)",
+    )
+    scn.add_argument("--version", type=int, default=None)
+    smm = sub.add_parser(
+        "min-max",
+        help="exact (min, max) of a payload column over live rows, "
+        "metadata-answered when provable",
+    )
+    smm.add_argument("--col", required=True)
+    smm.add_argument("--version", type=int, default=None)
     se = sub.add_parser("expire", help="expire old snapshots (metadata)")
     se.add_argument(
         "--older-than",
@@ -354,6 +369,16 @@ def main() -> int:
         p = t.partitions(version=args.version)
         p.show(1000, truncate=False)
         out = {"status": "Success", "buckets": p.count()}
+    elif args.op == "count":
+        out = {"status": "Success", "rows": t.count(version=args.version)}
+    elif args.op == "min-max":
+        lo, hi = t.min_max(args.col, version=args.version)
+        out = {
+            "status": "Success",
+            "col": args.col,
+            "min": str(lo) if lo is not None else None,
+            "max": str(hi) if hi is not None else None,
+        }
     elif args.op == "expire":
         expired = t.expire_snapshots(
             older_than_ts=args.older_than, keep_last=args.keep_last
