@@ -132,6 +132,13 @@ class Oracle:
     def live_count(self):
         return sum(1 for e in self.state.values() if not e[2])
 
+    def live_minmax_ts(self):
+        """(min, max) event-time over LIVE rows as epoch seconds — the
+        min_max() invariant's oracle: a retained tombstone's ts (possibly
+        the global extremum) must never surface."""
+        live = [e[0] for e in self.state.values() if not e[2]]
+        return (min(live), max(live)) if live else (None, None)
+
     def rollback_to(self, version):
         self.state = dict(self.history[version])
         self._commit()
@@ -378,6 +385,18 @@ def test_random_dml_sequence_matches_oracle(spark, tmp_root, seed, mode):
             assert t.count() == oracle.live_count(), (
                 f"count() diverged after step {step} verb {verb} "
                 f"(seed {seed}, {mode})"
+            )
+            # and min_max("ts") likewise — in particular a retained
+            # tombstone holding the global extremum must never surface
+            lo, hi = t.min_max("ts")
+            got = (
+                (None, None)
+                if lo is None
+                else (int(lo.timestamp()), int(hi.timestamp()))
+            )
+            assert got == oracle.live_minmax_ts(), (
+                f"min_max(ts) diverged after step {step} verb {verb} "
+                f"(seed {seed}, {mode}): {got}"
             )
 
         if rng.random() < 0.25:
